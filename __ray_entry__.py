@@ -1,16 +1,14 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract: entry() smoke pipeline, queries() + oracle_sql() pairs.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+The driver initialises Ray itself, imports this module, runs each
+``queries()[name](sf_dir)`` at sf=0.01 and compares row-count/schema/
+value-hash against ``oracle_sql()[name]`` executed by DuckDB (provided
+tables ``region nation customer supplier part orders lineitem events
+documents embeddings`` are pre-registered views; the engine's own synthetic
+OSM/pages fixtures are read by absolute parquet path — see
+pyrosm_ray/fixtures.py). Column names and dtypes match the SQL on both
+sides. Queries without a SQL-expressible oracle (multipolygon assembly
+geometry, LSH dedup, ANN) are listed in ``queries()`` only → rows-only check.
 """
 
 from __future__ import annotations
@@ -18,27 +16,561 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
 
-def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+ORACLE_SF = "sf0.01"  # the driver's correctness scale
 
 
-def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+def _fixture_dir(sf_dir: str):
+    from pyrosm_ray.fixtures import ensure_fixtures
+    return ensure_fixtures(sf_dir)
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir.rstrip('/')}/{table}.parquet",
+                           columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# relational operator suite (provided TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def q_agg_pricing(sf_dir: str):
+    """Grouped aggregate with partial pre-aggregation shape (TPC-H Q1-ish)."""
+    from ray.data.aggregate import Count, Mean, Sum
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount"])
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("rev", rev)
+
+    out = ds.map_batches(revenue, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("rev", alias_name="sum_revenue"),
+            Mean("l_discount", alias_name="avg_disc"),
+            Count(alias_name="n_rows"),
+        )
+    df = out.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_revenue"] = df["sum_revenue"].round(2)
+    df["avg_disc"] = df["avg_disc"].round(6)
+    df["n_rows"] = df["n_rows"].astype("int64")
+    return df.sort_values(["l_returnflag", "l_linestatus"]) \
+        .reset_index(drop=True)
+
+
+def q_join_revenue_by_segment(sf_dir: str):
+    """Hash join orders x customer + grouped sum (native Dataset.join)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    j = orders.join(cust, "inner", num_partitions=8,
+                    on=("o_custkey",), right_on=("c_custkey",),
+                    aggregator_ray_remote_args={"num_cpus": 0.25})
+    df = j.groupby("c_mktsegment").sum("o_totalprice").to_pandas()
+    df = df.rename(columns={"sum(o_totalprice)": "revenue"})
+    df["revenue"] = df["revenue"].round(2)
+    return df.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def q_topk_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    df = ds.sort(["o_totalprice", "o_orderkey"],
+                 descending=[True, False]).limit(10).to_pandas()
+    return df
+
+
+def q_events_window(sf_dir: str):
+    """Hour-bucketed windowed aggregate over the event stream."""
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(b: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(b["ts"], unit="hour")
+        return pa.table({"event_type": b["event_type"], "hour": hour,
+                         "value": b["value"]})
+
+    from ray.data.aggregate import Count, Sum
+    out = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("value", alias_name="sum_value"),
+            Count(alias_name="n"))
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(6)
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+def q_distinct_brands(sf_dir: str):
+    ds = _read(sf_dir, "part", ["p_brand"])
+    vals = sorted(ds.unique("p_brand"))
+    return pa.table({"p_brand": pa.array(vals, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# text analysis / dedup (documents table)
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    from pyrosm_ray.stages.text import token_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = token_stats(ds).to_pandas()[["doc_id", "n_tokens", "n_bpe_tokens"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quality_score(sf_dir: str):
+    from pyrosm_ray.stages.text import quality_score
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = quality_score(ds).to_pandas()[["doc_id", "quality_score"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lang_id(sf_dir: str):
+    from pyrosm_ray.stages.text import language_id
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = language_id(ds).to_pandas()[["doc_id", "lang_guess"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_fingerprint_md5(sf_dir: str):
+    from pyrosm_ray.stages.text import fingerprints
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = fingerprints(ds).to_pandas()[["doc_id", "md5"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_exact_dedup(sf_dir: str):
+    from pyrosm_ray.stages.dedup import exact_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = exact_dedup(ds).to_pandas()[["doc_id"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_minhash_dedup(sf_dir: str):
+    from pyrosm_ray.stages.dedup import minhash_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = minhash_dedup(ds, threshold=0.5).to_pandas()[["doc_id", "dup_of"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_simhash_pairs(sf_dir: str):
+    from pyrosm_ray.stages.dedup import simhash_dedup
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = simhash_dedup(ds, max_hamming=10).to_pandas()
+    return df.drop_duplicates(["a", "b"]).sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+
+
+def q_ngram_jaccard(sf_dir: str):
+    from pyrosm_ray.stages.dedup import ngram_jaccard_pairs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = ngram_jaccard_pairs(ds, threshold=0.6).to_pandas()
+    return df.drop_duplicates(["a", "b"]).sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from pyrosm_ray.stages.dedup import embedding_near_dup
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = embedding_near_dup(ds, threshold=0.4).to_pandas()
+    if df.empty:
+        import pandas as pd
+        df = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                           "b": pd.Series(dtype="int64"),
+                           "cosine": pd.Series(dtype="float64")})
+    df["cosine"] = df["cosine"].round(4)
+    return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+def _query_vectors(sf_dir: str, n=3) -> np.ndarray:
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    emb = np.array(t["embedding"].to_pylist()[:n], dtype=np.float64)
+    return emb
+
+
+def q_topk_cosine(sf_dir: str):
+    from pyrosm_ray.stages.similarity import topk_cosine
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = topk_cosine(ds, _query_vectors(sf_dir), k=10)
+    df = out.to_pandas()[["query_id", "vec_id", "rank"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_ivf_topk(sf_dir: str):
+    from pyrosm_ray.stages.similarity import ivf_topk
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = ivf_topk(ds, _query_vectors(sf_dir), k=10, n_clusters=8, nprobe=8)
+    df = out.to_pandas()[["query_id", "vec_id", "rank"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# spatial / tiling / OSM-layer queries (engine fixture tables)
+# ---------------------------------------------------------------------------
+
+def q_tile_assignment(sf_dir: str):
+    import ray.data as rd
+    from pyrosm_ray.stages.spatial import assign_tiles
+    fx = _fixture_dir(sf_dir)
+    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    df = assign_tiles(pages).to_pandas()[
+        ["url", "h3_r5", "h3_r7", "h3_r9"]]
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def q_tile_counts(sf_dir: str):
+    import ray.data as rd
+    from pyrosm_ray.stages.spatial import assign_tiles
+    fx = _fixture_dir(sf_dir)
+    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    out = assign_tiles(pages).groupby("h3_r7").count().to_pandas()
+    out = out.rename(columns={"count()": "n_pages"})
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return out.sort_values("h3_r7").reset_index(drop=True)
+
+
+def q_pages_in_bbox(sf_dir: str):
+    import ray.data as rd
+    from pyrosm_ray.fixtures import TEST_BBOX
+    from pyrosm_ray.stages.spatial import geocode_pages
+    fx = _fixture_dir(sf_dir)
+    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url", "lang"])
+    x0, y0, x1, y1 = TEST_BBOX
+
+    def inbox(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
+        m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        return b.filter(pa.array(m)).select(["url", "lang"])
+
+    df = geocode_pages(pages).map_batches(
+        inbox, batch_format="pyarrow").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def q_pip_join(sf_dir: str):
+    """PIP join pages x buildings (no SQL oracle — geometry containment)."""
+    import ray.data as rd
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.stages.spatial import assign_tiles, pip_join
+    fx = _fixture_dir(sf_dir)
+    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    polys = OSM(str(fx)).get_buildings().materialize()
+    out = pip_join(assign_tiles(pages), polys, layer="buildings")
+    df = out.to_pandas()[["url", "polygon_id", "polygon_layer"]]
+    return df.sort_values(["url", "polygon_id"]).reset_index(drop=True)
+
+
+def q_knn_join(sf_dir: str):
+    """kNN to nearest POIs; oracle = SQL window over exact haversine."""
+    import ray.data as rd
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.stages.spatial import assign_tiles, knn_join
+    fx = _fixture_dir(sf_dir)
+    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    pois = OSM(str(fx)).get_pois().materialize()
+    out = knn_join(assign_tiles(pages), pois, k=2)
+    df = out.to_pandas()[["url", "poi_id", "knn_rank"]]
+    return df.sort_values(["url", "knn_rank"]).reset_index(drop=True)
+
+
+def q_osm_buildings_ways(sf_dir: str):
+    from pyrosm_ray.pipelines.layers import OSM
+    fx = _fixture_dir(sf_dir)
+    df = OSM(str(fx)).get_buildings().to_pandas()
+    df = df[df.osm_type == "way"][["id", "building"]]
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def q_network_walking_lengths(sf_dir: str):
+    from pyrosm_ray.pipelines.layers import OSM
+    fx = _fixture_dir(sf_dir)
+    df = OSM(str(fx)).get_network("walking").to_pandas()[["id", "length"]]
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def q_boundaries_names(sf_dir: str):
+    from pyrosm_ray.pipelines.layers import OSM
+    fx = _fixture_dir(sf_dir)
+    df = OSM(str(fx)).get_boundaries().to_pandas()[["id", "name"]]
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def q_history_latest(sf_dir: str):
+    """Latest-version merge (reference A1: history reads keep the last
+    version per id; invisible latest -> dropped)."""
+    import ray.data as rd
+    fx = _fixture_dir(sf_dir)
+    ds = rd.read_parquet(f"{fx}/osm_history.parquet",
+                         columns=["id", "version", "visible", "lon"])
+
+    def last_per_id(g):
+        g = g.sort_values("version")
+        row = g.iloc[-1]
+        import pandas as pd
+        if not row.visible:
+            return pd.DataFrame({"id": [], "version": [], "lon": []})
+        return pd.DataFrame({"id": [row.id], "version": [row.version],
+                             "lon": [row.lon]})
+
+    df = ds.groupby("id").map_groups(last_per_id,
+                                     batch_format="pandas").to_pandas()
+    df["id"] = df["id"].astype("int64")
+    df["version"] = df["version"].astype("int64")
+    return df.sort_values("id").reset_index(drop=True)
+
+
+def q_pages_by_lang(sf_dir: str):
+    import ray.data as rd
+    fx = _fixture_dir(sf_dir)
+    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["lang"])
+    df = pages.groupby("lang").count().to_pandas()
+    df = df.rename(columns={"count()": "n"})
+    df["n"] = df["n"].astype("int64")
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# SQL oracles
+# ---------------------------------------------------------------------------
+
+def _lang_id_sql(doc_table: str = "documents") -> str:
+    from pyrosm_ray.stages.text import LANG_PROFILES
+    langs = sorted(LANG_PROFILES)
+    score_exprs = []
+    for lang in langs:
+        pat = r"\b(?:" + "|".join(LANG_PROFILES[lang]) + r")\b"
+        score_exprs.append(
+            f"CAST(len(regexp_extract_all(lower(text), '{pat}')) AS DOUBLE)"
+            f" / GREATEST(CAST(len(regexp_extract_all(lower(text), '\\S+'))"
+            f" AS DOUBLE), 1.0) AS s_{lang}")
+    m = "GREATEST(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {m} = 0.0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {m} THEN '{lang}' "
+    case += "END"
+    return (f"SELECT doc_id, {case} AS lang_guess FROM "
+            f"(SELECT doc_id, text, {', '.join(score_exprs)} "
+            f"FROM {doc_table}) ORDER BY doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pyrosm_ray.fixtures import TEST_BBOX, geocode_sql
+    from pyrosm_ray.stages.text import PUNCT_RE, STOPWORD_RE, TOKEN_RE
+    from pyrosm_ray.stages.text import quality_score_sql
+    from pyrosm_ray.tiles import grid
+
+    fx = str(_fixture_dir(ORACLE_SF))
+    pages = f"read_parquet('{fx}/pages.parquet')"
+    ways_p = f"read_parquet('{fx}/osm_ways.parquet')"
+    nodes_p = f"read_parquet('{fx}/osm_nodes.parquet')"
+    rels_p = f"read_parquet('{fx}/osm_relations.parquet')"
+    hist_p = f"read_parquet('{fx}/osm_history.parquet')"
+    lon_sql, lat_sql = geocode_sql()
+    x0, y0, x1, y1 = TEST_BBOX
+
+    r5 = grid.cell_id_sql(lon_sql, lat_sql, grid.h3_equiv_res(5))
+    r7 = grid.cell_id_sql(lon_sql, lat_sql, grid.h3_equiv_res(7))
+    r9 = grid.cell_id_sql(lon_sql, lat_sql, grid.h3_equiv_res(9))
+
+    # member way ids of building-filtered relations (always-keep / anti-join)
+    member_ways_b = (
+        f"SELECT DISTINCT m.member_id FROM {rels_p} r, UNNEST(r.members)"
+        f" AS t(m) WHERE m.member_type = 'way' AND"
+        f" len(map_extract(r.tags, 'building')) > 0")
+
+    walking_excluded_hw = ("'cycleway','motor','motorway','motorway_link',"
+                           "'proposed','construction','abandoned',"
+                           "'platform','raceway'")
+
+    walking_filter = (
+        f"len(map_extract(w.tags, 'highway')) > 0"
+        f" AND NOT (COALESCE(map_extract(w.tags, 'highway')[1] IN"
+        f" ({walking_excluded_hw}), false)"
+        f" OR COALESCE(map_extract(w.tags, 'area')[1] = 'yes', false)"
+        f" OR COALESCE(map_extract(w.tags, 'foot')[1] = 'no', false)"
+        f" OR COALESCE(map_extract(w.tags, 'service')[1] = 'private',"
+        f" false))")
+
+    # integer-millimetre haversine, squares via explicit products (matches
+    # ops.polyline_lengths_m bit-for-bit; POW(x,2) can differ from x*x in
+    # the last ulp)
+    hav = ("CAST(ROUND(2000.0 * 6371008.8 * ASIN(SQRT("
+           "SIN((RADIANS(nlat) - RADIANS(lat)) * 0.5)"
+           " * SIN((RADIANS(nlat) - RADIANS(lat)) * 0.5)"
+           " + COS(RADIANS(lat)) * COS(RADIANS(nlat))"
+           " * SIN((RADIANS(nlon) - RADIANS(lon)) * 0.5)"
+           " * SIN((RADIANS(nlon) - RADIANS(lon)) * 0.5)))) AS BIGINT)")
+
+    return {
+        "q_agg_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2)
+                       AS sum_revenue,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "q_join_revenue_by_segment": """
+            SELECT c_mktsegment,
+                   ROUND(CAST(SUM(o_totalprice) AS DOUBLE), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+        "q_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        "q_events_window": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   ROUND(CAST(SUM(value) AS DOUBLE), 6) AS sum_value,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type, hour
+            ORDER BY event_type, hour""",
+        "q_distinct_brands": """
+            SELECT DISTINCT p_brand FROM part ORDER BY p_brand""",
+        "q_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                       AS n_tokens,
+                   CAST(len(regexp_extract_all(text, '{TOKEN_RE}'))
+                       AS BIGINT) AS n_bpe_tokens
+            FROM documents ORDER BY doc_id""",
+        "q_quality_score": f"""
+            SELECT doc_id, {quality_score_sql('text')} AS quality_score
+            FROM documents ORDER BY doc_id""",
+        "q_lang_id": _lang_id_sql(),
+        "q_fingerprint_md5": """
+            SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id""",
+        "q_exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id FROM documents
+            GROUP BY md5(list_aggregate(regexp_extract_all(lower(text),
+                '\\S+'), 'string_agg', ' '))
+            ORDER BY doc_id""",
+        "q_tile_assignment": f"""
+            SELECT url, {r5} AS h3_r5, {r7} AS h3_r7, {r9} AS h3_r9
+            FROM {pages} ORDER BY url""",
+        "q_tile_counts": f"""
+            SELECT {r7} AS h3_r7, COUNT(*) AS n_pages
+            FROM {pages} GROUP BY h3_r7 ORDER BY h3_r7""",
+        "q_pages_in_bbox": f"""
+            SELECT url, lang FROM {pages}
+            WHERE {lon_sql} BETWEEN {x0} AND {x1}
+              AND {lat_sql} BETWEEN {y0} AND {y1}
+            ORDER BY url""",
+        "q_osm_buildings_ways": f"""
+            SELECT w.id, map_extract(w.tags, 'building')[1] AS building
+            FROM {ways_p} w
+            WHERE len(map_extract(w.tags, 'building')) > 0
+              AND w.id NOT IN ({member_ways_b})
+              AND (SELECT COUNT(*) FROM UNNEST(w.refs) AS u(r)
+                   JOIN {nodes_p} n ON n.id = u.r) >= 2
+            ORDER BY w.id""",
+        "q_network_walking_lengths": f"""
+            WITH kept AS (
+              SELECT w.id, w.refs FROM {ways_p} w WHERE {walking_filter}
+            ), refs AS (
+              SELECT k.id, unnest(k.refs) AS r,
+                     generate_subscripts(k.refs, 1) AS ord
+              FROM kept k
+            ), pts AS (
+              SELECT refs.id, refs.ord, n.lon, n.lat,
+                     LEAD(n.lon) OVER (PARTITION BY refs.id ORDER BY refs.ord)
+                         AS nlon,
+                     LEAD(n.lat) OVER (PARTITION BY refs.id ORDER BY refs.ord)
+                         AS nlat
+              FROM refs JOIN {nodes_p} n ON n.id = refs.r
+            )
+            SELECT id, CAST((SUM(CASE WHEN nlon IS NULL THEN 0
+                                 ELSE {hav} END) + 500) // 1000 AS DOUBLE)
+                AS length
+            FROM pts GROUP BY id HAVING COUNT(*) >= 2 ORDER BY id""",
+        "q_boundaries_names": f"""
+            SELECT r.id, map_extract(r.tags, 'name')[1] AS name
+            FROM {rels_p} r
+            WHERE map_extract(r.tags, 'boundary')[1] = 'administrative'
+            ORDER BY r.id""",
+        "q_history_latest": f"""
+            SELECT id, CAST(version AS BIGINT) AS version, lon FROM (
+              SELECT id, version, visible, lon,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY version DESC) AS rn
+              FROM {hist_p}) WHERE rn = 1 AND visible
+            ORDER BY id""",
+        "q_pages_by_lang": f"""
+            SELECT lang, COUNT(*) AS n FROM {pages}
+            GROUP BY lang ORDER BY lang""",
+        "q_knn_join": f"""
+            WITH pois AS (
+              SELECT n.id AS poi_id, n.lon AS plon, n.lat AS plat
+              FROM {nodes_p} n
+              WHERE len(map_extract(n.tags, 'amenity')) > 0
+                 OR len(map_extract(n.tags, 'shop')) > 0
+                 OR len(map_extract(n.tags, 'tourism')) > 0
+            ), pg AS (
+              SELECT url, {lon_sql} AS lon, {lat_sql} AS lat FROM {pages}
+            ), ranked AS (
+              SELECT pg.url, pois.poi_id,
+                     ROW_NUMBER() OVER (PARTITION BY pg.url ORDER BY
+                       2.0 * 6371008.8 * ASIN(SQRT(
+                         POW(SIN((RADIANS(pois.plat) - RADIANS(pg.lat))
+                             * 0.5), 2)
+                         + COS(RADIANS(pg.lat)) * COS(RADIANS(pois.plat))
+                         * POW(SIN((RADIANS(pois.plon) - RADIANS(pg.lon))
+                               * 0.5), 2))) ASC, pois.poi_id ASC)
+                       AS knn_rank
+              FROM pg CROSS JOIN pois
+            )
+            SELECT url, poi_id, knn_rank FROM ranked WHERE knn_rank <= 2
+            ORDER BY url, knn_rank""",
+    }
+
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "q_agg_pricing": q_agg_pricing,
+        "q_join_revenue_by_segment": q_join_revenue_by_segment,
+        "q_topk_orders": q_topk_orders,
+        "q_events_window": q_events_window,
+        "q_distinct_brands": q_distinct_brands,
+        "q_token_stats": q_token_stats,
+        "q_quality_score": q_quality_score,
+        "q_lang_id": q_lang_id,
+        "q_fingerprint_md5": q_fingerprint_md5,
+        "q_exact_dedup": q_exact_dedup,
+        "q_minhash_dedup": q_minhash_dedup,
+        "q_simhash_pairs": q_simhash_pairs,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_topk_cosine": q_topk_cosine,
+        "q_ivf_topk": q_ivf_topk,
+        "q_tile_assignment": q_tile_assignment,
+        "q_tile_counts": q_tile_counts,
+        "q_pages_in_bbox": q_pages_in_bbox,
+        "q_pip_join": q_pip_join,
+        "q_knn_join": q_knn_join,
+        "q_osm_buildings_ways": q_osm_buildings_ways,
+        "q_network_walking_lengths": q_network_walking_lengths,
+        "q_boundaries_names": q_boundaries_names,
+        "q_history_latest": q_history_latest,
+        "q_pages_by_lang": q_pages_by_lang,
+    }
+
+
+def entry() -> Any:
+    """Flagship pipeline at sf0.001: assemble the OSM building layer, tile +
+    geocode the pages table, PIP-join pages against buildings."""
+    import ray.data as rd
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.stages.spatial import assign_tiles, pip_join
+    fx = _fixture_dir("/root/testdata/sf0.001")
+    pages = rd.read_parquet(f"{fx}/pages.parquet")
+    polys = OSM(str(fx)).get_buildings().materialize()
+    return pip_join(assign_tiles(pages, salt_threshold=500), polys,
+                    layer="buildings")

@@ -54,16 +54,21 @@ def polyline_lengths_m(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.zeros(len(offsets) - 1, dtype=np.float64)
     seg = haversine_m(coords[:-1, 1], coords[:-1, 0], coords[1:, 1], coords[1:, 0])
-    seg = np.round(seg, 3)
-    cs = np.zeros(n, dtype=np.float64)
-    np.cumsum(seg, out=cs[1:])
-    # line [s, e) sums its internal segments s..e-2 = cs[e-1] - cs[s]; the
-    # phantom segment e-1 (last point of one line to first of the next) is
-    # excluded automatically. Empty/1-point lines clamp to zero length.
-    starts = offsets[:-1]
-    ends = np.maximum(offsets[1:] - 1, starts)
-    out = cs[np.minimum(ends, n - 1)] - cs[np.minimum(starts, n - 1)]
-    return np.round(out, 0)
+    # integer-millimetre arithmetic: float summation order would otherwise
+    # decide exact .5-metre boundary cases differently per engine; the final
+    # metre rounding is explicit half-away ((mm + 500) // 1000), the one
+    # deliberate deviation from the reference's np.round half-to-even
+    seg_mm = np.round(seg * 1000.0).astype(np.int64)
+    ph = offsets[1:-1] - 1
+    ph = ph[(ph >= 0) & (ph < len(seg_mm))]
+    seg_mm[ph] = 0
+    if len(seg_mm) == 0:
+        return np.zeros(len(offsets) - 1, dtype=np.float64)
+    starts = np.minimum(offsets[:-1], len(seg_mm) - 1)
+    sums_mm = np.add.reduceat(seg_mm, starts)
+    cnt = offsets[1:] - offsets[:-1]
+    out = ((sums_mm + 500) // 1000).astype(np.float64)
+    return np.where(cnt >= 2, out, 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,96 @@ def multipolygon_wkb(polygons: list[list[np.ndarray]]) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# vectorised batch encoders (no per-row Python in the hot geometry stages)
+# ---------------------------------------------------------------------------
+
+def _fill_pattern(buf: np.ndarray, pos: np.ndarray, pattern: bytes) -> None:
+    if len(pos):
+        pat = np.frombuffer(pattern, dtype=np.uint8)
+        buf[pos[:, None] + np.arange(len(pat))] = pat
+
+
+def _split(buf: np.ndarray, starts: np.ndarray, sizes: np.ndarray) -> list[bytes]:
+    raw = buf.tobytes()
+    return [raw[s:s + z] for s, z in zip(starts.tolist(), sizes.tolist())]
+
+
+def linestrings_wkb_batch(coords: np.ndarray, offsets: np.ndarray) -> list[bytes]:
+    """One LineString WKB per CSR row (row i = coords[offsets[i]:offsets[i+1]])."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    npts = offsets[1:] - offsets[:-1]
+    sizes = 9 + 16 * npts
+    starts = np.zeros(len(npts) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    buf = np.zeros(int(starts[-1]), dtype=np.uint8)
+    _fill_pattern(buf, starts[:-1], b"\x01" + struct.pack("<I", LINESTRING))
+    # per-row point count (uint32 LE) at offset 5
+    cnt = npts.astype("<u4").reshape(-1, 1).view(np.uint8)
+    buf[starts[:-1][:, None] + 5 + np.arange(4)] = cnt
+    if len(coords):
+        pts = np.ascontiguousarray(coords, dtype="<f8").view(np.uint8).reshape(-1, 16)
+        row_of_pt = np.repeat(np.arange(len(npts), dtype=np.int64), npts)
+        idx_in_row = np.arange(len(coords), dtype=np.int64) - np.repeat(
+            offsets[:-1], npts)
+        dest = starts[:-1][row_of_pt] + 9 + idx_in_row * 16
+        buf[dest[:, None] + np.arange(16)] = pts
+    return _split(buf, starts[:-1], sizes)
+
+
+def segment_multilinestrings_wkb_batch(coords: np.ndarray,
+                                       offsets: np.ndarray) -> list[bytes]:
+    """One MultiLineString-of-2-point-segments WKB per CSR polyline row —
+    the reference's network way geometry (consecutive coordinate pairs each
+    their own LineString, pyrosm/geometry.pyx:404-493 + frames.pyx:62-72)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    npts = offsets[1:] - offsets[:-1]
+    nseg = np.maximum(npts - 1, 0)
+    sizes = 9 + 41 * nseg
+    starts = np.zeros(len(nseg) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    buf = np.zeros(int(starts[-1]), dtype=np.uint8)
+    _fill_pattern(buf, starts[:-1], b"\x01" + struct.pack("<I", MULTILINESTRING))
+    buf[starts[:-1][:, None] + 5 + np.arange(4)] = \
+        nseg.astype("<u4").reshape(-1, 1).view(np.uint8)
+    total_seg = int(nseg.sum())
+    if total_seg:
+        row_of_seg = np.repeat(np.arange(len(nseg), dtype=np.int64), nseg)
+        idx_in_row = np.arange(total_seg, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nseg)[:-1]]), nseg)
+        seg_pos = starts[:-1][row_of_seg] + 9 + idx_in_row * 41
+        _fill_pattern(buf, seg_pos,
+                      b"\x01" + struct.pack("<II", LINESTRING, 2))
+        first_pt = np.repeat(offsets[:-1], nseg) + idx_in_row
+        c = np.ascontiguousarray(coords, dtype="<f8")
+        seg_xy = np.hstack([c[first_pt], c[first_pt + 1]]).view(np.uint8)
+        buf[seg_pos[:, None] + 9 + np.arange(32)] = seg_xy
+    return _split(buf, starts[:-1], sizes)
+
+
+def ring_polygons_wkb_batch(coords: np.ndarray,
+                            offsets: np.ndarray) -> list[bytes]:
+    """One single-ring Polygon WKB per CSR row (ring must already be closed)."""
+    offsets = np.asarray(offsets, dtype=np.int64)
+    npts = offsets[1:] - offsets[:-1]
+    sizes = 13 + 16 * npts
+    starts = np.zeros(len(npts) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=starts[1:])
+    buf = np.zeros(int(starts[-1]), dtype=np.uint8)
+    _fill_pattern(buf, starts[:-1],
+                  b"\x01" + struct.pack("<II", POLYGON, 1))
+    buf[starts[:-1][:, None] + 9 + np.arange(4)] = \
+        npts.astype("<u4").reshape(-1, 1).view(np.uint8)
+    if len(coords):
+        pts = np.ascontiguousarray(coords, dtype="<f8").view(np.uint8).reshape(-1, 16)
+        row_of_pt = np.repeat(np.arange(len(npts), dtype=np.int64), npts)
+        idx_in_row = np.arange(len(coords), dtype=np.int64) - np.repeat(
+            offsets[:-1], npts)
+        dest = starts[:-1][row_of_pt] + 13 + idx_in_row * 16
+        buf[dest[:, None] + np.arange(16)] = pts
+    return _split(buf, starts[:-1], sizes)
+
+
+# ---------------------------------------------------------------------------
 # decoder
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,135 @@
+"""Routable-graph export: directed edges, node degree stats, SCC.
+
+Re-expresses the reference's graph path (SURVEY.md §3.3):
+
+* :func:`directed_edges` — M27 (pyrosm/graph_export.pyx:239-299): two-way
+  edges are duplicated with swapped u/v; ``oneway`` in the oneway value set
+  (or ``junction=roundabout``) makes an edge directed; ``-1``/``T`` flip it;
+  a ``oneway:<suffix>`` column (e.g. ``oneway:bicycle``) overrides per edge.
+  Vectorised 1→1-or-2 row expansion inside map_batches.
+* :func:`street_count_per_node` — A6: undirected incident-segment count via
+  flat_map(u,v) → groupby count.
+* :func:`largest_scc_edges` — A9: strongly-connected-component restriction.
+  Sequential by nature; runs driver-side on the collected edge list exactly
+  like the reference (pyrosm/graph_connectivity.py:15-84), using networkx.
+* :func:`to_networkx` — exporter (MultiDiGraph, OSMnx-compatible renames
+  M28: id→osmid, lon/lat→x/y, key=0).
+
+Edge inputs come from the network layer with ``nodes=True`` semantics:
+segment-level rows (u, v, length, geometry) — produced by
+``OSM.get_network(..., nodes=True)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from pyrosm_ray import config
+
+
+def directed_edges(edges_ds, direction: str = "oneway",
+                   direction_suffix: str | None = None,
+                   force_bidirectional: bool = False):
+    """Expand undirected edge rows into directed rows (M27 truth table)."""
+    oneway_vals = set(config.ONEWAY_VALUES)
+    against_vals = set(config.ONEWAY_AGAINST_VALUES)
+    override_col = (f"{direction}:{direction_suffix}"
+                    if direction_suffix else None)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch
+        names = batch.column_names
+
+        def col(name):
+            if name in names:
+                return np.asarray(batch[name].to_numpy(zero_copy_only=False),
+                                  dtype=object)
+            return np.full(n, None, dtype=object)
+
+        if force_bidirectional:
+            idx = np.concatenate([np.arange(n), np.arange(n)])
+            flip = np.concatenate([np.zeros(n, bool), np.ones(n, bool)])
+        else:
+            eff = col(direction)
+            if override_col:
+                ov = col(override_col)
+                eff = np.where([v is not None for v in ov], ov, eff)
+            oneway = np.array([v in oneway_vals for v in eff])
+            if "junction" in names:
+                oneway |= col("junction") == "roundabout"
+            against = np.array([v in against_vals for v in eff]) & oneway
+            twoway = ~oneway
+            # along edges unchanged; against edges flipped; two-way doubled
+            idx = np.concatenate([np.arange(n)[oneway & ~against],
+                                  np.arange(n)[against],
+                                  np.arange(n)[twoway],
+                                  np.arange(n)[twoway]])
+            flip = np.concatenate([
+                np.zeros(int((oneway & ~against).sum()), bool),
+                np.ones(int(against.sum()), bool),
+                np.zeros(int(twoway.sum()), bool),
+                np.ones(int(twoway.sum()), bool)])
+        out = batch.take(pa.array(idx))
+        u = np.asarray(out["u"].to_numpy(zero_copy_only=False)).copy()
+        v = np.asarray(out["v"].to_numpy(zero_copy_only=False)).copy()
+        u2 = np.where(flip, v, u)
+        v2 = np.where(flip, u, v)
+        out = out.set_column(out.column_names.index("u"), "u",
+                             pa.array(u2, pa.int64()))
+        out = out.set_column(out.column_names.index("v"), "v",
+                             pa.array(v2, pa.int64()))
+        return out
+
+    return edges_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def street_count_per_node(edges_ds):
+    """Undirected incident-segment count per node (A6)."""
+    def explode(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch["u"].to_numpy(zero_copy_only=False))
+        v = np.asarray(batch["v"].to_numpy(zero_copy_only=False))
+        return pa.table({"node_id": pa.array(np.concatenate([u, v]),
+                                             pa.int64())})
+
+    out = edges_ds.map_batches(explode, batch_format="pyarrow") \
+        .groupby("node_id").count().to_pandas()
+    return out.rename(columns={"count()": "street_count"}) \
+        .sort_values("node_id").reset_index(drop=True)
+
+
+def largest_scc_edges(edges_df: pd.DataFrame) -> pd.DataFrame:
+    """Keep only edges inside the largest strongly connected component.
+
+    Driver-side (like the reference's Tarjan pass); input is the collected
+    directed edge frame."""
+    import networkx as nx
+    g = nx.DiGraph()
+    g.add_edges_from(zip(edges_df["u"], edges_df["v"]))
+    if g.number_of_nodes() == 0:
+        return edges_df
+    scc = max(nx.strongly_connected_components(g), key=len)
+    mask = edges_df["u"].isin(scc) & edges_df["v"].isin(scc)
+    return edges_df[mask].reset_index(drop=True)
+
+
+def to_networkx(nodes_df: pd.DataFrame, edges_df: pd.DataFrame,
+                retain_all: bool = False):
+    """MultiDiGraph with OSMnx-compatible attributes (M28)."""
+    import networkx as nx
+    if not retain_all:
+        edges_df = largest_scc_edges(edges_df)
+    g = nx.MultiDiGraph(crs="epsg:4326")
+    for _, r in nodes_df.iterrows():
+        g.add_node(int(r["id"]), x=float(r["lon"]), y=float(r["lat"]),
+                   osmid=int(r["id"]))
+    for _, r in edges_df.iterrows():
+        attrs = {k: r[k] for k in edges_df.columns
+                 if k not in ("u", "v") and pd.notna(r[k])}
+        attrs["osmid"] = int(r["id"]) if "id" in edges_df.columns else None
+        attrs["key"] = 0
+        g.add_edge(int(r["u"]), int(r["v"]), **attrs)
+    return g

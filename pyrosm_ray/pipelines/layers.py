@@ -1,0 +1,641 @@
+"""Layer pipelines: the pyrosm reader API re-expressed as Ray Data Datasets.
+
+Mirrors the reference's layer modules (buildings/landuse/natural/pois/
+boundary/networks/user_defined, each a thin filter+column preset over the
+shared element tables — /root/reference/pyrosm/{buildings,landuse,natural,
+pois,boundary,networks,user_defined}.py) and the assembly lifecycle
+(pyrosm/data_manager.pyx:193-211 + pyrosm/frames.pyx:163-262):
+
+1. relations filtered by tag predicate; their way-member ids collected and
+   broadcast (small side — reference relation_way_ids always-keep rule);
+2. ways filtered: candidate-key gate + value filter, relation members always
+   kept but excluded from standalone output (anti-join J4);
+3. node-ref coordinate join + way geometry typing
+   (:mod:`pyrosm_ray.stages.topology`);
+4. relation member-way join + multipolygon assembly
+   (:mod:`pyrosm_ray.geom.assembly`) via ``groupby(relation_id).map_groups``;
+5. node features as Point rows; the three element kinds union into one
+   Dataset with an ``osm_type`` column (M26).
+
+Geometry travels as WKB ``binary``; output column contract = promoted tag
+columns + ``id, osm_type, geometry, tags`` (+ metadata when requested), with
+never-occurring tag columns droppable via
+:func:`pyrosm_ray.stages.tags.drop_empty_columns`.
+
+bbox semantics (SURVEY.md §2 J2/J5/J6/J7): a way is kept when >=1 of its
+refs lies in the box (complete-ways semi-join); kept ways' out-of-box
+vertices still resolve (completion #236 is automatic — the coordinate index
+spans the full node table); the final intersects filter runs per batch
+against the box. ``complete_relations=True`` additionally pulls member ways
+wholly outside the box (J6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from pyrosm_ray import config
+from pyrosm_ray.filters.compiler import CompiledFilter, compile_custom_filter
+from pyrosm_ray.filters.semantics import TagBatchEvaluator
+from pyrosm_ray.geom import ops
+from pyrosm_ray.geom.assembly import relation_geometry
+from pyrosm_ray.geom import wkb as wkblib
+from pyrosm_ray.stages import topology
+from pyrosm_ray.stages.tags import promote_tags
+
+STRUCT_NODE_COLS = ["id", "lon", "lat", "tags", "version", "changeset",
+                    "timestamp", "visible"]
+
+
+def _ensure_filter_key(custom_filter, key):
+    """Reference ensure_filter_key: the layer key is always an OR term."""
+    if isinstance(custom_filter, CompiledFilter):
+        return custom_filter.or_require(key)
+    if key not in custom_filter:
+        out = dict(custom_filter)
+        out[key] = True
+        return out
+    return custom_filter
+
+
+def _filter_keys(data_filter, osm_keys):
+    if osm_keys is not None:
+        return [osm_keys] if isinstance(osm_keys, str) else list(osm_keys)
+    if isinstance(data_filter, CompiledFilter):
+        return data_filter.positive_keys
+    if data_filter:
+        return list(data_filter.keys())
+    return []
+
+
+class OSM:
+    """Reader over the element Parquet tables (the reference ``OSM`` class
+    reshaped for Ray: every getter returns a lazy ``ray.data.Dataset``)."""
+
+    def __init__(self, src_dir: str, bounding_box=None,
+                 strategy: str = "broadcast", keep_metadata: bool = False,
+                 num_partitions: int = 16):
+        self.src = str(src_dir).rstrip("/")
+        self.bbox = tuple(bounding_box) if bounding_box is not None else None
+        self.strategy = strategy
+        self.keep_metadata = keep_metadata
+        self.num_partitions = num_partitions
+        self._coord_ref = None
+        self._inbox_node_ids = None
+
+    # -- element tables ---------------------------------------------------
+    def nodes(self, columns=None) -> rd.Dataset:
+        return rd.read_parquet(f"{self.src}/osm_nodes.parquet", columns=columns)
+
+    def ways(self, columns=None) -> rd.Dataset:
+        return rd.read_parquet(f"{self.src}/osm_ways.parquet", columns=columns)
+
+    def relations(self, columns=None) -> rd.Dataset:
+        return rd.read_parquet(f"{self.src}/osm_relations.parquet",
+                               columns=columns)
+
+    # -- shared broadcast state ------------------------------------------
+    def coord_ref(self):
+        if self._coord_ref is None:
+            self._coord_ref = topology.build_coord_index(
+                self.nodes(columns=["id", "lon", "lat"]))
+        return self._coord_ref
+
+    def inbox_node_ids(self):
+        """Sorted in-box node id array (bbox semi-join side, broadcast)."""
+        if self.bbox is None:
+            return None
+        if self._inbox_node_ids is None:
+            x0, y0, x1, y1 = self.bbox
+            ids = []
+            for b in self.nodes(columns=["id", "lon", "lat"]).iter_batches(
+                    batch_size=1 << 20, batch_format="pyarrow"):
+                lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
+                lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
+                m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+                ids.append(np.asarray(
+                    b["id"].to_numpy(zero_copy_only=False))[m])
+            arr = np.sort(np.concatenate(ids)) if ids else np.empty(
+                0, dtype=np.int64)
+            self._inbox_node_ids = ray.put(arr)
+        return self._inbox_node_ids
+
+    # -- layer getters (reference API surface) ----------------------------
+    def get_network(self, network_type: str = "walking",
+                    extra_attributes=None, nodes: bool = False):
+        """Edges of the routable network (exclude-type preset filters,
+        pyrosm/pyrosm.py:409-466). ``nodes=True`` returns
+        ``(nodes_ds, segment_edges_ds)`` — one row per 2-point segment with
+        ``u``/``v`` node ids (graph-export contract, frames.pyx:77-100),
+        node set semi-joined to referenced endpoints (J8)."""
+        data_filter = config.network_filter(network_type)
+        tag_cols = list(config.TAG_COLUMNS["highway"])
+        if extra_attributes:
+            tag_cols += [c for c in extra_attributes if c not in tag_cols]
+        mode = "network_segments" if nodes else "network"
+        edges = self._layer(
+            osm_keys=["highway"], data_filter=data_filter,
+            filter_type="exclude", tag_columns=tag_cols, mode=mode,
+            keep_nodes=False, keep_ways=True, keep_relations=False)
+        if not nodes:
+            return edges
+        edges = edges.materialize()
+        ids = set()
+        for b in edges.select_columns(["u", "v"]).iter_batches(
+                batch_size=1 << 18, batch_format="pyarrow"):
+            ids.update(b["u"].to_pylist())
+            ids.update(b["v"].to_pylist())
+        id_arr = np.sort(np.fromiter(ids, dtype=np.int64, count=len(ids)))
+        id_ref = ray.put(id_arr)
+
+        def node_semi(batch: pa.Table) -> pa.Table:
+            arr = ray.get(id_ref)
+            nid = np.asarray(batch["id"].to_numpy(zero_copy_only=False))
+            pos = np.clip(np.searchsorted(arr, nid), 0, max(len(arr) - 1, 0))
+            m = arr[pos] == nid if len(arr) else np.zeros(len(nid), bool)
+            return batch.filter(pa.array(m))
+
+        node_ds = self.nodes().map_batches(node_semi, batch_format="pyarrow")
+        return node_ds, edges
+
+    def get_buildings(self, custom_filter=None) -> rd.Dataset:
+        f = compile_custom_filter(custom_filter) if custom_filter is not None \
+            else {"building": [True]}
+        f = _ensure_filter_key(f, "building")
+        return self._layer(
+            osm_keys=_filter_keys(f, None), data_filter=f, filter_type="keep",
+            tag_columns=list(config.TAG_COLUMNS["building"]), mode="area",
+            keep_nodes=False, keep_ways=True, keep_relations=True)
+
+    def get_landuse(self, custom_filter=None) -> rd.Dataset:
+        f = compile_custom_filter(custom_filter) if custom_filter is not None \
+            else {"landuse": [True]}
+        f = _ensure_filter_key(f, "landuse")
+        return self._layer(
+            osm_keys=_filter_keys(f, None), data_filter=f, filter_type="keep",
+            tag_columns=list(config.TAG_COLUMNS["landuse"]), mode="area",
+            keep_nodes=True, keep_ways=True, keep_relations=True)
+
+    def get_natural(self, custom_filter=None) -> rd.Dataset:
+        f = compile_custom_filter(custom_filter) if custom_filter is not None \
+            else {"natural": [True]}
+        f = _ensure_filter_key(f, "natural")
+        return self._layer(
+            osm_keys=_filter_keys(f, None), data_filter=f, filter_type="keep",
+            tag_columns=list(config.TAG_COLUMNS["natural"]), mode="area",
+            keep_nodes=True, keep_ways=True, keep_relations=True)
+
+    def get_pois(self, custom_filter=None) -> rd.Dataset:
+        """POIs default to {amenity,shop,tourism}: True
+        (pyrosm/pyrosm.py:972-977)."""
+        f = compile_custom_filter(custom_filter) if custom_filter is not None \
+            else {"amenity": True, "shop": True, "tourism": True}
+        keys = _filter_keys(f, None)
+        tag_cols = sorted({c for k in keys if k in config.TAG_COLUMNS
+                           for c in config.TAG_COLUMNS[k]}
+                          | set(config.BASIC_INFO_TAGS) | set(keys))
+        return self._layer(
+            osm_keys=keys, data_filter=f, filter_type="keep",
+            tag_columns=tag_cols, mode="area",
+            keep_nodes=True, keep_ways=True, keep_relations=True)
+
+    def get_boundaries(self, boundary_type: str = "administrative",
+                       name: str | None = None) -> rd.Dataset:
+        f = {"boundary": True} if boundary_type == "all" else \
+            {"boundary": [boundary_type]}
+        ds = self._layer(
+            osm_keys=["boundary"], data_filter=f, filter_type="keep",
+            tag_columns=list(config.TAG_COLUMNS["boundary"]), mode="area",
+            keep_nodes=False, keep_ways=True, keep_relations=True)
+        if name:
+            # substring match on the name column (pyrosm/boundary.py:70-81)
+            def name_filter(batch: pa.Table) -> pa.Table:
+                if "name" not in batch.column_names:
+                    return batch.slice(0, 0)
+                m = pc.match_substring(
+                    pc.fill_null(batch["name"], ""), name)
+                return batch.filter(m)
+            ds = ds.map_batches(name_filter, batch_format="pyarrow")
+        return ds
+
+    def get_data_by_custom_criteria(
+            self, custom_filter, osm_keys_to_keep=None,
+            filter_type: str = "keep", keep_nodes: bool = True,
+            keep_ways: bool = True, keep_relations: bool = True,
+            tags_as_columns=None) -> rd.Dataset:
+        """Generic query API (pyrosm/pyrosm.py:1019-1125);
+        custom_filter=None = keep every tagged element."""
+        f = compile_custom_filter(custom_filter)
+        keep_all = f is None
+        keys = _filter_keys(f, osm_keys_to_keep)
+        if tags_as_columns is None:
+            tags_as_columns = sorted(
+                {c for k in keys if k in config.TAG_COLUMNS
+                 for c in config.TAG_COLUMNS[k]} | set(keys)
+                | set(config.BASIC_INFO_TAGS))
+        return self._layer(
+            osm_keys=keys, data_filter=f, filter_type=filter_type,
+            tag_columns=list(tags_as_columns), mode="area",
+            keep_nodes=keep_nodes, keep_ways=keep_ways,
+            keep_relations=keep_relations, keep_all=keep_all)
+
+    # -- core layer assembly ----------------------------------------------
+    def _layer(self, osm_keys, data_filter, filter_type, tag_columns, mode,
+               keep_nodes, keep_ways, keep_relations, keep_all=False,
+               complete_relations: bool = False) -> rd.Dataset:
+        tag_columns = list(dict.fromkeys(tag_columns))
+        parts = []
+
+        member_ref = None
+        rel_kept = None
+        if keep_relations:
+            rel_kept, member_ids = self._kept_relations(
+                osm_keys, data_filter, filter_type, keep_all)
+            if rel_kept is None:
+                keep_relations = False
+            else:
+                member_ref = ray.put(member_ids)
+
+        if keep_ways or keep_relations:
+            ways = self.ways()
+            inbox_ref = self.inbox_node_ids()
+
+            def way_filter(batch: pa.Table, *, member_ref=member_ref,
+                           inbox_ref=inbox_ref, standalone=True) -> pa.Table:
+                ev = TagBatchEvaluator(batch["tags"])
+                ids = np.asarray(batch["id"].to_numpy(zero_copy_only=False),
+                                 dtype=np.int64)
+                member = np.zeros(len(batch), dtype=bool)
+                if member_ref is not None:
+                    mids = ray.get(member_ref)
+                    if len(mids):
+                        pos = np.searchsorted(mids, ids)
+                        pos = np.clip(pos, 0, len(mids) - 1)
+                        member = mids[pos] == ids
+                if standalone:
+                    mask = ev.keep_mask(osm_keys, data_filter, filter_type,
+                                        keep_all=keep_all) & ~member
+                else:
+                    mask = member
+                if inbox_ref is not None and (standalone or
+                                              not complete_relations):
+                    mask &= _way_touches_nodes(batch, ray.get(inbox_ref))
+                return batch.filter(pa.array(mask))
+
+            if keep_ways:
+                standalone = ways.map_batches(
+                    way_filter, batch_format="pyarrow")
+                standalone = standalone.map_batches(
+                    lambda b: promote_tags(b, tag_columns),
+                    batch_format="pyarrow")
+                assembled = self._assemble(standalone, mode)
+                parts.append(("way", assembled))
+
+            if keep_relations and rel_kept is not None:
+                member_ways = ways.map_batches(
+                    lambda b: way_filter(b, standalone=False),
+                    batch_format="pyarrow")
+                rel_rows = self._assemble_relations(rel_kept, member_ways,
+                                                    tag_columns)
+                if rel_rows is not None:
+                    parts.append(("relation", rel_rows))
+
+        if keep_nodes:
+            parts.append(("node", self._node_features(
+                osm_keys, data_filter, filter_type, keep_all, tag_columns)))
+
+        datasets = []
+        for osm_type, ds in parts:
+            def add_type(batch: pa.Table, t=osm_type) -> pa.Table:
+                return batch.append_column(
+                    "osm_type", pa.array([t] * len(batch), pa.string()))
+            datasets.append(ds.map_batches(add_type, batch_format="pyarrow"))
+        out = union_aligned(datasets)
+        if self.bbox is not None:
+            out = filter_intersects_bbox(out, self.bbox)
+        return out
+
+    # -- helpers ----------------------------------------------------------
+    def _kept_relations(self, osm_keys, data_filter, filter_type, keep_all):
+        """Filter relations; return (kept relation Dataset, sorted way-member
+        id array). The member-id set is the broadcast small side of the
+        always-keep rule (reference relation_way_ids)."""
+        rels = self.relations()
+
+        def rel_filter(batch: pa.Table) -> pa.Table:
+            ev = TagBatchEvaluator(batch["tags"])
+            mask = ev.keep_mask(osm_keys, data_filter, filter_type,
+                                keep_all=keep_all)
+            return batch.filter(pa.array(mask))
+
+        kept = rels.map_batches(rel_filter, batch_format="pyarrow")
+        # repartition drops the zero-column empty blocks filtered-out batches
+        # leave behind (they break downstream acero joins)
+        kept = kept.repartition(2).materialize()
+        if kept.count() == 0:
+            return None, np.empty(0, dtype=np.int64)
+        ids = []
+        for b in kept.iter_batches(batch_size=1 << 16,
+                                   batch_format="pyarrow"):
+            members = b["members"].combine_chunks() if isinstance(
+                b["members"], pa.ChunkedArray) else b["members"]
+            flat = members.flatten()
+            mtype = np.asarray(flat.field("member_type").to_numpy(
+                zero_copy_only=False), dtype=object)
+            mid = np.asarray(flat.field("member_id").to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            ids.append(mid[mtype == "way"])
+        member_ids = np.unique(np.concatenate(ids)) if ids else \
+            np.empty(0, dtype=np.int64)
+        return kept, member_ids
+
+    def _assemble(self, ways_ds, mode):
+        if self.strategy == "broadcast":
+            return ways_ds.map_batches(
+                topology.WayAssembler,
+                fn_constructor_kwargs={"coord_ref": self.coord_ref(),
+                                       "mode": mode},
+                batch_format="pyarrow", batch_size=32 * 1024,
+                concurrency=(1, 16))
+        return topology.assemble_ways(
+            ways_ds, self.nodes(columns=["id", "lon", "lat"]), mode=mode,
+            strategy="shuffle", num_partitions=self.num_partitions)
+
+    def _node_features(self, osm_keys, data_filter, filter_type, keep_all,
+                       tag_columns):
+        nodes = self.nodes()
+        bbox = self.bbox
+
+        def node_filter(batch: pa.Table) -> pa.Table:
+            ev = TagBatchEvaluator(batch["tags"])
+            mask = ev.keep_mask(osm_keys, data_filter, filter_type,
+                                keep_all=keep_all)
+            if bbox is not None:
+                lon = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
+                lat = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
+                mask &= ((lon >= bbox[0]) & (lon <= bbox[2])
+                         & (lat >= bbox[1]) & (lat <= bbox[3]))
+            batch = batch.filter(pa.array(mask))
+            out = promote_tags(batch, tag_columns)
+            xs = np.asarray(out["lon"].to_numpy(zero_copy_only=False))
+            ys = np.asarray(out["lat"].to_numpy(zero_copy_only=False))
+            return out.append_column(
+                "geometry", pa.array(wkblib.points_wkb(xs, ys), pa.binary()))
+
+        return nodes.map_batches(node_filter, batch_format="pyarrow")
+
+    def _assemble_relations(self, rel_kept, member_ways_ds, tag_columns):
+        """Member-way join + multipolygon assembly.
+
+        Member ways' coordinate chains are built per batch (broadcast gather),
+        then grouped per relation with ``groupby.map_groups`` (reference J3 +
+        M21-M23). The member->relation mapping is shipped broadcast (small
+        side)."""
+        # relation payload with typing flags
+        def rel_payload(batch: pa.Table) -> pa.Table:
+            tags_list = batch["tags"].to_pylist()
+            force = [ops.relation_is_linestring(dict(t) if t else {})
+                     for t in tags_list]
+            out = promote_tags(batch, tag_columns)
+            out = out.drop_columns(
+                [c for c in ("members",) if c in out.column_names])
+            return out.append_column("__force_line", pa.array(force, pa.bool_()))
+
+        payload = rel_kept.map_batches(rel_payload, batch_format="pyarrow")
+
+        # (relation_id, way_member_id) pairs — broadcast (small side)
+        pairs = {"rel": [], "way": []}
+        for b in rel_kept.select_columns(["id", "members"]).iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"):
+            members = b["members"].combine_chunks() if isinstance(
+                b["members"], pa.ChunkedArray) else b["members"]
+            off = np.asarray(members.offsets, dtype=np.int64)
+            rel_ids = np.asarray(b["id"].to_numpy(zero_copy_only=False),
+                                 dtype=np.int64)
+            rep = np.repeat(np.arange(len(b), dtype=np.int64),
+                            off[1:] - off[:-1])
+            flat = members.flatten()
+            mtype = np.asarray(flat.field("member_type").to_numpy(
+                zero_copy_only=False), dtype=object)
+            mid = np.asarray(flat.field("member_id").to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            w = mtype == "way"
+            pairs["rel"].append(rel_ids[rep[w]])
+            pairs["way"].append(mid[w])
+        if pairs["rel"]:
+            rel_of = np.concatenate(pairs["rel"])
+            way_of = np.concatenate(pairs["way"])
+        else:
+            rel_of = way_of = np.empty(0, dtype=np.int64)
+        order = np.argsort(way_of, kind="stable")
+        pair_ref = ray.put((way_of[order], rel_of[order]))
+        coord_ref = self.coord_ref()
+
+        # member way coord chains tagged with their relation id
+        def member_coords(batch: pa.Table) -> pa.Table:
+            flat, off = topology._refs_csr(batch["refs"])
+            lon, lat, valid = topology.gather_coords(
+                ray.get(coord_ref), flat)
+            cs = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.cumsum(valid, out=cs[1:])
+            voff = cs[off]
+            lon_v, lat_v = lon[valid], lat[valid]
+            ids = np.asarray(batch["id"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            woff = (voff - voff[0]).astype(np.int32)
+            xs = pa.ListArray.from_arrays(pa.array(woff),
+                                          pa.array(lon_v, pa.float64()))
+            ys = pa.ListArray.from_arrays(pa.array(woff),
+                                          pa.array(lat_v, pa.float64()))
+            # expand to one row per (relation, member way)
+            wsort, rsort = ray.get(pair_ref)
+            lo = np.searchsorted(wsort, ids, side="left")
+            hi = np.searchsorted(wsort, ids, side="right")
+            counts = hi - lo
+            rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+            rel_ids = rsort[topology.concat_ranges(lo, counts)]
+            return pa.table({
+                "relation_id": pa.array(rel_ids, pa.int64()),
+                "xs": xs.take(pa.array(rep)),
+                "ys": ys.take(pa.array(rep)),
+            })
+
+        chains = member_ways_ds.map_batches(member_coords,
+                                            batch_format="pyarrow")
+        # small side (one row per member way); pin it so the emptiness guard
+        # below doesn't recompute, and skip assembly when the bbox filtered
+        # every member way out (all-empty blocks would break the join)
+        chains = chains.materialize()
+        if chains.count() == 0:
+            return None
+
+        def assemble(group: pa.Table) -> pa.Table:
+            # list payloads are packed to binary: acero hash joins (under
+            # Dataset.join) reject nested payload columns
+            rel_id = group["relation_id"][0].as_py()
+            xs = group["xs"].to_pylist()
+            ys = group["ys"].to_pylist()
+            lines = [np.column_stack([x, y]) for x, y in zip(xs, ys)
+                     if x is not None and len(x) >= 2]
+            flat = (np.concatenate(lines) if lines
+                    else np.empty((0, 2))).astype("<f8")
+            lens = np.array([len(l) for l in lines], dtype="<i8")
+            return pa.table({
+                "id": pa.array([rel_id], pa.int64()),
+                "__lines": pa.array([flat.tobytes()], pa.binary()),
+                "__lens": pa.array([lens.tobytes()], pa.binary()),
+            })
+
+        grouped = chains.groupby("relation_id").map_groups(
+            assemble, batch_format="pyarrow")
+        # coalesce away the zero-column empty blocks hash-groupby emits for
+        # empty partitions — acero joins reject schema-less blocks
+        grouped = grouped.repartition(max(2, self.num_partitions // 8))
+        joined = payload.join(grouped, "inner",
+                              num_partitions=max(2, self.num_partitions // 4),
+                              on=("id",),
+                              aggregator_ray_remote_args={"num_cpus": 0.25})
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            force = np.asarray(batch["__force_line"].to_numpy(
+                zero_copy_only=False))
+            geoms = []
+            lines_col = batch["__lines"].to_pylist()
+            lens_col = batch["__lens"].to_pylist()
+            for i in range(len(batch)):
+                flat = np.frombuffer(lines_col[i], dtype="<f8").reshape(-1, 2)
+                lens = np.frombuffer(lens_col[i], dtype="<i8")
+                offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+                lines = [flat[offs[j]:offs[j + 1]] for j in range(len(lens))]
+                geoms.append(relation_geometry(lines, bool(force[i])))
+            cols = {c: batch[c] for c in batch.column_names
+                    if not c.startswith("__")}
+            cols["geometry"] = pa.array(geoms, pa.binary())
+            out = pa.table(cols)
+            return out.filter(pc.is_valid(out["geometry"]))
+
+        return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# union / bbox helpers
+# ---------------------------------------------------------------------------
+
+def _way_touches_nodes(batch: pa.Table, sorted_ids: np.ndarray) -> np.ndarray:
+    """Semi-join J2: way has >=1 ref in the sorted id set (complete ways)."""
+    flat, off = topology._refs_csr(batch["refs"])
+    if len(sorted_ids) == 0 or len(flat) == 0:
+        return np.zeros(len(batch), dtype=bool)
+    pos = np.clip(np.searchsorted(sorted_ids, flat), 0, len(sorted_ids) - 1)
+    hit = sorted_ids[pos] == flat
+    cs = np.zeros(len(flat) + 1, dtype=np.int64)
+    np.cumsum(hit, out=cs[1:])
+    return (cs[off[1:]] - cs[off[:-1]]) > 0
+
+
+def union_aligned(datasets: list[rd.Dataset]) -> rd.Dataset:
+    """Union by column name with null padding (the reference's pd.concat /
+    write-time schema union, pyrosm/engine/geoparquet.py:23-50)."""
+    datasets = [d for d in datasets if d is not None]
+    if not datasets:
+        raise ValueError("no datasets to union")
+    schemas = [d.schema() for d in datasets]
+    # drop fully-empty datasets (schema unresolvable) from the union
+    keep = [i for i, s in enumerate(schemas) if s is not None and s.names]
+    if not keep:
+        return datasets[0]
+    datasets = [datasets[i] for i in keep]
+    schemas = [schemas[i] for i in keep]
+    target: dict[str, pa.DataType] = {}
+    for s in schemas:
+        for name, typ in zip(s.names, s.types):
+            if name not in target or pa.types.is_null(target[name]):
+                target[name] = typ
+    names = list(target.keys())
+
+    def align(batch: pa.Table) -> pa.Table:
+        cols = {}
+        for name in names:
+            if name in batch.column_names:
+                col = batch[name]
+                if col.type != target[name] and pa.types.is_null(col.type):
+                    col = pa.nulls(len(batch), target[name])
+                cols[name] = col
+            else:
+                cols[name] = pa.nulls(len(batch), target[name])
+        return pa.table(cols)
+
+    aligned = [d.map_batches(align, batch_format="pyarrow") for d in datasets]
+    out = aligned[0]
+    for d in aligned[1:]:
+        out = out.union(d)
+    return out
+
+
+def filter_intersects_bbox(ds: rd.Dataset, bbox) -> rd.Dataset:
+    """Exact geometry-vs-rectangle intersects filter (final sjoin J7,
+    pyrosm/frames.pyx:231-241)."""
+    x0, y0, x1, y1 = bbox
+
+    def f(batch: pa.Table) -> pa.Table:
+        geoms = batch["geometry"].to_pylist()
+        keep = np.fromiter(
+            (g is not None and _wkb_intersects_rect(g, x0, y0, x1, y1)
+             for g in geoms), dtype=bool, count=len(geoms))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _wkb_intersects_rect(buf: bytes, x0, y0, x1, y1) -> bool:
+    gt, payload = wkblib.decode_wkb(buf)
+    if gt == wkblib.POINT:
+        return x0 <= payload[0] <= x1 and y0 <= payload[1] <= y1
+    if gt in (wkblib.LINESTRING, wkblib.MULTIPOINT):
+        parts = [payload]
+    elif gt in (wkblib.POLYGON, wkblib.MULTILINESTRING):
+        parts = payload
+    else:
+        parts = [r for rings in payload for r in rings]
+    for coords in parts:
+        if _coords_intersect_rect(coords, x0, y0, x1, y1,
+                                  as_segments=gt not in (wkblib.MULTIPOINT,)):
+            return True
+    # polygon containing the rect entirely (no vertex/edge in the box)
+    if gt in (wkblib.POLYGON, wkblib.MULTIPOLYGON):
+        rings = payload if gt == wkblib.POLYGON else \
+            [r for rr in payload for r in rr]
+        return bool(ops.points_in_rings_even_odd(
+            rings, np.array([x0]), np.array([y0]))[0])
+    return False
+
+
+def _coords_intersect_rect(coords: np.ndarray, x0, y0, x1, y1,
+                           as_segments=True) -> bool:
+    x, y = coords[:, 0], coords[:, 1]
+    if bool(np.any((x >= x0) & (x <= x1) & (y >= y0) & (y <= y1))):
+        return True
+    if not as_segments or len(coords) < 2:
+        return False
+    # any segment crossing any of the 4 rect edges
+    a, b = coords[:-1], coords[1:]
+    for (ex0, ey0, ex1, ey1) in ((x0, y0, x1, y0), (x1, y0, x1, y1),
+                                 (x1, y1, x0, y1), (x0, y1, x0, y0)):
+        if bool(np.any(_segments_cross(a, b, ex0, ey0, ex1, ey1))):
+            return True
+    return False
+
+
+def _segments_cross(a: np.ndarray, b: np.ndarray, cx0, cy0, cx1, cy1):
+    """Proper/improper intersection of segments (a->b) with segment c."""
+    def orient(px, py, qx, qy, rx, ry):
+        return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    o1 = orient(a[:, 0], a[:, 1], b[:, 0], b[:, 1], cx0, cy0)
+    o2 = orient(a[:, 0], a[:, 1], b[:, 0], b[:, 1], cx1, cy1)
+    o3 = orient(cx0, cy0, cx1, cy1, a[:, 0], a[:, 1])
+    o4 = orient(cx0, cy0, cx1, cy1, b[:, 0], b[:, 1])
+    return ((o1 * o2) <= 0) & ((o3 * o4) <= 0)

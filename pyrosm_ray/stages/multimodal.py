@@ -1,0 +1,147 @@
+"""Multimodal (image/audio/video) columns: opaque binary + typed metadata.
+
+The decode libraries (PIL/ffmpeg/torchaudio) are not in this container, so
+the *decode kernels* are stubbed behind an import-try with a deterministic
+fake (clearly marked); everything Ray-side is real and tested: schema
+contract, actor-pool stage shape (decoder state built once per actor),
+small-batch sizing for wide binary rows, and the output layout.
+
+Contract: a media table is ``(id:int64, payload:binary, media_type:string,
+meta: map<string,string>)``. Stages append typed feature columns and never
+mutate ``payload``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("id", pa.int64()),
+    ("payload", pa.binary()),
+    ("media_type", pa.string()),
+    ("meta", pa.map_(pa.string(), pa.string())),
+])
+
+
+def _fake_decode_image(payload: bytes) -> np.ndarray:
+    """DETERMINISTIC FAKE decoder (no image libs in this container): derives
+    a small pseudo-image from the payload digest. Replace the body with
+    ``PIL.Image.open`` when Pillow is available — the stage contract
+    (batch in, HxWx3 uint8 out) is unchanged."""
+    h = hashlib.blake2b(payload, digest_size=16).digest()
+    rng = np.random.default_rng(np.frombuffer(h, dtype=np.uint64))
+    hgt, wid = 8 + h[0] % 56, 8 + h[1] % 56
+    return rng.integers(0, 256, size=(hgt, wid, 3), dtype=np.uint8)
+
+
+class ImageFeatureExtractor:
+    """Actor-pool stage: decode + feature-extract image payloads.
+
+    ``__init__`` loads the decoder once per actor (the import-try is the
+    'model load'); ``__call__`` processes one small batch (wide binary rows
+    -> keep ``batch_size`` small, e.g. 64-256)."""
+
+    def __init__(self, resize_to: int | None = None):
+        self.resize_to = resize_to
+        try:  # pragma: no cover - not present in this container
+            from PIL import Image  # noqa: F401
+            self._backend = "pillow"
+        except ImportError:
+            self._backend = "fake"
+
+    def _decode(self, payload: bytes) -> np.ndarray:
+        if self._backend == "pillow":  # pragma: no cover
+            import io
+
+            from PIL import Image
+            return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        return _fake_decode_image(payload)
+
+    def _resize(self, img: np.ndarray, size: int) -> np.ndarray:
+        """Nearest-neighbour resize (numpy index sampling — real, not stub)."""
+        h, w = img.shape[:2]
+        yi = (np.arange(size) * h // size).clip(0, h - 1)
+        xi = (np.arange(size) * w // size).clip(0, w - 1)
+        return img[yi][:, xi]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        hgt = np.zeros(len(payloads), dtype=np.int64)
+        wid = np.zeros(len(payloads), dtype=np.int64)
+        mean_i = np.zeros(len(payloads), dtype=np.float64)
+        thumbs: list[bytes | None] = []
+        for i, p in enumerate(payloads):
+            if p is None:
+                thumbs.append(None)
+                continue
+            img = self._decode(p)
+            hgt[i], wid[i] = img.shape[0], img.shape[1]
+            mean_i[i] = float(img.mean())
+            if self.resize_to:
+                img = self._resize(img, self.resize_to)
+            thumbs.append(np.ascontiguousarray(img).tobytes())
+        batch = batch.append_column("height", pa.array(hgt, pa.int64()))
+        batch = batch.append_column("width", pa.array(wid, pa.int64()))
+        batch = batch.append_column("mean_intensity",
+                                    pa.array(np.round(mean_i, 4),
+                                             pa.float64()))
+        return batch.append_column("decoded", pa.array(thumbs, pa.binary()))
+
+
+def extract_image_features(media_ds, resize_to: int | None = 32,
+                           batch_size: int = 128, concurrency=(1, 8)):
+    """Actor-pool map_batches over a media table (small batches: rows are
+    payload-wide, so batch bytes — not row count — bound worker heap)."""
+    return media_ds.map_batches(
+        ImageFeatureExtractor,
+        fn_constructor_kwargs={"resize_to": resize_to},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+class FrameSampler:
+    """Video-like payloads: sample every k-th 'frame'.
+
+    STUB decode (``NotImplementedError`` for real codecs); the fake treats
+    the payload as a concatenation of fixed-size frame blocks so the
+    plumbing (1 row -> n frame rows, frame_index column) is real."""
+
+    def __init__(self, frame_bytes: int = 256, every: int = 4):
+        self.frame_bytes = frame_bytes
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frames, fidx = [], [], []
+        id_np = np.asarray(batch["id"].to_numpy(zero_copy_only=False))
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            if p is None:
+                continue
+            n_frames = max(1, len(p) // self.frame_bytes)
+            for f in range(0, n_frames, self.every):
+                ids.append(int(id_np[i]))
+                frames.append(p[f * self.frame_bytes:(f + 1)
+                                * self.frame_bytes])
+                fidx.append(f)
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "frame_index": pa.array(fidx, pa.int64()),
+            "frame": pa.array(frames, pa.binary()),
+        })
+
+
+def sample_frames(media_ds, every: int = 4, batch_size: int = 64,
+                  concurrency=(1, 4)):
+    return media_ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - explicit stub
+    """Audio decode requires an audio lib not present in this container."""
+    raise NotImplementedError(
+        "audio decoding needs soundfile/torchaudio; wire the real decoder "
+        "into an actor-pool stage exactly like ImageFeatureExtractor")

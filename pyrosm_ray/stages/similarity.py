@@ -1,0 +1,169 @@
+"""Similarity search over the embeddings table (`list<float>` column).
+
+* :func:`topk_cosine` — brute-force cosine top-k: each batch is one
+  float64 matmul against a broadcast, pre-normalised query matrix; per-batch
+  partial top-k then a driver-side merge of the (tiny) partials. The
+  baseline every ANN variant is tested against.
+* :func:`ivf_topk` — the scale path: a seeded numpy k-means (built once,
+  driver-side, on a sample) partitions vectors into coarse cells; queries
+  probe the ``nprobe`` nearest centroids and brute-force only those cells.
+  Same output contract as :func:`topk_cosine` (approximate recall).
+
+Scores are rounded to 4 decimals in the output so result hashing tolerates
+summation-order differences vs SQL oracles (DuckDB list_cosine_similarity).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def _emb_matrix(batch: pa.Table, emb_col: str) -> np.ndarray:
+    col = batch[emb_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    n = len(batch)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 1)
+
+
+def topk_cosine(ds, queries: np.ndarray, k: int = 10,
+                id_col: str = "vec_id", emb_col: str = "embedding"):
+    """Top-k nearest vectors per query row of ``queries`` (q, dim).
+
+    Returns a Dataset of (query_id, vec_id, score, rank). One pass over the
+    data; the all-reduce is a driver-side merge of per-batch partial top-ks
+    (k·q rows per batch — tiny next to the data)."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(q)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        sim = qm @ emb.T  # (q, n)
+        kk = min(k, sim.shape[1])
+        if kk == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        top = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        rows = np.repeat(np.arange(sim.shape[0]), kk)
+        cols = top.ravel()
+        return pa.table({
+            "query_id": pa.array(rows, pa.int64()),
+            "vec_id": pa.array(ids[cols], pa.int64()),
+            "score": pa.array(sim[rows, cols], pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = {"query_id": [], "vec_id": [], "score": [], "rank": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        out["query_id"].extend([int(qid)] * len(g))
+        out["vec_id"].extend(int(v) for v in g.vec_id)
+        out["score"].extend(np.round(g.score.values, 4))
+        out["rank"].extend(range(1, len(g) + 1))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+    })
+
+
+def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
+            seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    centers = sample[rng.choice(len(sample), size=min(n_clusters,
+                                                      len(sample)),
+                                replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centers)):
+            pts = sample[assign == c]
+            if len(pts):
+                centers[c] = pts.mean(axis=0)
+    return centers
+
+
+def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
+             nprobe: int = 4, id_col: str = "vec_id",
+             emb_col: str = "embedding", sample_size: int = 10_000,
+             seed: int = 42):
+    """IVF approximate top-k: coarse k-means cells + nprobe probing.
+
+    The centroid model is built once on a driver-side sample (stateful
+    setup), broadcast, and applied per batch: a batch only does the matmul
+    for its rows that fall in a probed cell."""
+    sample = []
+    seen = 0
+    for b in ds.select_columns([emb_col]).iter_batches(
+            batch_size=1 << 14, batch_format="pyarrow"):
+        m = _emb_matrix(b, emb_col)
+        take = min(len(m), max(0, sample_size - seen))
+        sample.append(m[:take])
+        seen += take
+        if seen >= sample_size:
+            break
+    sample = _normalize(np.concatenate(sample)) if sample else \
+        np.empty((0, 1))
+    centers = _normalize(_kmeans(sample, n_clusters, seed=seed))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(q @ centers.T), axis=1)[:, :nprobe]  # (q, nprobe)
+    model_ref = ray.put((centers, q, probes))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        centers_, qm, probes_ = ray.get(model_ref)
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        cell = (emb @ centers_.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(cell, probes_[qi])
+            if not mask.any():
+                continue
+            sim = emb[mask] @ qm[qi]
+            kk = min(k, len(sim))
+            top = np.argpartition(-sim, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[mask][top])
+            out_s.append(sim[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = {"query_id": [], "vec_id": [], "score": [], "rank": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        out["query_id"].extend([int(qid)] * len(g))
+        out["vec_id"].extend(int(v) for v in g.vec_id)
+        out["score"].extend(np.round(g.score.values, 4))
+        out["rank"].extend(range(1, len(g) + 1))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+    })

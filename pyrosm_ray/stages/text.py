@@ -1,0 +1,148 @@
+"""Text-analysis operators over the documents table (training-data pipeline).
+
+All stateless ``map_batches`` stages, vectorised with pyarrow.compute's RE2
+kernels (DuckDB also uses RE2, so the SQL oracles evaluate the *same* regex
+semantics):
+
+* :func:`token_stats` — whitespace token count + BPE-ish regex token count.
+* :func:`quality_score` — deterministic length/punctuation/stopword score.
+* :func:`language_id` — stopword-profile n-gram heuristic (top-1 language).
+* :func:`fingerprints` — md5 content fingerprint (SQL-oracle-able) + a
+  64-bit polynomial rolling hash (engine-side).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# BPE-ish pre-tokenisation: letter runs, digit runs, single punctuation
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is")
+STOPWORD_RE = r"\b(?:the|a|of|and|to|in|is)\b"
+PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+# tiny per-language stopword profiles for the n-gram/stopword language guess
+LANG_PROFILES = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "une", "que", "dans"),
+    "es": ("el", "la", "los", "y", "es", "una", "que", "en"),
+    "fi": ("ja", "on", "ei", "se", "että", "oli", "hän", "mutta"),
+}
+
+
+def _count_re(col, pattern: str) -> np.ndarray:
+    return np.asarray(pc.count_substring_regex(col, pattern)
+                      .to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
+def token_stats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    t = batch[text_col]
+    batch = batch.append_column(
+        "n_tokens", pa.array(_count_re(t, r"\S+"), pa.int64()))
+    return batch.append_column(
+        "n_bpe_tokens", pa.array(_count_re(t, TOKEN_RE), pa.int64()))
+
+
+def token_stats(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: token_stats_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def quality_score_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    t = batch[text_col]
+    n_chars = np.asarray(pc.utf8_length(t).to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+    n_tokens = _count_re(t, r"\S+").astype(np.float64)
+    punct = _count_re(t, PUNCT_RE).astype(np.float64)
+    stop = _count_re(t, STOPWORD_RE).astype(np.float64)
+    safe_tok = np.maximum(n_tokens, 1.0)
+    safe_chars = np.maximum(n_chars, 1.0)
+    score = (0.5 * np.minimum(n_tokens, 100.0) / 100.0
+             + 0.3 * (1.0 - punct / safe_chars)
+             + 0.2 * np.minimum(stop / safe_tok * 5.0, 1.0))
+    return batch.append_column(
+        "quality_score", pa.array(np.round(score, 6), pa.float64()))
+
+
+def quality_score(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: quality_score_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+def quality_score_sql(text_expr: str = "text") -> str:
+    """The exact :func:`quality_score_batch` arithmetic in DuckDB SQL."""
+    n_chars = f"GREATEST(CAST(length({text_expr}) AS DOUBLE), 1.0)"
+    n_tokens = (f"CAST(len(regexp_extract_all({text_expr}, '\\S+')) "
+                f"AS DOUBLE)")
+    punct = (f"CAST(len(regexp_extract_all({text_expr}, '{PUNCT_RE}')) "
+             f"AS DOUBLE)")
+    stop = (f"CAST(len(regexp_extract_all({text_expr}, "
+            f"'{STOPWORD_RE}')) AS DOUBLE)")
+    return (f"ROUND(0.5 * LEAST({n_tokens}, 100.0) / 100.0 "
+            f"+ 0.3 * (1.0 - {punct} / {n_chars}) "
+            f"+ 0.2 * LEAST({stop} / GREATEST({n_tokens}, 1.0) * 5.0, 1.0), 6)")
+
+
+def language_id_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Stopword-profile language guess; deterministic tie-break by language
+    name order. Per-language counts are vectorised RE2 scans."""
+    t = pc.utf8_lower(batch[text_col])
+    n = len(batch)
+    langs = sorted(LANG_PROFILES)
+    scores = np.zeros((len(langs), n), dtype=np.float64)
+    for i, lang in enumerate(langs):
+        pattern = r"\b(?:" + "|".join(LANG_PROFILES[lang]) + r")\b"
+        scores[i] = _count_re(t, pattern)
+    tokens = np.maximum(_count_re(t, r"\S+"), 1)
+    scores = scores / tokens
+    best = np.argmax(scores, axis=0)  # first max wins (language order)
+    guess = np.array(langs, dtype=object)[best]
+    guess[scores.max(axis=0) == 0.0] = "und"
+    conf = np.round(scores.max(axis=0), 6)
+    batch = batch.append_column("lang_guess", pa.array(guess, pa.string()))
+    return batch.append_column("lang_conf", pa.array(conf, pa.float64()))
+
+
+def language_id(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: language_id_batch(b, text_col),
+                          batch_format="pyarrow")
+
+
+ROLL_BASE = np.uint64(1_000_003)
+
+
+def rolling_hash(texts: list[str]) -> np.ndarray:
+    """64-bit polynomial hash over utf-8 bytes, mod 2^64 (uint64 wraparound
+    keeps the whole computation one vectorised multiply-sum per doc):
+    ``h = sum(byte[i] * BASE^(n-1-i))``."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    raw = [t.encode("utf-8") for t in texts]
+    max_len = max((len(b) for b in raw), default=0)
+    pows = np.ones(max_len, dtype=np.uint64)
+    if max_len > 1:
+        pows[1:] = ROLL_BASE
+        np.cumprod(pows, out=pows)  # BASE^k mod 2^64 via wraparound
+    with np.errstate(over="ignore"):
+        for i, b in enumerate(raw):
+            arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+            out[i] = (arr * pows[len(arr) - 1::-1]).sum() if len(arr) else 0
+    return out
+
+
+def fingerprints_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch[text_col].to_pylist()
+    md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() if t is not None
+            else None for t in texts]
+    roll = rolling_hash([t or "" for t in texts]).astype(np.int64)
+    batch = batch.append_column("md5", pa.array(md5s, pa.string()))
+    return batch.append_column("rolling_fp", pa.array(roll, pa.int64()))
+
+
+def fingerprints(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: fingerprints_batch(b, text_col),
+                          batch_format="pyarrow")

@@ -1,0 +1,459 @@
+"""Way topology assembly: node-ref join + geometry typing, Ray-Data-first.
+
+The reference resolves every way's node refs through an in-process hash map
+(NodeLocations, /root/reference/pyrosm/node_lookup.pyx:5-96) and builds
+geometries with vectorised shapely calls (pyrosm/geometry.pyx:404-620). Here
+the same semantics run as Dataset stages with two interchangeable join
+strategies (differentially tested against each other):
+
+* **broadcast** — the node coordinate arrays (sorted id -> lon/lat) are
+  ``ray.put`` once and every ``map_batches`` task gathers via searchsorted.
+  Zero shuffle; right whenever the node table fits in the object store
+  (reference ST1 analogue).
+* **shuffle** — explode ``(way_id, seq, node_id)``, native Ray Data hash
+  join against the node table, regroup per way bucket, join payload back by
+  way id. All-to-all, but every step streams; right at 100 TB where no node
+  table fits one heap.
+
+Geometry semantics preserved (SURVEY.md §2 M17-M20, M24, M25):
+
+* network mode: per-way MultiLineString of consecutive 2-point segments +
+  haversine ``length`` (segments round 3, sum round 0); ways with <2
+  resolvable nodes are dropped; missing nodes silently skipped (partial
+  geometry tolerance, pyrosm/geometry.pyx:295-342).
+* area mode: closed way + area rule -> single-ring Polygon (auto-closed when
+  nodes were dropped); linear/open ways -> LineString (exactly 2 points) or
+  MultiLineString of segments; <2 points (or failed ring) -> dropped.
+* ring orientation is normalised to the OGC right-hand rule at encode time
+  (exterior CCW — M24).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from pyrosm_ray.geom import ops, wkb
+
+DEFAULT_BROADCAST_MAX_NODES = 50_000_000  # ~1.2 GB of id+lon+lat arrays
+
+
+def concat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Concatenate [start, start+count) ranges (vectorised)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(off[:-1], counts) + np.repeat(starts, counts))
+
+
+# ---------------------------------------------------------------------------
+# broadcast coordinate index
+# ---------------------------------------------------------------------------
+
+def build_coord_index(nodes_ds) -> "ray.ObjectRef":
+    """Materialise (sorted ids, lon, lat) from the node Dataset and broadcast
+    via the object store (read by every assembler task, shipped once)."""
+    ids, lons, lats = [], [], []
+    for batch in nodes_ds.select_columns(["id", "lon", "lat"]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"):
+        ids.append(np.asarray(batch["id"].to_numpy(zero_copy_only=False)))
+        lons.append(np.asarray(batch["lon"].to_numpy(zero_copy_only=False)))
+        lats.append(np.asarray(batch["lat"].to_numpy(zero_copy_only=False)))
+    if ids:
+        ids = np.concatenate(ids)
+        lons = np.concatenate(lons)
+        lats = np.concatenate(lats)
+    else:
+        ids = np.empty(0, dtype=np.int64)
+        lons = lats = np.empty(0, dtype=np.float64)
+    order = np.argsort(ids, kind="stable")
+    return ray.put((ids[order], lons[order], lats[order]))
+
+
+def gather_coords(coord_index, flat_refs: np.ndarray):
+    """Vectorised id->coordinate gather with miss tolerance (reference
+    NodeLocations.gather, -1 sentinel for misses)."""
+    ids, lons, lats = coord_index
+    if len(ids) == 0:
+        n = len(flat_refs)
+        return np.zeros(n), np.zeros(n), np.zeros(n, dtype=bool)
+    pos = np.searchsorted(ids, flat_refs)
+    pos_c = np.clip(pos, 0, len(ids) - 1)
+    found = ids[pos_c] == flat_refs
+    lon = lons[pos_c]
+    lat = lats[pos_c]
+    valid = (found & (lon >= -180.0) & (lon <= 180.0)
+             & (lat >= -90.0) & (lat <= 90.0))
+    return lon, lat, valid
+
+
+# ---------------------------------------------------------------------------
+# shared geometry core (flat valid coords per way -> WKB columns)
+# ---------------------------------------------------------------------------
+
+def _closed_way_polygon_mask(area_vals: np.ndarray, linear: np.ndarray):
+    """Vectorised closed-way area rule (pyrosm/geometry.pyx:381-389)."""
+    out = ~linear
+    out = np.where(area_vals == "yes", True, out)
+    out = np.where(area_vals == "no", False, out)
+    return out
+
+
+def way_geometry_columns(valid_coords: np.ndarray, voff: np.ndarray,
+                         n_refs: np.ndarray, closed: np.ndarray,
+                         area_vals: np.ndarray, linear_tag: np.ndarray,
+                         mode: str):
+    """Build per-way WKB geometry (+ length for network mode).
+
+    ``valid_coords``/``voff``: CSR of the resolvable coordinate subsequence
+    per way; ``n_refs`` the original ref count; ``closed`` whether the
+    original ref list closed on itself.
+
+    Returns (geometry object-array with None for dropped ways, length array
+    or None)."""
+    n = len(voff) - 1
+    cnt = voff[1:] - voff[:-1]
+    geoms = np.full(n, None, dtype=object)
+
+    if mode == "network":
+        keep = cnt >= 2
+        if keep.any():
+            sub_off = _sub_offsets(voff, keep)
+            bufs = wkb.segment_multilinestrings_wkb_batch(
+                _sub_coords(valid_coords, voff, keep), sub_off)
+            geoms[np.flatnonzero(keep)] = np.array(bufs, dtype=object)
+        lengths = ops.polyline_lengths_m(valid_coords, voff)
+        lengths = np.where(cnt >= 2, lengths, 0.0)
+        return geoms, lengths
+
+    # ---- area mode ----
+    is_poly = closed & _closed_way_polygon_mask(area_vals, linear_tag)
+    full = cnt == n_refs
+    vec_poly = is_poly & full & (cnt >= 4)
+    fb_poly = is_poly & ~vec_poly & (cnt > 2)
+    line2 = ~is_poly & (cnt == 2)
+    line_multi = ~is_poly & (cnt > 2)
+
+    if vec_poly.any():
+        idx = np.flatnonzero(vec_poly)
+        coords, off = _oriented_rings(valid_coords, voff, idx, close=False)
+        bufs = wkb.ring_polygons_wkb_batch(coords, off)
+        geoms[idx] = np.array(bufs, dtype=object)
+    if fb_poly.any():
+        idx = np.flatnonzero(fb_poly)
+        coords, off = _oriented_rings(valid_coords, voff, idx, close=True)
+        bufs = wkb.ring_polygons_wkb_batch(coords, off)
+        geoms[idx] = np.array(bufs, dtype=object)
+    if line2.any():
+        idx = np.flatnonzero(line2)
+        keep = np.zeros(n, dtype=bool)
+        keep[idx] = True
+        bufs = wkb.linestrings_wkb_batch(
+            _sub_coords(valid_coords, voff, keep), _sub_offsets(voff, keep))
+        geoms[idx] = np.array(bufs, dtype=object)
+    if line_multi.any():
+        keep = line_multi
+        bufs = wkb.segment_multilinestrings_wkb_batch(
+            _sub_coords(valid_coords, voff, keep), _sub_offsets(voff, keep))
+        geoms[np.flatnonzero(keep)] = np.array(bufs, dtype=object)
+    return geoms, None
+
+
+def _sub_offsets(voff: np.ndarray, keep: np.ndarray) -> np.ndarray:
+    cnt = (voff[1:] - voff[:-1])[keep]
+    out = np.zeros(len(cnt) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=out[1:])
+    return out
+
+
+def _sub_coords(coords: np.ndarray, voff: np.ndarray, keep: np.ndarray):
+    idx = np.flatnonzero(keep)
+    if len(idx) == 0:
+        return np.empty((0, 2))
+    parts = [coords[voff[i]:voff[i + 1]] for i in idx]
+    return np.concatenate(parts) if parts else np.empty((0, 2))
+
+
+def _oriented_rings(coords: np.ndarray, voff: np.ndarray, idx: np.ndarray,
+                    close: bool):
+    """Extract rings for the chosen ways, auto-close and orient CCW (M24)."""
+    rings = []
+    for i in idx:
+        ring = coords[voff[i]:voff[i + 1]]
+        if close and not np.array_equal(ring[0], ring[-1]):
+            ring = np.vstack([ring, ring[:1]])
+        rings.append(ops.orient_ring(ring, ccw=True))
+    off = np.zeros(len(rings) + 1, dtype=np.int64)
+    np.cumsum([len(r) for r in rings], out=off[1:])
+    return (np.concatenate(rings) if rings else np.empty((0, 2))), off
+
+
+# ---------------------------------------------------------------------------
+# broadcast-path assembler (callable class -> actor pool in map_batches)
+# ---------------------------------------------------------------------------
+
+def _refs_csr(refs_col):
+    if isinstance(refs_col, pa.ChunkedArray):
+        refs_col = refs_col.combine_chunks()
+    off = np.asarray(refs_col.offsets, dtype=np.int64)
+    if refs_col.null_count:
+        off = np.asarray(pc.fill_null_backward(refs_col.offsets), dtype=np.int64)
+    flat = np.asarray(refs_col.values.to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    return flat, off
+
+
+def _string_col(batch: pa.Table, name: str, n: int) -> np.ndarray:
+    if name in batch.column_names:
+        return np.asarray(batch[name].to_numpy(zero_copy_only=False),
+                          dtype=object)
+    return np.full(n, None, dtype=object)
+
+
+class WayAssembler:
+    """map_batches callable: ways batch (with promoted area/highway/barrier/
+    route columns and ``refs``) -> rows with WKB ``geometry`` (+``length``).
+
+    Stateful stage: the coordinate index is fetched from the object store once
+    per actor in ``__init__`` (reference ST1), never per batch.
+    """
+
+    def __init__(self, coord_ref, mode: str = "area",
+                 drop_refs: bool = True):
+        self.coords = ray.get(coord_ref) if coord_ref is not None else None
+        self.mode = mode
+        self.drop_refs = drop_refs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch
+        flat, off = _refs_csr(batch["refs"])
+        lon, lat, valid = gather_coords(self.coords, flat)
+        coords = np.column_stack([lon, lat])
+        vcoords = coords[valid]
+        cs = np.zeros(len(flat) + 1, dtype=np.int64)
+        np.cumsum(valid, out=cs[1:])
+        voff = cs[off]
+
+        n_refs = off[1:] - off[:-1]
+        closed = np.zeros(n, dtype=bool)
+        nz = n_refs > 0
+        closed[nz] = flat[off[:-1][nz]] == flat[off[1:][nz] - 1]
+
+        if self.mode == "network_segments":
+            # one row per segment with u/v node ids (graph-export path,
+            # reference nodes=True: pyrosm/frames.pyx:77-100)
+            flat_ids_v = flat[valid]
+            cnt = voff[1:] - voff[:-1]
+            seg_counts = np.maximum(cnt - 1, 0)
+            total = int(seg_counts.sum())
+            row_of_seg = np.repeat(np.arange(n, dtype=np.int64), seg_counts)
+            first = np.repeat(voff[:-1], seg_counts) + concat_ranges(
+                np.zeros(n, dtype=np.int64), seg_counts)
+            u = flat_ids_v[first]
+            v = flat_ids_v[first + 1]
+            seg_xy = np.empty((2 * total, 2), dtype=np.float64)
+            seg_xy[0::2] = vcoords[first]
+            seg_xy[1::2] = vcoords[first + 1]
+            seg_off = np.arange(total + 1, dtype=np.int64) * 2
+            bufs = wkb.linestrings_wkb_batch(seg_xy, seg_off)
+            lengths = np.round(ops.haversine_m(
+                seg_xy[0::2, 1], seg_xy[0::2, 0],
+                seg_xy[1::2, 1], seg_xy[1::2, 0]), 3)
+            out = batch.take(pa.array(row_of_seg))
+            cols = dict(zip(out.column_names, out.columns))
+            if self.drop_refs:
+                cols.pop("refs", None)
+            cols["u"] = pa.array(u, pa.int64())
+            cols["v"] = pa.array(v, pa.int64())
+            cols["geometry"] = pa.array(bufs, pa.binary())
+            cols["length"] = pa.array(lengths, pa.float64())
+            return pa.table(cols)
+
+        area_vals = _string_col(batch, "area", n)
+        linear = np.zeros(n, dtype=bool)
+        for key in ops.LINEAR_CLOSED_WAY_KEYS:
+            linear |= np.array([v is not None
+                                for v in _string_col(batch, key, n)])
+
+        geoms, lengths = way_geometry_columns(
+            vcoords, voff, n_refs, closed, area_vals, linear, self.mode)
+
+        cols = dict(zip(batch.column_names, batch.columns))
+        if self.drop_refs:
+            cols.pop("refs", None)
+        cols["geometry"] = pa.array(geoms, pa.binary())
+        if lengths is not None:
+            cols["length"] = pa.array(lengths, pa.float64())
+        out = pa.table(cols)
+        return out.filter(pc.is_valid(out["geometry"]))
+
+
+# ---------------------------------------------------------------------------
+# shuffle-path join (scale path)
+# ---------------------------------------------------------------------------
+
+def explode_refs(ways_ds):
+    """ways -> (way_id, seq, node_id) rows (1 per ref)."""
+    def ex(batch: pa.Table) -> pa.Table:
+        flat, off = _refs_csr(batch["refs"])
+        n = len(batch)
+        way_ids = np.asarray(batch["id"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+        rep = np.repeat(np.arange(n, dtype=np.int64), off[1:] - off[:-1])
+        seq = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1],
+                                                               off[1:] - off[:-1])
+        return pa.table({
+            "way_id": pa.array(way_ids[rep]),
+            "seq": pa.array(seq.astype(np.int32)),
+            "node_id": pa.array(flat),
+        })
+    return ways_ds.select_columns(["id", "refs"]).map_batches(
+        ex, batch_format="pyarrow")
+
+
+def _collect_way_coords(group: pa.Table) -> pa.Table:
+    """One way-bucket group of joined (way_id, seq, lon, lat) -> per-way
+    seq-ordered coordinates, packed to binary (acero hash joins, which back
+    ``Dataset.join``, reject nested list payload columns)."""
+    wid = np.asarray(group["way_id"].to_numpy(zero_copy_only=False))
+    seq = np.asarray(group["seq"].to_numpy(zero_copy_only=False))
+    lon = np.asarray(group["lon"].to_numpy(zero_copy_only=False))
+    lat = np.asarray(group["lat"].to_numpy(zero_copy_only=False))
+    order = np.lexsort((seq, wid))
+    wid, lon, lat = wid[order], lon[order], lat[order]
+    uniq, starts = np.unique(wid, return_index=True)
+    off = np.append(starts, len(wid)).astype(np.int64)
+    coords = np.column_stack([lon, lat]).astype("<f8")
+    raw = coords.tobytes()
+    bufs = [raw[16 * s:16 * e] for s, e in zip(off[:-1], off[1:])]
+    return pa.table({"way_id": pa.array(uniq, pa.int64()),
+                     "__coords": pa.array(bufs, pa.binary())})
+
+
+class JoinedWayAssembler:
+    """map_batches callable for the shuffle path: ways payload rows carrying
+    joined ``__coords`` binary blobs -> WKB geometry rows."""
+
+    def __init__(self, mode: str = "area", drop_refs: bool = True):
+        self.mode = mode
+        self.drop_refs = drop_refs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch
+        ref_blobs = batch["__refs"].to_pylist()
+        flat = np.frombuffer(b"".join(ref_blobs), dtype="<i8")
+        rlens = np.array([len(b) // 8 for b in ref_blobs], dtype=np.int64)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(rlens, out=off[1:])
+        n_refs = off[1:] - off[:-1]
+        closed = np.zeros(n, dtype=bool)
+        nz = n_refs > 0
+        closed[nz] = flat[off[:-1][nz]] == flat[off[1:][nz] - 1]
+
+        blobs = batch["__coords"].to_pylist() if "__coords" in \
+            batch.column_names else [None] * n
+        lens = np.array([0 if b is None else len(b) // 16 for b in blobs],
+                        dtype=np.int64)
+        voff_rel = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=voff_rel[1:])
+        if voff_rel[-1]:
+            vcoords = np.frombuffer(
+                b"".join(b for b in blobs if b is not None),
+                dtype="<f8").reshape(-1, 2)
+        else:
+            vcoords = np.empty((0, 2))
+        ok = (vcoords[:, 0] >= -180) & (vcoords[:, 0] <= 180) & \
+             (vcoords[:, 1] >= -90) & (vcoords[:, 1] <= 90)
+        if not ok.all():
+            cs = np.zeros(len(ok) + 1, dtype=np.int64)
+            np.cumsum(ok, out=cs[1:])
+            voff_rel = cs[voff_rel]
+            vcoords = vcoords[ok]
+
+        area_vals = _string_col(batch, "area", n)
+        linear = np.zeros(n, dtype=bool)
+        for key in ops.LINEAR_CLOSED_WAY_KEYS:
+            linear |= np.array([v is not None
+                                for v in _string_col(batch, key, n)])
+
+        geoms, lengths = way_geometry_columns(
+            vcoords, voff_rel, n_refs, closed, area_vals, linear, self.mode)
+
+        cols = dict(zip(batch.column_names, batch.columns))
+        for c in ("__coords", "__refs", "way_id"):
+            cols.pop(c, None)
+        cols["geometry"] = pa.array(geoms, pa.binary())
+        if lengths is not None:
+            cols["length"] = pa.array(lengths, pa.float64())
+        out = pa.table(cols)
+        return out.filter(pc.is_valid(out["geometry"]))
+
+
+def pack_refs(batch: pa.Table) -> pa.Table:
+    """refs list<int64> -> __refs binary (joinable payload form)."""
+    flat, off = _refs_csr(batch["refs"])
+    raw = flat.astype("<i8").tobytes()
+    bufs = [raw[8 * s:8 * e] for s, e in zip(off[:-1], off[1:])]
+    cols = {c: batch[c] for c in batch.column_names if c != "refs"}
+    cols["__refs"] = pa.array(bufs, pa.binary())
+    return pa.table(cols)
+
+
+def _joined_way_assemble(batch: pa.Table, mode: str) -> pa.Table:
+    return JoinedWayAssembler(mode=mode)(batch)
+
+
+def assemble_ways(ways_ds, nodes_ds, mode: str = "area",
+                  strategy: str = "broadcast",
+                  num_partitions: int = 32,
+                  num_buckets: int = 64,
+                  batch_size: int = 32 * 1024):
+    """Full node-ref join + geometry assembly with the chosen strategy.
+
+    The shuffle path requires the ways payload to be join-compatible: no
+    nested columns besides ``refs`` (promote the ``tags`` map to columns
+    first — :func:`pyrosm_ray.stages.tags.promote_tags`).
+    """
+    if strategy == "broadcast":
+        coord_ref = build_coord_index(nodes_ds)
+        return ways_ds.map_batches(
+            WayAssembler, fn_constructor_kwargs={
+                "coord_ref": coord_ref, "mode": mode},
+            batch_format="pyarrow", batch_size=batch_size,
+            concurrency=(1, 16))
+    if strategy != "shuffle":
+        raise ValueError(f"unknown strategy {strategy!r}")
+    refs = explode_refs(ways_ds)
+    nodes_proj = nodes_ds.select_columns(["id", "lon", "lat"])
+    joined = refs.join(nodes_proj, "inner", num_partitions=num_partitions,
+                       on=("node_id",), right_on=("id",),
+                       aggregator_ray_remote_args={"num_cpus": 0.25})
+    joined = joined.add_column(
+        "way_bucket",
+        lambda df: (df["way_id"] % num_buckets).astype("int64"),
+        batch_format="pandas")
+    per_way = joined.groupby("way_bucket").map_groups(
+        _collect_way_coords, batch_format="pyarrow")
+    # coalesce away zero-column empty blocks (hash-groupby empty partitions);
+    # acero joins reject schema-less blocks
+    per_way = per_way.repartition(num_partitions)
+    payload = ways_ds.map_batches(pack_refs, batch_format="pyarrow")
+    withc = payload.join(per_way, "left_outer",
+                         num_partitions=num_partitions,
+                         on=("id",), right_on=("way_id",),
+                         aggregator_ray_remote_args={"num_cpus": 0.25})
+    # the joined assembler holds no per-actor state -> plain tasks (no actor
+    # pool competing with the join aggregators for CPU slots)
+    import functools
+    return withc.map_batches(
+        functools.partial(_joined_way_assemble, mode=mode),
+        batch_format="pyarrow", batch_size=batch_size)

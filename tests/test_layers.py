@@ -1,0 +1,313 @@
+"""Layer-pipeline golden-shape + semantic tests over the sf0.001 fixture.
+
+Mirrors the reference test pyramid (SURVEY.md §5): golden counts + required
+columns + geometry types + semantic negatives, the bbox complete-ways cases,
+and relation assembly shapes (multipolygon-with-hole, island-in-hole,
+split-ring stitching, open-ring drop, route linestrings)."""
+
+import collections
+
+import numpy as np
+import pytest
+
+from pyrosm_ray.fixtures import TEST_BBOX, ensure_fixtures
+from pyrosm_ray.geom import ops, wkb
+from pyrosm_ray.pipelines.layers import OSM
+
+
+@pytest.fixture(scope="module")
+def src():
+    return str(ensure_fixtures("sf0.001"))
+
+
+@pytest.fixture(scope="module")
+def osm(src):
+    return OSM(src)
+
+
+@pytest.fixture(scope="module")
+def buildings_df(osm):
+    return osm.get_buildings().to_pandas()
+
+
+@pytest.fixture(scope="module")
+def bbox_buildings_df(src):
+    return OSM(src, bounding_box=TEST_BBOX).get_buildings().to_pandas()
+
+
+def geom_types(df):
+    return collections.Counter(wkb.wkb_geom_type(g) for g in df.geometry)
+
+
+# ---------------------------------------------------------------------------
+# networks
+# ---------------------------------------------------------------------------
+
+def test_walking_network(osm):
+    df = osm.get_network("walking").to_pandas()
+    assert df.shape[0] == 28
+    assert {"id", "highway", "name", "geometry", "length", "oneway",
+            "osm_type", "tags"} <= set(df.columns)
+    # all edges are MultiLineStrings of segments with positive length
+    assert set(geom_types(df)) == {wkb.MULTILINESTRING}
+    assert (df.length > 0).all()
+    # semantic negatives: nothing walking-hostile
+    assert not df.highway.isin(["motorway", "motorway_link", "cycleway"]).any()
+    # area=yes ways never enter a network
+    assert not (df.area == "yes").any()
+    assert (df.osm_type == "way").all()
+
+
+def test_driving_network(osm):
+    df = osm.get_network("driving").to_pandas()
+    assert "motorway" in set(df.highway)
+    for bad in ("footway", "cycleway", "steps", "track", "path",
+                "pedestrian", "construction"):
+        assert bad not in set(df.highway)
+    # service=private excluded under driving
+    assert not (df.service == "private").any()
+
+
+def test_cycling_network(osm):
+    df = osm.get_network("cycling").to_pandas()
+    assert "cycleway" in set(df.highway)
+    assert "footway" not in set(df.highway)
+    # bicycle=no ways excluded
+    assert not (df.bicycle == "no").any()
+
+
+def test_network_all_and_lengths(osm):
+    df = osm.get_network("all").to_pandas()
+    assert df.shape[0] >= 30  # everything except area=yes streets
+    # length equals the haversine recomputation from the geometry
+    row = df.iloc[0]
+    gt, lines = wkb.decode_wkb(row.geometry)
+    coords = np.vstack([lines[0]] + [l[1:] for l in lines[1:]])
+    expect = ops.polyline_lengths_m(coords, np.array([0, len(coords)]))[0]
+    assert row.length == expect
+
+
+# ---------------------------------------------------------------------------
+# buildings / areas
+# ---------------------------------------------------------------------------
+
+def test_buildings_golden(buildings_df):
+    df = buildings_df
+    assert df.shape[0] == 625
+    counts = dict(df.osm_type.value_counts())
+    assert counts == {"way": 622, "relation": 3}
+    gt = geom_types(df)
+    assert gt[wkb.POLYGON] == 624 and gt[wkb.MULTIPOLYGON] == 1
+    # relation member rings never appear as standalone ways
+    rel_names = {"MPHole", "StraddleRel", "NodeMember"}
+    assert rel_names <= set(df[df.osm_type == "relation"].name)
+    # exterior rings oriented CCW (right-hand rule)
+    for g in df.geometry.head(20):
+        rings = wkb.decode_wkb(g)[1]
+        if isinstance(rings, list) and isinstance(rings[0], np.ndarray):
+            assert ops.ring_is_ccw(rings[0])
+
+
+def test_buildings_value_filter(osm):
+    df = osm.get_buildings({"building": ["retail"]}).to_pandas()
+    ways = df[df.osm_type == "way"]
+    # ensure_filter_key adds building:True? No — a dict WITH building stays;
+    # only exact retail ways remain standalone
+    assert set(ways.building) == {"retail"}
+
+
+def test_relation_shapes(buildings_df):
+    df = buildings_df
+    by_name = {r["name"]: r for _, r in
+               df[df.osm_type == "relation"].iterrows()}
+    gt, rings = wkb.decode_wkb(by_name["MPHole"].geometry)
+    assert gt == wkb.POLYGON and len(rings) == 2  # shell + hole
+    assert ops.ring_is_ccw(rings[0]) and not ops.ring_is_ccw(rings[1])
+    gt, polys = wkb.decode_wkb(by_name["StraddleRel"].geometry)
+    assert gt == wkb.MULTIPOLYGON and [len(p) for p in polys] == [1, 1]
+
+
+def test_island_in_hole_and_open_drop(osm):
+    df = osm.get_landuse().to_pandas()
+    rels = df[df.osm_type == "relation"]
+    shapes = sorted(
+        (wkb.wkb_geom_type(g),
+         [len(p) for p in wkb.decode_wkb(g)[1]]
+         if wkb.wkb_geom_type(g) == wkb.MULTIPOLYGON
+         else len(wkb.decode_wkb(g)[1]))
+        for g in rels.geometry)
+    # Island -> MultiPolygon [[shell,hole],[island]]; OpenDrop -> Polygon 1
+    assert (wkb.MULTIPOLYGON, [2, 1]) in shapes
+    assert (wkb.POLYGON, 1) in shapes
+
+
+def test_split_ring_stitching(osm):
+    df = osm.get_natural().to_pandas()
+    rels = df[df.osm_type == "relation"]
+    assert len(rels) == 1
+    gt, rings = wkb.decode_wkb(rels.iloc[0].geometry)
+    assert gt == wkb.POLYGON and len(rings) == 1
+    assert ops.is_closed_ring(rings[0]) and len(rings[0]) >= 9
+
+
+def test_route_relations_linestring(osm):
+    df = osm.get_data_by_custom_criteria(
+        {"route": True, "waterway": True}, keep_nodes=False).to_pandas()
+    rels = df[df.osm_type == "relation"]
+    assert len(rels) == 2
+    assert all(wkb.wkb_geom_type(g) in
+               (wkb.LINESTRING, wkb.MULTILINESTRING) for g in rels.geometry)
+    # BikeRoute stitches two track ways into one LineString
+    bike = rels[rels.name == "BikeRoute"].iloc[0]
+    gt, coords = wkb.decode_wkb(bike.geometry)
+    assert gt == wkb.LINESTRING and len(coords) == 3
+
+
+def test_admin_boundary(osm):
+    df = osm.get_boundaries(name="Testville").to_pandas()
+    assert df.shape[0] == 1
+    row = df.iloc[0]
+    assert row.osm_type == "relation"
+    # type=boundary overrides the linestring rule -> polygon
+    assert wkb.wkb_geom_type(row.geometry) == wkb.POLYGON
+    all_admin = OSM(str(osm.src)).get_boundaries().to_pandas()
+    assert df.shape[0] < all_admin.shape[0]
+
+
+def test_pois_nodes(osm):
+    df = osm.get_pois().to_pandas()
+    assert (df.osm_type == "node").all()
+    assert df.shape[0] == 201  # 200 random POIs + townhall node
+    assert set(geom_types(df)) == {wkb.POINT}
+    assert {"amenity", "shop", "tourism", "name"} <= set(df.columns)
+
+
+def test_closed_way_typing_rules(osm):
+    df = osm.get_data_by_custom_criteria(
+        {"barrier": True, "leisure": True, "landuse": ["grass"]},
+        keep_nodes=False, keep_relations=False,
+        tags_as_columns=["barrier", "leisure", "landuse", "area", "name"],
+    ).to_pandas()
+    by_name = {r["name"]: r for _, r in df.iterrows()}
+    # closed barrier ring stays linear
+    assert wkb.wkb_geom_type(by_name["FenceRing"].geometry) == \
+        wkb.MULTILINESTRING
+    # area=no closed landuse stays linear
+    assert wkb.wkb_geom_type(by_name["NoAreaGrass"].geometry) == \
+        wkb.MULTILINESTRING
+    # plain closed leisure ring is a polygon
+    assert wkb.wkb_geom_type(by_name["ParkRing"].geometry) == wkb.POLYGON
+
+
+def test_degenerate_ways(osm):
+    df = osm.get_data_by_custom_criteria(
+        {"highway": True, "building": True}, keep_nodes=False,
+        keep_relations=False,
+        tags_as_columns=["highway", "building", "name", "id"],
+    ).to_pandas()
+    names = set(df.name)
+    assert "OneRef" not in names          # <2 coords -> dropped
+    assert "AllMissing" not in names      # every ref missing -> dropped
+    assert "PartMissing" in names         # partial tolerance: 3 of 4 resolve
+    part = df[df.name == "PartMissing"].iloc[0]
+    gt, lines = wkb.decode_wkb(part.geometry)
+    assert gt == wkb.MULTILINESTRING and len(lines) == 2
+    # a tag literally keyed "id" is promoted as id_tag
+    assert "id_tag" in df.columns
+    assert df[df.name == "IdTag"].iloc[0].id_tag == "labelled-id"
+    # TriRing: closed with 3 distinct coords -> fallback ring (auto-closed)
+    assert "TriRing" in names
+
+
+# ---------------------------------------------------------------------------
+# bbox semantics
+# ---------------------------------------------------------------------------
+
+def test_bbox_buildings(bbox_buildings_df):
+    df = bbox_buildings_df
+    names = set(n for n in df.name if isinstance(n, str))
+    assert {f"InBox {i}" for i in range(12)} <= names
+    assert {f"Straddle {i}" for i in range(4)} <= names   # complete ways
+    assert not any(n.startswith("OutBox") for n in names)
+    assert "StraddleRel" in names
+    # every kept geometry really intersects the box
+    x0, y0, x1, y1 = TEST_BBOX
+    for g in df.geometry:
+        bx0, by0, bx1, by1 = wkb.wkb_bbox(g)
+        assert bx1 >= x0 and bx0 <= x1 and by1 >= y0 and by0 <= y1
+
+
+def test_bbox_straddling_way_complete(bbox_buildings_df):
+    df = bbox_buildings_df
+    row = df[df.name == "Straddle 0"].iloc[0]
+    gt, rings = wkb.decode_wkb(row.geometry)
+    # complete-ways: the full ring survives even though some vertices are
+    # outside the box (completion #236)
+    assert gt == wkb.POLYGON
+    assert rings[0][:, 0].max() > TEST_BBOX[2]
+
+
+def test_bbox_network(src):
+    full = OSM(src).get_network("all").to_pandas()
+    boxed = OSM(src, bounding_box=TEST_BBOX).get_network("all").to_pandas()
+    assert 0 < boxed.shape[0] < full.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# keep_all + custom criteria
+# ---------------------------------------------------------------------------
+
+def test_keep_all_tagged_elements(osm):
+    df = osm.get_data_by_custom_criteria(
+        None, keep_nodes=False, keep_relations=False,
+        tags_as_columns=["highway", "building", "name"]).to_pandas()
+    # every tagged standalone way with >=2 resolvable coords
+    assert df.shape[0] > 650
+
+
+def test_exclude_vs_keep_complement(osm):
+    keys = ["highway"]
+    cols = ["highway", "name"]
+    kept = osm.get_data_by_custom_criteria(
+        {"highway": ["footway"]}, osm_keys_to_keep=keys, filter_type="keep",
+        keep_nodes=False, keep_relations=False,
+        tags_as_columns=cols).to_pandas()
+    excl = osm.get_data_by_custom_criteria(
+        {"highway": ["footway"]}, osm_keys_to_keep=keys,
+        filter_type="exclude", keep_nodes=False, keep_relations=False,
+        tags_as_columns=cols).to_pandas()
+    assert set(kept.highway) == {"footway"}
+    assert "footway" not in set(excl.highway)
+
+
+# ---------------------------------------------------------------------------
+# broadcast vs shuffle strategy parity (differential)
+# ---------------------------------------------------------------------------
+
+def test_strategy_parity(src, buildings_df, tmp_path):
+    # the shuffle pipeline runs in its OWN Ray session (fresh subprocess):
+    # differential broadcast-vs-shuffle parity plus process isolation
+    import subprocess
+    import sys
+    out = tmp_path / "shuffle.parquet"
+    script = (
+        "import ray, sys\n"
+        "ray.init(address='local', num_cpus=8, include_dashboard=False,"
+        " logging_level='ERROR')\n"
+        "from ray.data import DataContext\n"
+        "DataContext.get_current().enable_progress_bars = False\n"
+        "from pyrosm_ray.pipelines.layers import OSM\n"
+        f"df = OSM({src!r}, strategy='shuffle', num_partitions=4)"
+        ".get_buildings().to_pandas()\n"
+        f"df.to_parquet({str(out)!r})\n"
+        "ray.shutdown()\n")
+    r = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                       text=True, timeout=300, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr[-2000:]
+    import pandas as pd
+    a = buildings_df.sort_values(["osm_type", "id"]).reset_index(drop=True)
+    b = pd.read_parquet(out).sort_values(["osm_type", "id"]) \
+        .reset_index(drop=True)
+    assert list(a.id) == list(b.id)
+    assert list(a.osm_type) == list(b.osm_type)
+    assert all(x == y for x, y in zip(a.geometry, b.geometry))

@@ -1,0 +1,176 @@
+"""Tile assignment + spatial join tests (north-rule core) at sf0.001."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from pyrosm_ray.fixtures import MEGA_MOD, ensure_fixtures, geocode_from_page_id
+from pyrosm_ray.geom import ops, wkb
+from pyrosm_ray.pipelines.layers import OSM
+from pyrosm_ray.stages import spatial
+from pyrosm_ray.tiles import grid, s2like
+
+
+@pytest.fixture(scope="module")
+def src():
+    return str(ensure_fixtures("sf0.001"))
+
+
+@pytest.fixture(scope="module")
+def pages(src):
+    return rd.read_parquet(f"{src}/pages.parquet")
+
+
+@pytest.fixture(scope="module")
+def tiled_df(pages):
+    return spatial.assign_tiles(pages, salt_threshold=50).to_pandas()
+
+
+@pytest.fixture(scope="module")
+def buildings(src):
+    return OSM(src).get_buildings().materialize()
+
+
+# ---------------------------------------------------------------------------
+# tiles
+# ---------------------------------------------------------------------------
+
+def test_grid_roundtrip_and_hierarchy():
+    rng = np.random.default_rng(4)
+    lon = rng.uniform(-179, 179, 500)
+    lat = rng.uniform(-89, 89, 500)
+    c9 = grid.cell_id(lon, lat, grid.h3_equiv_res(9))
+    c5 = grid.cell_id(lon, lat, grid.h3_equiv_res(5))
+    np.testing.assert_array_equal(grid.parent(c9, grid.h3_equiv_res(5)), c5)
+    b = grid.cell_bounds(c9)
+    assert ((lon >= b[:, 0]) & (lon <= b[:, 2])
+            & (lat >= b[:, 1]) & (lat <= b[:, 3])).all()
+    # children invert parent
+    for cell in c5[:10]:
+        kids = grid.children(int(cell))
+        np.testing.assert_array_equal(
+            grid.parent(kids, grid.h3_equiv_res(5)), np.full(4, cell))
+    # neighbors contain the cell and are unique
+    nb = grid.neighbors(int(c9[0]))
+    assert int(c9[0]) in nb and len(nb) == len(set(nb.tolist()))
+
+
+def test_grid_cover_bbox():
+    cells = grid.cover_bbox(24.95, 60.17, 25.05, 60.23, 15)
+    assert len(cells) > 1
+    b = grid.cell_bounds(cells)
+    assert (b[:, 2] >= 24.95).all() and (b[:, 0] <= 25.05).all()
+
+
+def test_cell_id_sql_matches(tmp_path):
+    import duckdb
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 1000)
+    lat = rng.uniform(-90, 90, 1000)
+    want = grid.cell_id(lon, lat, 17)
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame({"lon": lon, "lat": lat}))
+    got = con.sql(
+        f"SELECT {grid.cell_id_sql('lon', 'lat', 17)} AS c FROM t"
+    ).df()["c"].values
+    np.testing.assert_array_equal(got, want)
+
+
+def test_s2like_cells():
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(-180, 180, 2000)
+    lat = rng.uniform(-89, 89, 2000)
+    c = s2like.cell_id(lon, lat, 12)
+    p = s2like.parent(c, 2)
+    # parent is a prefix: children of one parent share it
+    c2 = s2like.cell_id(lon, lat, 10)
+    np.testing.assert_array_equal(p, c2)
+    # nearby points share coarse cells, far points don't (spot check)
+    a = s2like.cell_id(24.95, 60.20, 8)
+    b = s2like.cell_id(24.951, 60.2001, 8)
+    far = s2like.cell_id(-70.0, -30.0, 8)
+    assert a == b and a != far
+
+
+# ---------------------------------------------------------------------------
+# tile assignment stage
+# ---------------------------------------------------------------------------
+
+def test_assign_tiles(tiled_df):
+    df = tiled_df
+    assert {"page_id", "lon", "lat", "h3_r5", "h3_r7", "h3_r9",
+            "salt"} <= set(df.columns)
+    lon, lat = geocode_from_page_id(df.page_id.values)
+    np.testing.assert_allclose(df.lon.values, lon)
+    np.testing.assert_allclose(df.lat.values, lat)
+    np.testing.assert_array_equal(
+        grid.parent(df.h3_r9.values, grid.h3_equiv_res(7)), df.h3_r7.values)
+    # mega-cell pages (page_id % MEGA_MOD == 0) got salted, spread over >1 key
+    mega = df[df.page_id % MEGA_MOD == 0]
+    assert (mega.salt > 0).any()
+    assert mega.salt.nunique() > 1
+    # non-hot cells unsalted
+    assert (df[df.page_id % MEGA_MOD != 0].salt == 0).all()
+
+
+# ---------------------------------------------------------------------------
+# PIP / kNN joins
+# ---------------------------------------------------------------------------
+
+def test_pip_join_exact(pages, buildings):
+    tiled = spatial.assign_tiles(pages)
+    out = spatial.pip_join(tiled, buildings, layer="buildings").to_pandas()
+    assert {"url", "polygon_id", "polygon_layer", "text"} <= set(out.columns)
+    assert (out.polygon_layer == "buildings").all()
+    # exact: every output point is inside its polygon; and brute-force
+    # recomputation finds exactly the same pair set
+    pdf = buildings.to_pandas()
+    rings_by_id = {int(r.id): wkb.polygon_rings(r.geometry)
+                   for _, r in pdf.iterrows()
+                   if wkb.wkb_geom_type(r.geometry) in (wkb.POLYGON,
+                                                        wkb.MULTIPOLYGON)}
+    tdf = tiled.to_pandas()
+    want = set()
+    for pid, rings in rings_by_id.items():
+        inside = ops.points_in_rings_even_odd(
+            rings, tdf.lon.values, tdf.lat.values)
+        for u in tdf.url.values[inside]:
+            want.add((u, pid))
+    got = set(zip(out.url, out.polygon_id))
+    assert got == want and len(got) > 0
+    # text bytes preserved per url
+    orig = {u: t for u, t in zip(tdf.url, tdf.text)}
+    assert all(orig[u] == t for u, t in zip(out.url, out.text))
+
+
+def test_pip_join_partitioned_parity(pages, buildings):
+    bc = spatial.pip_join(spatial.assign_tiles(pages), buildings,
+                          layer="b").to_pandas()
+    sh = spatial.pip_join_partitioned(pages, buildings, cell_res=7,
+                                      num_partitions=4,
+                                      layer="b").to_pandas()
+    assert set(zip(bc.url, bc.polygon_id)) == set(zip(sh.url, sh.polygon_id))
+    # payload survived the projection/re-join byte-identically
+    orig = pages.to_pandas().set_index("url")["text"]
+    assert all(orig[u] == t for u, t in zip(sh.url, sh.text))
+
+
+def test_knn_join_exact(pages, src):
+    pois = OSM(src).get_pois().materialize()
+    tiled = spatial.assign_tiles(pages)
+    out = spatial.knn_join(tiled, pois, k=3).to_pandas()
+    tdf = tiled.to_pandas()
+    assert len(out) == 3 * len(tdf)
+    assert set(out.knn_rank) == {1, 2, 3}
+    pdf = pois.to_pandas()
+    plon = np.array([wkb.decode_wkb(g)[1][0] for g in pdf.geometry])
+    plat = np.array([wkb.decode_wkb(g)[1][1] for g in pdf.geometry])
+    rng = np.random.default_rng(0)
+    for u in rng.choice(tdf.url.values, 25, replace=False):
+        rows = out[out.url == u].sort_values("knn_rank")
+        d = ops.haversine_m(rows.iloc[0].lat, rows.iloc[0].lon, plat, plon)
+        want = pdf.id.values[np.argsort(d, kind="stable")[:3]]
+        assert list(rows.poi_id) == list(want)
+        assert (np.diff(rows.distance_m.values) >= 0).all()
