@@ -69,6 +69,31 @@ class STRtree:
             level = nb
 
     # ------------------------------------------------------------------
+    def to_state(self) -> dict:
+        """Pure-array snapshot (broadcastable; zero-copy via the object
+        store). Build once on the driver, ``from_state`` in every actor."""
+        return {
+            "item_bboxes": self.item_bboxes,
+            "leaf_capacity": self.leaf_capacity,
+            "perm": self.perm,
+            "levels": self._levels,
+            "starts": self._starts,
+            "ends": self._ends,
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "STRtree":
+        tree = cls.__new__(cls)
+        tree.item_bboxes = state["item_bboxes"]
+        tree.n_items = len(state["item_bboxes"])
+        tree.leaf_capacity = state["leaf_capacity"]
+        tree.perm = state["perm"]
+        tree._levels = state["levels"]
+        tree._starts = state["starts"]
+        tree._ends = state["ends"]
+        return tree
+
+    # ------------------------------------------------------------------
     def query_points(self, px: np.ndarray, py: np.ndarray):
         """Candidate pairs (point_index, item_index) whose item bbox contains
         the point. Level-synchronous vectorised descent."""

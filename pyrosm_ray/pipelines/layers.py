@@ -89,20 +89,44 @@ class OSM:
 
     # -- element tables ---------------------------------------------------
     def nodes(self, columns=None) -> rd.Dataset:
-        return rd.read_parquet(f"{self.src}/osm_nodes.parquet", columns=columns)
+        return rd.read_parquet(f"{self.src}/osm_nodes.parquet",
+                               columns=columns,
+                               override_num_blocks=self.num_partitions)
 
     def ways(self, columns=None) -> rd.Dataset:
-        return rd.read_parquet(f"{self.src}/osm_ways.parquet", columns=columns)
+        # enough blocks that the assembler actor pool has one task per slot
+        return rd.read_parquet(f"{self.src}/osm_ways.parquet",
+                               columns=columns,
+                               override_num_blocks=self.num_partitions)
 
     def relations(self, columns=None) -> rd.Dataset:
         return rd.read_parquet(f"{self.src}/osm_relations.parquet",
                                columns=columns)
 
     # -- shared broadcast state ------------------------------------------
+    COORDS_DRIVER_MAX_BYTES = 2 << 30
+
     def coord_ref(self):
         if self._coord_ref is None:
-            self._coord_ref = topology.build_coord_index(
-                self.nodes(columns=["id", "lon", "lat"]))
+            import os
+
+            import pyarrow.parquet as pq
+            path = f"{self.src}/osm_nodes.parquet"
+            if os.path.getsize(path) <= self.COORDS_DRIVER_MAX_BYTES:
+                # local-file fast path: one pyarrow read beats a Ray round
+                # trip; the object-store broadcast is identical either way
+                t = pq.read_table(path, columns=["id", "lon", "lat"])
+                ids = np.asarray(t["id"].to_numpy(zero_copy_only=False))
+                order = np.argsort(ids, kind="stable")
+                self._coord_ref = ray.put((
+                    ids[order],
+                    np.asarray(t["lon"].to_numpy(
+                        zero_copy_only=False))[order],
+                    np.asarray(t["lat"].to_numpy(
+                        zero_copy_only=False))[order]))
+            else:
+                self._coord_ref = topology.build_coord_index(
+                    self.nodes(columns=["id", "lon", "lat"]))
         return self._coord_ref
 
     def inbox_node_ids(self):
@@ -320,38 +344,45 @@ class OSM:
         return out
 
     # -- helpers ----------------------------------------------------------
+    RELATIONS_DRIVER_MAX_BYTES = 256 << 20
+
     def _kept_relations(self, osm_keys, data_filter, filter_type, keep_all):
-        """Filter relations; return (kept relation Dataset, sorted way-member
-        id array). The member-id set is the broadcast small side of the
-        always-keep rule (reference relation_way_ids)."""
-        rels = self.relations()
+        """Filter relations; return (kept relations as an in-memory Arrow
+        table, sorted way-member id array). Relations are the small side by
+        construction (~0.1% of elements): under 256 MB on disk they are
+        filtered driver-side with the same vectorised evaluator (saves three
+        serialized Ray executions per layer); above that, a distributed
+        filter collects the kept set."""
+        import os
 
-        def rel_filter(batch: pa.Table) -> pa.Table:
-            ev = TagBatchEvaluator(batch["tags"])
-            mask = ev.keep_mask(osm_keys, data_filter, filter_type,
-                                keep_all=keep_all)
-            return batch.filter(pa.array(mask))
-
-        kept = rels.map_batches(rel_filter, batch_format="pyarrow")
-        # repartition drops the zero-column empty blocks filtered-out batches
-        # leave behind (they break downstream acero joins)
-        kept = kept.repartition(2).materialize()
-        if kept.count() == 0:
+        import pyarrow.parquet as pq
+        path = f"{self.src}/osm_relations.parquet"
+        if os.path.getsize(path) <= self.RELATIONS_DRIVER_MAX_BYTES:
+            t = pq.read_table(path)
+        else:
+            kept = self.relations().map_batches(
+                lambda b: b.filter(pa.array(
+                    TagBatchEvaluator(b["tags"]).keep_mask(
+                        osm_keys, data_filter, filter_type,
+                        keep_all=keep_all))),
+                batch_format="pyarrow").materialize()
+            t = pa.concat_tables(
+                [pa.table(b) for b in kept.iter_batches(
+                    batch_size=1 << 16, batch_format="pyarrow")])
+        ev = TagBatchEvaluator(t["tags"])
+        mask = ev.keep_mask(osm_keys, data_filter, filter_type,
+                            keep_all=keep_all)
+        kept_t = t.filter(pa.array(mask))
+        if kept_t.num_rows == 0:
             return None, np.empty(0, dtype=np.int64)
-        ids = []
-        for b in kept.iter_batches(batch_size=1 << 16,
-                                   batch_format="pyarrow"):
-            members = b["members"].combine_chunks() if isinstance(
-                b["members"], pa.ChunkedArray) else b["members"]
-            flat = members.flatten()
-            mtype = np.asarray(flat.field("member_type").to_numpy(
-                zero_copy_only=False), dtype=object)
-            mid = np.asarray(flat.field("member_id").to_numpy(
-                zero_copy_only=False), dtype=np.int64)
-            ids.append(mid[mtype == "way"])
-        member_ids = np.unique(np.concatenate(ids)) if ids else \
-            np.empty(0, dtype=np.int64)
-        return kept, member_ids
+        members = kept_t["members"].combine_chunks()
+        flat = members.flatten()
+        mtype = np.asarray(flat.field("member_type").to_numpy(
+            zero_copy_only=False), dtype=object)
+        mid = np.asarray(flat.field("member_id").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        member_ids = np.unique(mid[mtype == "way"])
+        return kept_t, member_ids
 
     def _assemble(self, ways_ds, mode):
         if self.strategy == "broadcast":
@@ -359,8 +390,8 @@ class OSM:
                 topology.WayAssembler,
                 fn_constructor_kwargs={"coord_ref": self.coord_ref(),
                                        "mode": mode},
-                batch_format="pyarrow", batch_size=32 * 1024,
-                concurrency=(1, 16))
+                batch_format="pyarrow", batch_size=16 * 1024,
+                concurrency=(1, max(2, self.num_partitions)))
         return topology.assemble_ways(
             ways_ds, self.nodes(columns=["id", "lon", "lat"]), mode=mode,
             strategy="shuffle", num_partitions=self.num_partitions)
@@ -405,32 +436,24 @@ class OSM:
                 [c for c in ("members",) if c in out.column_names])
             return out.append_column("__force_line", pa.array(force, pa.bool_()))
 
-        payload = rel_kept.map_batches(rel_payload, batch_format="pyarrow")
+        # rel_kept is an in-memory Arrow table (the small side)
+        payload = rd.from_arrow(rel_payload(rel_kept))
 
         # (relation_id, way_member_id) pairs — broadcast (small side)
-        pairs = {"rel": [], "way": []}
-        for b in rel_kept.select_columns(["id", "members"]).iter_batches(
-                batch_size=1 << 16, batch_format="pyarrow"):
-            members = b["members"].combine_chunks() if isinstance(
-                b["members"], pa.ChunkedArray) else b["members"]
-            off = np.asarray(members.offsets, dtype=np.int64)
-            rel_ids = np.asarray(b["id"].to_numpy(zero_copy_only=False),
-                                 dtype=np.int64)
-            rep = np.repeat(np.arange(len(b), dtype=np.int64),
-                            off[1:] - off[:-1])
-            flat = members.flatten()
-            mtype = np.asarray(flat.field("member_type").to_numpy(
-                zero_copy_only=False), dtype=object)
-            mid = np.asarray(flat.field("member_id").to_numpy(
-                zero_copy_only=False), dtype=np.int64)
-            w = mtype == "way"
-            pairs["rel"].append(rel_ids[rep[w]])
-            pairs["way"].append(mid[w])
-        if pairs["rel"]:
-            rel_of = np.concatenate(pairs["rel"])
-            way_of = np.concatenate(pairs["way"])
-        else:
-            rel_of = way_of = np.empty(0, dtype=np.int64)
+        members = rel_kept["members"].combine_chunks()
+        off = np.asarray(members.offsets, dtype=np.int64)
+        rel_ids_np = np.asarray(rel_kept["id"].to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        rep = np.repeat(np.arange(len(rel_kept), dtype=np.int64),
+                        off[1:] - off[:-1])
+        flat = members.flatten()
+        mtype = np.asarray(flat.field("member_type").to_numpy(
+            zero_copy_only=False), dtype=object)
+        mid = np.asarray(flat.field("member_id").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        w = mtype == "way"
+        rel_of = rel_ids_np[rep[w]]
+        way_of = mid[w]
         order = np.argsort(way_of, kind="stable")
         pair_ref = ray.put((way_of[order], rel_of[order]))
         coord_ref = self.coord_ref()
@@ -466,12 +489,13 @@ class OSM:
 
         chains = member_ways_ds.map_batches(member_coords,
                                             batch_format="pyarrow")
-        # small side (one row per member way); pin it so the emptiness guard
-        # below doesn't recompute, and skip assembly when the bbox filtered
-        # every member way out (all-empty blocks would break the join)
-        chains = chains.materialize()
-        if chains.count() == 0:
-            return None
+        # with a bbox every member way may be filtered out — all-empty blocks
+        # would break the join, so guard (costs one extra execution); without
+        # a bbox the member set is non-empty by construction
+        if self.bbox is not None:
+            chains = chains.materialize()
+            if chains.count() == 0:
+                return None
 
         def assemble(group: pa.Table) -> pa.Table:
             # list payloads are packed to binary: acero hash joins (under

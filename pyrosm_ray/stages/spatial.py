@@ -41,6 +41,17 @@ from pyrosm_ray.geom.strtree import STRtree
 from pyrosm_ray.tiles import grid
 
 
+def _auto_concurrency():
+    """Actor-pool bounds sized to the cluster (min 1 actor, max = CPUs)."""
+    try:
+        n = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        n = 8
+    # pre-start half the pool: lazy 1-actor ramp-up wastes the first seconds
+    # of every stage; full pre-start delays short stages
+    return (max(1, n // 2), max(2, n))
+
+
 # ---------------------------------------------------------------------------
 # geocode + tiles
 # ---------------------------------------------------------------------------
@@ -139,46 +150,164 @@ def assign_tiles(pages_ds, resolutions=(5, 7, 9), salt_res: int = 9,
 # polygon side packing (broadcast)
 # ---------------------------------------------------------------------------
 
+def _pack_polygon_batch(batch: pa.Table, id_col: str) -> pa.Table:
+    """Distributed WKB decode: one compact row per polygon (bbox + packed
+    ring coords + ring lengths) — the expensive per-geometry parse runs in
+    the tasks, the driver only concatenates arrays."""
+    ids, bxs, coords_b, rlen_b = [], [], [], []
+    bids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+    for i, g in enumerate(batch["geometry"].to_pylist()):
+        if g is None:
+            continue
+        gt = wkb.wkb_geom_type(g)
+        if gt not in (wkb.POLYGON, wkb.MULTIPOLYGON):
+            continue
+        rings = wkb.polygon_rings(g)
+        if not rings:
+            continue
+        ids.append(int(bids[i]))
+        flat = np.concatenate(rings)
+        bxs.append((flat[:, 0].min(), flat[:, 1].min(),
+                    flat[:, 0].max(), flat[:, 1].max()))
+        coords_b.append(np.ascontiguousarray(flat, dtype="<f8").tobytes())
+        rlen_b.append(np.array([len(r) for r in rings],
+                               dtype="<i8").tobytes())
+    bx = np.array(bxs, dtype=np.float64).reshape(-1, 4)
+    return pa.table({
+        "pid": pa.array(ids, pa.int64()),
+        "x0": pa.array(bx[:, 0]), "y0": pa.array(bx[:, 1]),
+        "x1": pa.array(bx[:, 2]), "y1": pa.array(bx[:, 3]),
+        "coords": pa.array(coords_b, pa.binary()),
+        "rlens": pa.array(rlen_b, pa.binary()),
+    })
+
+
+def _concat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    off = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(off[:-1], counts) + np.repeat(starts, counts))
+
+
+def _build_cell_bins(bboxes: np.ndarray, max_cover: int = 64):
+    """Uniform-grid candidate bins over polygon bboxes.
+
+    Resolution adapts so a median polygon covers ~1 cell; each polygon is
+    registered in every cell its bbox intersects (clip at ``max_cover``
+    cells — the rare oversized polygons go to a brute-force side list).
+    Returns (res, sorted cell keys, offsets, poly indices, oversize idx)."""
+    n = len(bboxes)
+    if n == 0:
+        return 10, np.empty(0, np.int64), np.zeros(1, np.int64), \
+            np.empty(0, np.int64), np.empty(0, np.int64)
+    w = np.median(bboxes[:, 2] - bboxes[:, 0]) + 1e-12
+    res = int(np.clip(np.floor(np.log2(360.0 / (2.0 * w))), 4, grid.MAX_RES))
+    nx = np.int64(1) << res
+    cx0 = np.clip(np.floor((bboxes[:, 0] + 180) / 360 * nx), 0,
+                  nx - 1).astype(np.int64)
+    cx1 = np.clip(np.floor((bboxes[:, 2] + 180) / 360 * nx), 0,
+                  nx - 1).astype(np.int64)
+    cy0 = np.clip(np.floor((90 - bboxes[:, 3]) / 180 * nx), 0,
+                  nx - 1).astype(np.int64)
+    cy1 = np.clip(np.floor((90 - bboxes[:, 1]) / 180 * nx), 0,
+                  nx - 1).astype(np.int64)
+    ncell = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+    oversize = np.flatnonzero(ncell > max_cover)
+    normal = ncell <= max_cover
+    nxc = (cx1 - cx0 + 1)[normal]
+    counts = ncell[normal]
+    poly_idx = np.repeat(np.flatnonzero(normal), counts)
+    # enumerate each polygon's (dx, dy) cover cells vectorised
+    local = _concat_ranges(np.zeros(int(normal.sum()), np.int64), counts)
+    nx_rep = np.repeat(nxc, counts)
+    dx = local % nx_rep
+    dy = local // nx_rep
+    cellx = np.repeat(cx0[normal], counts) + dx
+    celly = np.repeat(cy0[normal], counts) + dy
+    key = (cellx << 29) | celly
+    order = np.argsort(key, kind="stable")
+    key_s, poly_s = key[order], poly_idx[order]
+    uniq, starts = np.unique(key_s, return_index=True)
+    offsets = np.append(starts, len(key_s)).astype(np.int64)
+    return res, uniq, offsets, poly_s, oversize
+
+
+def _build_edges(coords: np.ndarray, ring_offsets: np.ndarray,
+                 poly_ring_offsets: np.ndarray):
+    """Flat edge arrays (x1,y1,x2,y2) + per-polygon edge offsets, skipping
+    ring-boundary phantom edges — the vectorised-PIP working set."""
+    n_pts = len(coords)
+    if n_pts == 0:
+        return (np.empty((0, 4)), np.zeros(len(poly_ring_offsets),
+                                           dtype=np.int64))
+    keep = np.ones(n_pts - 1, dtype=bool)
+    ring_ends = ring_offsets[1:-1] - 1
+    keep[ring_ends[ring_ends < n_pts - 1]] = False
+    e = np.column_stack([coords[:-1], coords[1:]])[keep]
+    # per-ring edge count = ring length - 1; per-poly = sum over its rings
+    ring_edge_counts = (ring_offsets[1:] - ring_offsets[:-1]) - 1
+    cs = np.zeros(len(ring_edge_counts) + 1, dtype=np.int64)
+    np.cumsum(np.maximum(ring_edge_counts, 0), out=cs[1:])
+    poly_edge_offsets = cs[poly_ring_offsets]
+    return e, poly_edge_offsets
+
+
 def pack_polygon_index(polygons_ds, id_col: str = "id",
                        layer: str | None = None) -> "ray.ObjectRef":
     """Collect a polygon layer into a compact broadcast index:
-    (ids, bboxes, ring CSR arrays). Decoded once here, shipped once, read
-    zero-copy by every joiner actor."""
-    ids, bboxes = [], []
-    ring_coords, ring_offsets, poly_ring_offsets = [], [0], [0]
-    total_pts = 0
-    n_rings = 0
-    for batch in polygons_ds.iter_batches(batch_size=1 << 16,
-                                          batch_format="pyarrow"):
-        geom = batch["geometry"].to_pylist()
-        bids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        for i, g in enumerate(geom):
-            if g is None:
-                continue
-            gt = wkb.wkb_geom_type(g)
-            if gt not in (wkb.POLYGON, wkb.MULTIPOLYGON):
-                continue
-            rings = wkb.polygon_rings(g)
-            if not rings:
-                continue
-            ids.append(int(bids[i]))
-            xs = np.concatenate([r[:, 0] for r in rings])
-            ys = np.concatenate([r[:, 1] for r in rings])
-            bboxes.append((xs.min(), ys.min(), xs.max(), ys.max()))
-            for r in rings:
-                ring_coords.append(r)
-                total_pts += len(r)
-                n_rings += 1
-                ring_offsets.append(total_pts)
-            poly_ring_offsets.append(n_rings)
+    (ids, bboxes, ring CSR arrays). WKB decode runs distributed
+    (map_batches); the driver concatenates the compact arrays and ships the
+    index once via the object store."""
+    packed = polygons_ds.map_batches(
+        lambda b: _pack_polygon_batch(b, id_col), batch_format="pyarrow")
+    ids, bboxes, coords_bufs, ring_len_bufs = [], [], [], []
+    for b in packed.iter_batches(batch_size=1 << 16,
+                                 batch_format="pyarrow"):
+        ids.append(np.asarray(b["pid"].to_numpy(zero_copy_only=False)))
+        bboxes.append(np.column_stack([
+            np.asarray(b[c].to_numpy(zero_copy_only=False))
+            for c in ("x0", "y0", "x1", "y1")]))
+        coords_bufs.extend(b["coords"].to_pylist())
+        ring_len_bufs.extend(b["rlens"].to_pylist())
+    if ids:
+        ids = np.concatenate(ids)
+        bboxes = np.concatenate(bboxes)
+    else:
+        ids = np.empty(0, dtype=np.int64)
+        bboxes = np.empty((0, 4))
+    coords = (np.frombuffer(b"".join(coords_bufs), dtype="<f8")
+              .reshape(-1, 2) if coords_bufs else np.empty((0, 2)))
+    rlens = (np.frombuffer(b"".join(ring_len_bufs), dtype="<i8")
+             if ring_len_bufs else np.empty(0, dtype=np.int64))
+    rings_per_poly = np.array([len(buf) // 8 for buf in ring_len_bufs],
+                              dtype=np.int64)
+    ring_offsets = np.zeros(len(rlens) + 1, dtype=np.int64)
+    np.cumsum(rlens, out=ring_offsets[1:])
+    poly_ring_offsets = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(rings_per_poly, out=poly_ring_offsets[1:])
+    cell_res, cell_keys, cell_offsets, cell_polys, oversize = \
+        _build_cell_bins(bboxes.astype(np.float64))
+    edges, poly_edge_offsets = _build_edges(coords, ring_offsets,
+                                            poly_ring_offsets)
     index = {
-        "ids": np.array(ids, dtype=np.int64),
-        "bboxes": np.array(bboxes, dtype=np.float64).reshape(-1, 4),
-        "coords": (np.concatenate(ring_coords)
-                   if ring_coords else np.empty((0, 2))),
-        "ring_offsets": np.array(ring_offsets, dtype=np.int64),
-        "poly_ring_offsets": np.array(poly_ring_offsets, dtype=np.int64),
+        "ids": ids.astype(np.int64),
+        "bboxes": bboxes.astype(np.float64),
+        "coords": coords,
+        "ring_offsets": ring_offsets,
+        "poly_ring_offsets": poly_ring_offsets,
         "layer": layer or "polygons",
+        # candidate bins + flat edge arrays built ONCE here; actors read
+        # them zero-copy from the object store
+        "cell_res": cell_res,
+        "cell_keys": cell_keys,
+        "cell_offsets": cell_offsets,
+        "cell_polys": cell_polys,
+        "oversize": oversize,
+        "edges": edges,
+        "poly_edge_offsets": poly_edge_offsets,
     }
     return ray.put(index)
 
@@ -192,23 +321,73 @@ def _poly_rings(index, poly_idx: int) -> list[np.ndarray]:
 
 def _confirm_pip(index, cand_pt: np.ndarray, cand_poly: np.ndarray,
                  px: np.ndarray, py: np.ndarray) -> np.ndarray:
-    """Exact even-odd confirmation of candidate (point, polygon) pairs,
-    vectorised per polygon group."""
-    keep = np.zeros(len(cand_pt), dtype=bool)
-    if not len(cand_pt):
+    """Exact even-odd confirmation of candidate (point, polygon) pairs.
+
+    Fully vectorised: every pair expands to its polygon's edges (flat edge
+    CSR built once at pack time), one ray-casting crossing test over the
+    whole expansion, crossing counts reduced per pair."""
+    n_pairs = len(cand_pt)
+    keep = np.zeros(n_pairs, dtype=bool)
+    if not n_pairs:
         return keep
-    order = np.argsort(cand_poly, kind="stable")
-    cp = cand_poly[order]
-    starts = np.flatnonzero(np.diff(cp, prepend=cp[0] - 1))
-    bounds = np.append(starts, len(cp))
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        poly = int(cp[s])
-        sel = order[s:e]
-        rings = _poly_rings(index, poly)
-        inside = ops.points_in_rings_even_odd(
-            rings, px[cand_pt[sel]], py[cand_pt[sel]])
-        keep[sel] = inside
-    return keep
+    peo = index["poly_edge_offsets"]
+    e = index["edges"]
+    starts = peo[cand_poly]
+    counts = peo[cand_poly + 1] - starts
+    edge_idx = _concat_ranges(starts, counts)
+    pair_of_edge = np.repeat(np.arange(n_pairs, dtype=np.int64), counts)
+    ex1 = e[edge_idx, 0]
+    ey1 = e[edge_idx, 1]
+    ex2 = e[edge_idx, 2]
+    ey2 = e[edge_idx, 3]
+    qx = px[cand_pt[pair_of_edge]]
+    qy = py[cand_pt[pair_of_edge]]
+    cond = (ey1 > qy) != (ey2 > qy)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = ex1 + (qy - ey1) * (ex2 - ex1) / (ey2 - ey1)
+    hits = (cond & (qx < xint)).astype(np.int64)
+    cs = np.zeros(len(hits) + 1, dtype=np.int64)
+    np.cumsum(hits, out=cs[1:])
+    pair_off = np.zeros(n_pairs + 1, dtype=np.int64)
+    np.cumsum(counts, out=pair_off[1:])
+    crossings = cs[pair_off[1:]] - cs[pair_off[:-1]]
+    return (crossings % 2) == 1
+
+
+def _cell_candidates(index, px: np.ndarray, py: np.ndarray):
+    """Candidate (point, polygon) pairs via the uniform-grid bins + bbox
+    prefilter (replaces a tree walk with two searchsorteds)."""
+    res = index["cell_res"]
+    nx = np.int64(1) << res
+    cx = np.clip(np.floor((px + 180) / 360 * nx), 0, nx - 1).astype(np.int64)
+    cy = np.clip(np.floor((90 - py) / 180 * nx), 0, nx - 1).astype(np.int64)
+    key = (cx << 29) | cy
+    keys = index["cell_keys"]
+    pos = np.searchsorted(keys, key)
+    pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+    hit = keys[pos_c] == key if len(keys) else np.zeros(len(px), bool)
+    off = index["cell_offsets"]
+    starts = off[pos_c] * hit
+    counts = (off[pos_c + 1] - off[pos_c]) * hit
+    cand_pt = np.repeat(np.arange(len(px), dtype=np.int64), counts)
+    cand_poly = index["cell_polys"][_concat_ranges(starts, counts)]
+    # oversized polygons: brute-force bbox scan (rare by construction)
+    if len(index["oversize"]):
+        ob = index["bboxes"][index["oversize"]]
+        for j, poly in zip(range(len(ob)), index["oversize"]):
+            m = ((px >= ob[j, 0]) & (px <= ob[j, 2])
+                 & (py >= ob[j, 1]) & (py <= ob[j, 3]))
+            pts = np.flatnonzero(m)
+            cand_pt = np.concatenate([cand_pt, pts])
+            cand_poly = np.concatenate(
+                [cand_poly, np.full(len(pts), poly, dtype=np.int64)])
+    # bbox prefilter
+    bb = index["bboxes"]
+    ok = ((px[cand_pt] >= bb[cand_poly, 0])
+          & (px[cand_pt] <= bb[cand_poly, 2])
+          & (py[cand_pt] >= bb[cand_poly, 1])
+          & (py[cand_pt] <= bb[cand_poly, 3]))
+    return cand_pt[ok], cand_poly[ok]
 
 
 class PipJoiner:
@@ -222,8 +401,7 @@ class PipJoiner:
 
     def __init__(self, index_ref, how: str = "inner",
                  lon_col: str = "lon", lat_col: str = "lat"):
-        self.index = ray.get(index_ref)
-        self.tree = STRtree(self.index["bboxes"])
+        self.index = ray.get(index_ref)  # zero-copy numpy views from plasma
         self.how = how
         self.lon_col = lon_col
         self.lat_col = lat_col
@@ -232,7 +410,7 @@ class PipJoiner:
         n = len(batch)
         px = np.asarray(batch[self.lon_col].to_numpy(zero_copy_only=False))
         py = np.asarray(batch[self.lat_col].to_numpy(zero_copy_only=False))
-        cand_pt, cand_poly = self.tree.query_points(px, py)
+        cand_pt, cand_poly = _cell_candidates(self.index, px, py)
         keep = _confirm_pip(self.index, cand_pt, cand_poly, px, py)
         hit_pt = cand_pt[keep]
         hit_poly = self.index["ids"][cand_poly[keep]]
@@ -255,16 +433,22 @@ class PipJoiner:
             pa.array([self.index["layer"]] * len(out), pa.string()))
 
 
-def pip_join(pages_ds, polygons_ds, how: str = "inner",
+def pip_join(pages_ds, polygons_ds=None, how: str = "inner",
              layer: str | None = None, id_col: str = "id",
-             batch_size: int = 64 * 1024, concurrency=(2, 16)):
-    """Broadcast PIP join: geocoded pages stream against a polygon layer."""
-    index_ref = pack_polygon_index(polygons_ds, id_col=id_col, layer=layer)
+             batch_size: int = 64 * 1024, concurrency=None,
+             index_ref=None):
+    """Broadcast PIP join: geocoded pages stream against a polygon layer.
+
+    Pass a prebuilt ``index_ref`` (:func:`pack_polygon_index`) to amortise
+    the polygon index build across multiple joins / the page stream."""
+    if index_ref is None:
+        index_ref = pack_polygon_index(polygons_ds, id_col=id_col,
+                                       layer=layer)
     return pages_ds.map_batches(
         PipJoiner,
         fn_constructor_kwargs={"index_ref": index_ref, "how": how},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency or _auto_concurrency())
 
 
 # ---------------------------------------------------------------------------
@@ -279,19 +463,47 @@ def pack_point_index(points_ds, id_col: str = "id",
         if lon_col in batch.column_names:
             lon = np.asarray(batch[lon_col].to_numpy(zero_copy_only=False))
             lat = np.asarray(batch[lat_col].to_numpy(zero_copy_only=False))
-        else:  # decode Point WKB
-            pts = np.array([wkb.decode_wkb(g)[1]
-                            for g in batch["geometry"].to_pylist()])
+        else:
+            # vectorised Point-WKB decode: the 21-byte little-endian layout
+            # is fixed, so one frombuffer view parses the whole batch
+            bufs = batch["geometry"].to_pylist()
+            raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            if len(bufs) and len(raw) == 21 * len(bufs):
+                m = raw.reshape(-1, 21)
+                pts = np.column_stack([
+                    m[:, 5:13].copy().view("<f8").ravel(),
+                    m[:, 13:21].copy().view("<f8").ravel()])
+            else:  # mixed geometry fallback
+                pts = np.array([wkb.decode_wkb(g)[1] for g in bufs])
             lon, lat = (pts[:, 0], pts[:, 1]) if len(pts) else \
                 (np.empty(0), np.empty(0))
         ids.append(np.asarray(batch[id_col].to_numpy(zero_copy_only=False)))
         lons.append(lon)
         lats.append(lat)
-    return ray.put({
-        "ids": (np.concatenate(ids) if ids else np.empty(0, np.int64)),
-        "lon": (np.concatenate(lons) if lons else np.empty(0)),
-        "lat": (np.concatenate(lats) if lats else np.empty(0)),
-    })
+    ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
+    lon = np.concatenate(lons) if lons else np.empty(0)
+    lat = np.concatenate(lats) if lats else np.empty(0)
+    # uniform-grid bins over the points (≈2 points per cell): the kNN
+    # candidate search is then two searchsorteds per query round
+    if len(lon) > 1:
+        w = max(lon.max() - lon.min(), 1e-9)
+        h = max(lat.max() - lat.min(), 1e-9)
+        cell = np.sqrt(2.0 * w * h / len(lon))
+        res = int(np.clip(np.floor(np.log2(360.0 / cell)), 4, grid.MAX_RES))
+    else:
+        res = 10
+    nx = np.int64(1) << res
+    cx = np.clip(np.floor((lon + 180) / 360 * nx), 0, nx - 1).astype(np.int64)
+    cy = np.clip(np.floor((90 - lat) / 180 * nx), 0, nx - 1).astype(np.int64)
+    key = (cx << 29) | cy
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq, starts = np.unique(key_s, return_index=True)
+    offsets = np.append(starts, len(key_s)).astype(np.int64)
+    return ray.put({"ids": ids, "lon": lon, "lat": lat,
+                    "cell_res": res, "cell_keys": uniq,
+                    "cell_offsets": offsets,
+                    "cell_points": order.astype(np.int64)})
 
 
 class KnnJoiner:
@@ -299,16 +511,54 @@ class KnnJoiner:
     ``__init__``; per batch an expanding-radius candidate search, exact
     haversine ranking, top-k rows per page."""
 
-    def __init__(self, index_ref, k: int = 1, r0_deg: float = 0.01,
+    def __init__(self, index_ref, k: int = 1, r0_deg: float | None = None,
                  lon_col: str = "lon", lat_col: str = "lat"):
         self.index = ray.get(index_ref)
-        pts = np.column_stack([self.index["lon"], self.index["lat"]])
-        self.tree = STRtree(np.hstack([pts, pts]) if len(pts) else
-                            np.empty((0, 4)))
         self.k = k
-        self.r0 = r0_deg
+        lon, lat = self.index["lon"], self.index["lat"]
+        if r0_deg is None and len(lon) > 1:
+            # density-adaptive start radius: expect ~pi*k candidates per box
+            w = max(lon.max() - lon.min(), 1e-6)
+            h = max(lat.max() - lat.min(), 1e-6)
+            r0_deg = float(np.sqrt(max(k, 1) * w * h / len(lon)))
+        self.r0 = r0_deg or 0.01
         self.lon_col = lon_col
         self.lat_col = lat_col
+
+    def _box_candidates(self, px, py, r):
+        """(query, point) candidate pairs for r-degree boxes via cell bins."""
+        idx = self.index
+        res = idx["cell_res"]
+        nx = np.int64(1) << res
+        cx0 = np.clip(np.floor((px - r + 180) / 360 * nx), 0,
+                      nx - 1).astype(np.int64)
+        cx1 = np.clip(np.floor((px + r + 180) / 360 * nx), 0,
+                      nx - 1).astype(np.int64)
+        cy0 = np.clip(np.floor((90 - (py + r)) / 180 * nx), 0,
+                      nx - 1).astype(np.int64)
+        cy1 = np.clip(np.floor((90 - (py - r)) / 180 * nx), 0,
+                      nx - 1).astype(np.int64)
+        ncx = cx1 - cx0 + 1
+        ncell = ncx * (cy1 - cy0 + 1)
+        q_of_cell = np.repeat(np.arange(len(px), dtype=np.int64), ncell)
+        local = _concat_ranges(np.zeros(len(px), np.int64), ncell)
+        nx_rep = np.repeat(ncx, ncell)
+        key = ((np.repeat(cx0, ncell) + local % nx_rep) << 29) \
+            | (np.repeat(cy0, ncell) + local // nx_rep)
+        keys = idx["cell_keys"]
+        pos = np.searchsorted(keys, key)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        hit = keys[pos_c] == key if len(keys) else np.zeros(len(key), bool)
+        off = idx["cell_offsets"]
+        starts = off[pos_c] * hit
+        counts = (off[pos_c + 1] - off[pos_c]) * hit
+        qi = np.repeat(q_of_cell, counts)
+        ii = idx["cell_points"][_concat_ranges(starts, counts)]
+        # clip to the actual box (cells overhang)
+        ok = ((idx["lon"][ii] >= px[qi] - r) & (idx["lon"][ii] <= px[qi] + r)
+              & (idx["lat"][ii] >= py[qi] - r)
+              & (idx["lat"][ii] <= py[qi] + r))
+        return qi[ok], ii[ok]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -322,47 +572,54 @@ class KnnJoiner:
         rows_pt: list[np.ndarray] = []
         rows_poi: list[np.ndarray] = []
         rows_d: list[np.ndarray] = []
-        for _ in range(8):
+        for round_i in range(10):
             if not len(pend):
                 break
-            boxes = np.column_stack([px[pend] - r, py[pend] - r,
-                                     px[pend] + r, py[pend] + r])
-            qi, ii = self.tree.query_boxes(boxes)
+            qi, ii = self._box_candidates(px[pend], py[pend], r)
+            done_mask = np.zeros(len(pend), dtype=bool)
             if len(qi):
                 d = ops.haversine_m(py[pend[qi]], px[pend[qi]],
                                     self.index["lat"][ii],
                                     self.index["lon"][ii])
-                # count candidates per pending point
-                cnt = np.bincount(qi, minlength=len(pend))
-                # a point is DONE if it has >= k candidates within the
-                # *inscribed* safe radius (a kth neighbour outside the box
-                # could be closer than a candidate near the corner); the
-                # east-west extent of an r-degree box shrinks by cos(lat)
-                safe_m_all = (r * 110_000.0
-                              * np.cos(np.deg2rad(np.abs(py[pend]))))
-                ok = np.flatnonzero(cnt >= k)
-                done_mask = np.zeros(len(pend), dtype=bool)
-                for p in ok:
-                    sel = qi == p
-                    ds = np.sort(d[sel])
-                    if ds[k - 1] <= safe_m_all[p]:
-                        done_mask[p] = True
-                        order = np.argsort(d[sel], kind="stable")
-                        cand = ii[sel][order][:k]
-                        rows_pt.append(np.full(k, pend[p]))
-                        rows_poi.append(self.index["ids"][cand])
-                        rows_d.append(np.sort(ds[:k]).round(3))
+                # fully vectorised per-point top-k: sort pairs by (point,
+                # distance, poi_id) and rank within the point's group
+                order = np.lexsort((self.index["ids"][ii], d, qi))
+                qi_s, ii_s, d_s = qi[order], ii[order], d[order]
+                grp_start = np.flatnonzero(
+                    np.diff(qi_s, prepend=qi_s[0] - 1))
+                counts = np.diff(np.append(grp_start, len(qi_s)))
+                rank = (np.arange(len(qi_s))
+                        - np.repeat(grp_start, counts))
+                # a point is DONE when its kth candidate lies within the
+                # *inscribed* safe radius (a neighbour outside the query box
+                # could otherwise be closer); east-west extent shrinks by
+                # cos(lat)
+                safe_m = (r * 110_000.0
+                          * np.cos(np.deg2rad(np.abs(py[pend]))))
+                has_k = counts >= k
+                grp_pt = qi_s[grp_start]           # pend-relative point idx
+                kth_d = d_s[np.minimum(grp_start + k - 1,
+                                       len(d_s) - 1)]
+                done_grp = has_k & (kth_d <= safe_m[grp_pt])
+                done_mask[grp_pt[done_grp]] = True
+                take = np.repeat(done_grp, counts) & (rank < k)
+                rows_pt.append(pend[qi_s[take]])
+                rows_poi.append(self.index["ids"][ii_s[take]])
+                rows_d.append(np.round(d_s[take], 3))
                 pend = pend[~done_mask]
             r *= 3.0
-            if r > 360.0 and len(pend):
-                # global fallback: brute force the stragglers
-                for p in pend:
-                    d = ops.haversine_m(py[p], px[p], self.index["lat"],
-                                        self.index["lon"])
-                    order = np.argsort(d, kind="stable")[:k]
-                    rows_pt.append(np.full(k, p))
-                    rows_poi.append(self.index["ids"][order])
-                    rows_d.append(d[order].round(3))
+            if (r > 360.0 or round_i == 9) and len(pend):
+                # brute-force the stragglers in one matmul-style sweep
+                d = ops.haversine_m(py[pend][:, None], px[pend][:, None],
+                                    self.index["lat"][None, :],
+                                    self.index["lon"][None, :])
+                part = np.argpartition(d, k - 1, axis=1)[:, :k]
+                rows = np.repeat(np.arange(len(pend)), k)
+                dd = d[rows, part.ravel()]
+                order2 = np.lexsort((part.ravel(), dd, rows))
+                rows_pt.append(pend[rows[order2]])
+                rows_poi.append(self.index["ids"][part.ravel()[order2]])
+                rows_d.append(np.round(dd[order2], 3))
                 pend = pend[:0]
         if rows_pt:
             pt = np.concatenate(rows_pt)
@@ -386,13 +643,15 @@ class KnnJoiner:
         return out.append_column("knn_rank", pa.array(rank + 1, pa.int64()))
 
 
-def knn_join(pages_ds, pois_ds, k: int = 1, id_col: str = "id",
-             batch_size: int = 32 * 1024, concurrency=(2, 16)):
-    index_ref = pack_point_index(pois_ds, id_col=id_col)
+def knn_join(pages_ds, pois_ds=None, k: int = 1, id_col: str = "id",
+             batch_size: int = 32 * 1024, concurrency=None,
+             index_ref=None):
+    if index_ref is None:
+        index_ref = pack_point_index(pois_ds, id_col=id_col)
     return pages_ds.map_batches(
         KnnJoiner, fn_constructor_kwargs={"index_ref": index_ref, "k": k},
         batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency)
+        concurrency=concurrency or _auto_concurrency())
 
 
 # ---------------------------------------------------------------------------
