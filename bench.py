@@ -61,14 +61,19 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         timings[name] = round(best, 3)
         counts[name] = int(n)
 
-    osm = OSM(fx, num_partitions=2 * num_cpus)
+    osm = OSM(fx)
     timed("buildings_assembly",
           lambda: osm.get_buildings().count())
     timed("walking_network",
           lambda: osm.get_network("walking").count())
 
-    pages = rd.read_parquet(f"{fx}/pages.parquet",
-                            override_num_blocks=2 * num_cpus)
+    # block count is data-dependent (~2 MB parquet per block), NOT
+    # CPU-dependent: the same input yields the same task graph at every
+    # parallelism level, so scaling runs vary only the worker count
+    pages_path = f"{fx}/pages.parquet"
+    pages_blocks = max(8, os.path.getsize(pages_path) // (2 << 20))
+    pages = rd.read_parquet(pages_path,
+                            override_num_blocks=int(pages_blocks))
     tiled = spatial.assign_tiles(pages, salt_threshold=2000)
     # streaming throughput (no materialize in the timing)
     timed("tile_assignment", lambda: tiled.count())
@@ -142,7 +147,7 @@ def run_scaling(sf_dir: str, low: int = None, high: int = None) -> dict:
     ($GRAFT_SCALING_SF, default sf0.3) so per-stage compute dominates the
     fixed session overheads the way it would on a real cluster run."""
     sf_dir = os.environ.get("GRAFT_SCALING_SF", "sf1")
-    low = low or int(os.environ.get("GRAFT_SCALING_LOW", "2"))
+    low = low or int(os.environ.get("GRAFT_SCALING_LOW", "8"))
     high = high or 4 * low
     results = {}
     for cpus in (low, high):

@@ -29,7 +29,18 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pyrosm_ray.filters.compiler import CompiledFilter, TagTest
+import re
+
+from pyrosm_ray.filters.compiler import CompiledFilter, TagTest, _pattern
+
+# RE2 (the engine behind pc.match_substring_regex) rejects lookaround and
+# backreferences; flags other than IGNORECASE are not forwarded either.
+_RE2_UNSUPPORTED = re.compile(r"\(\?[=!<]|\\[1-9]")
+
+
+def _re2_compatible(pattern: str, flags: int) -> bool:
+    return (flags & ~re.IGNORECASE) == 0 \
+        and _RE2_UNSUPPORTED.search(pattern) is None
 
 
 def _normalize_dict_filter(data_filter: dict | None) -> dict | None:
@@ -162,12 +173,25 @@ class TagBatchEvaluator:
             return hit if test.op == "eq" else ~hit
         # regex / nregex over the values of this key
         key_hit = pc.equal(self._keys, pa.scalar(test.key, pa.string()))
-        rx = pc.match_substring_regex(
-            self._items, test.value,
-            ignore_case=bool(test.flags & 2),  # re.IGNORECASE == 2
-        )
-        flat = pc.and_kleene(key_hit, rx)
-        hit = self._seg_count(self._flat_np(pc.fill_null(flat, False))) > 0
+        if _re2_compatible(test.value, test.flags):
+            rx = pc.match_substring_regex(
+                self._items, test.value,
+                ignore_case=bool(test.flags & 2),  # re.IGNORECASE == 2
+            )
+            flat = pc.and_kleene(key_hit, rx)
+            flat_np = self._flat_np(pc.fill_null(flat, False))
+        else:
+            # flags/syntax beyond RE2 (MULTILINE/DOTALL, lookaround,
+            # backrefs): evaluate with Python re so the hot path agrees
+            # with the scalar oracle; only values carrying the key run it
+            key_np = self._flat_np(pc.fill_null(key_hit, False))
+            items_np = self._flat_np(self._items)
+            pat = _pattern(test.value, test.flags)
+            flat_np = np.zeros(len(items_np), dtype=bool)
+            for i in np.flatnonzero(key_np):
+                v = items_np[i]
+                flat_np[i] = v is not None and pat.search(str(v)) is not None
+        hit = self._seg_count(flat_np) > 0
         return hit if test.op == "regex" else ~hit
 
     def compiled_filter_matches(self, cf: CompiledFilter) -> np.ndarray:

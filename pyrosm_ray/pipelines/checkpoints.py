@@ -107,6 +107,12 @@ class CheckpointManager:
         partitions (read back from the checkpoint files)."""
         done = self.completed_parts(stage)
         d = self._stage_dir(stage)
+        # sweep stale part-*.tmp dirs from crashed runs whose key is absent
+        # from the current key list (they would otherwise match the final
+        # glob and surface partial files as committed data)
+        if d.exists():
+            for stale in d.glob("part-*.tmp"):
+                shutil.rmtree(stale)
         for key in part_keys:
             part = str(key)
             if part in done:
@@ -134,7 +140,8 @@ class CheckpointManager:
                 "lineage": lineage, "wall_s": round(time.time() - t0, 3),
                 "ts": time.time(),
             })
-        dirs = sorted(str(p) for p in d.glob("part-*") if p.is_dir())
+        dirs = sorted(str(p) for p in d.glob("part-*")
+                      if p.is_dir() and not p.name.endswith(".tmp"))
         return rd.read_parquet(dirs) if dirs else None
 
     # -- metrics -----------------------------------------------------------

@@ -8,18 +8,29 @@ pois,boundary,networks,user_defined}.py) and the assembly lifecycle
 
 1. relations filtered by tag predicate; their way-member ids collected and
    broadcast (small side — reference relation_way_ids always-keep rule);
-2. ways filtered: candidate-key gate + value filter, relation members always
-   kept but excluded from standalone output (anti-join J4);
+2. ONE column-pruned pass over the ways table classifies every way as
+   standalone (candidate-key gate + value filter, anti-join J4) and/or
+   relation member; the filtered set is materialized once and feeds both
+   branches (the reference reads the ways stream once per layer too);
 3. node-ref coordinate join + way geometry typing
-   (:mod:`pyrosm_ray.stages.topology`);
-4. relation member-way join + multipolygon assembly
-   (:mod:`pyrosm_ray.geom.assembly`) via ``groupby(relation_id).map_groups``;
+   (:mod:`pyrosm_ray.stages.topology`) as plain Ray tasks over a broadcast
+   coordinate index (or the shuffle join past the broadcast threshold);
+4. relation member-way chains gathered distributed, assembled per relation
+   (:mod:`pyrosm_ray.geom.assembly`). Relations are ~0.1%% of elements
+   (the reference holds the kept set fully in memory per shard,
+   data_manager.pyx:64-92), so under ``strategy='broadcast'`` the chains are
+   collected and assembled driver-side; ``strategy='shuffle'`` keeps the
+   whole path distributed (groupby + join) for beyond-memory relation sets;
 5. node features as Point rows; the three element kinds union into one
-   Dataset with an ``osm_type`` column (M26).
+   Dataset with an ``osm_type`` column (M26). The union schema is computed
+   statically (promote_tags emits the full requested column list), so no
+   branch executes early just to introspect its schema.
 
 Geometry travels as WKB ``binary``; output column contract = promoted tag
-columns + ``id, osm_type, geometry, tags`` (+ metadata when requested), with
-never-occurring tag columns droppable via
+columns + ``id, osm_type, geometry, tags`` (+ element metadata columns when
+``keep_metadata=True`` — the reference's keep_meta lever,
+pyrosm/pyrosm.py:347-353; metadata columns are never even read otherwise),
+with never-occurring tag columns droppable via
 :func:`pyrosm_ray.stages.tags.drop_empty_columns`.
 
 bbox semantics (SURVEY.md §2 J2/J5/J6/J7): a way is kept when >=1 of its
@@ -27,14 +38,18 @@ refs lies in the box (complete-ways semi-join); kept ways' out-of-box
 vertices still resolve (completion #236 is automatic — the coordinate index
 spans the full node table); the final intersects filter runs per batch
 against the box. ``complete_relations=True`` additionally pulls member ways
-wholly outside the box (J6).
+wholly outside the box (J6, pyrosm/pbfreader.pyx:554-599).
 """
 
 from __future__ import annotations
 
+import functools
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
@@ -45,10 +60,9 @@ from pyrosm_ray.geom import ops
 from pyrosm_ray.geom.assembly import relation_geometry
 from pyrosm_ray.geom import wkb as wkblib
 from pyrosm_ray.stages import topology
-from pyrosm_ray.stages.tags import promote_tags
+from pyrosm_ray.stages.tags import STRUCTURAL_COLUMNS, promote_tags
 
-STRUCT_NODE_COLS = ["id", "lon", "lat", "tags", "version", "changeset",
-                    "timestamp", "visible"]
+META_COLS = ("version", "changeset", "timestamp", "visible")
 
 
 def _ensure_filter_key(custom_filter, key):
@@ -72,47 +86,80 @@ def _filter_keys(data_filter, osm_keys):
     return []
 
 
+def _promoted_names(tag_columns) -> list[str]:
+    return [k + "_tag" if k in STRUCTURAL_COLUMNS else k for k in tag_columns]
+
+
 class OSM:
     """Reader over the element Parquet tables (the reference ``OSM`` class
     reshaped for Ray: every getter returns a lazy ``ray.data.Dataset``)."""
 
     def __init__(self, src_dir: str, bounding_box=None,
                  strategy: str = "broadcast", keep_metadata: bool = False,
-                 num_partitions: int = 16):
+                 num_partitions: int | None = None,
+                 complete_relations: bool = False):
         self.src = str(src_dir).rstrip("/")
         self.bbox = tuple(bounding_box) if bounding_box is not None else None
         self.strategy = strategy
         self.keep_metadata = keep_metadata
         self.num_partitions = num_partitions
+        self.complete_relations = complete_relations
         self._coord_ref = None
         self._inbox_node_ids = None
+        self._schemas: dict[str, pa.Schema] = {}
 
     # -- element tables ---------------------------------------------------
+    def _path(self, table: str) -> str:
+        return f"{self.src}/{table}.parquet"
+
+    def _schema(self, table: str) -> pa.Schema:
+        if table not in self._schemas:
+            self._schemas[table] = pq.read_schema(self._path(table))
+        return self._schemas[table]
+
+    def _meta_cols(self, table: str) -> list[str]:
+        """Element metadata columns present on ``table`` (read only when
+        ``keep_metadata`` — the documented −23%% wall / −RSS lever)."""
+        if not self.keep_metadata:
+            return []
+        names = set(self._schema(table).names)
+        return [c for c in META_COLS if c in names]
+
+    # block sizing: ~1 MB of parquet per block (reference bounds shards at
+    # ~8 MB raw, pyrosm/engine/decode.py:20-24). Data-dependent, NOT
+    # CPU-dependent, so the same input produces the same task graph at any
+    # parallelism level (cluster scaling varies only the worker count).
+    BLOCK_TARGET_BYTES = 1 << 20
+
+    def _auto_blocks(self, table: str) -> int:
+        size = os.path.getsize(self._path(table))
+        return int(np.clip(size // self.BLOCK_TARGET_BYTES, 1, 4096))
+
+    def _read(self, table: str, columns=None) -> rd.Dataset:
+        blocks = self.num_partitions or self._auto_blocks(table)
+        return rd.read_parquet(self._path(table), columns=columns,
+                               override_num_blocks=blocks)
+
     def nodes(self, columns=None) -> rd.Dataset:
-        return rd.read_parquet(f"{self.src}/osm_nodes.parquet",
-                               columns=columns,
-                               override_num_blocks=self.num_partitions)
+        return self._read("osm_nodes", columns)
 
     def ways(self, columns=None) -> rd.Dataset:
-        # enough blocks that the assembler actor pool has one task per slot
-        return rd.read_parquet(f"{self.src}/osm_ways.parquet",
-                               columns=columns,
-                               override_num_blocks=self.num_partitions)
+        return self._read("osm_ways", columns)
 
     def relations(self, columns=None) -> rd.Dataset:
-        return rd.read_parquet(f"{self.src}/osm_relations.parquet",
-                               columns=columns)
+        return self._read("osm_relations", columns)
 
     # -- shared broadcast state ------------------------------------------
     COORDS_DRIVER_MAX_BYTES = 2 << 30
 
+    def _coords_fit_broadcast(self) -> bool:
+        return os.path.getsize(
+            self._path("osm_nodes")) <= self.COORDS_DRIVER_MAX_BYTES
+
     def coord_ref(self):
         if self._coord_ref is None:
-            import os
-
-            import pyarrow.parquet as pq
-            path = f"{self.src}/osm_nodes.parquet"
-            if os.path.getsize(path) <= self.COORDS_DRIVER_MAX_BYTES:
+            path = self._path("osm_nodes")
+            if self._coords_fit_broadcast():
                 # local-file fast path: one pyarrow read beats a Ray round
                 # trip; the object-store broadcast is identical either way
                 t = pq.read_table(path, columns=["id", "lon", "lat"])
@@ -168,12 +215,14 @@ class OSM:
         if not nodes:
             return edges
         edges = edges.materialize()
-        ids = set()
+        parts = []
         for b in edges.select_columns(["u", "v"]).iter_batches(
                 batch_size=1 << 18, batch_format="pyarrow"):
-            ids.update(b["u"].to_pylist())
-            ids.update(b["v"].to_pylist())
-        id_arr = np.sort(np.fromiter(ids, dtype=np.int64, count=len(ids)))
+            parts.append(np.unique(np.concatenate([
+                np.asarray(b["u"].to_numpy(zero_copy_only=False)),
+                np.asarray(b["v"].to_numpy(zero_copy_only=False))])))
+        id_arr = np.unique(np.concatenate(parts)) if parts else \
+            np.empty(0, dtype=np.int64)
         id_ref = ray.put(id_arr)
 
         def node_semi(batch: pa.Table) -> pa.Table:
@@ -183,7 +232,9 @@ class OSM:
             m = arr[pos] == nid if len(arr) else np.zeros(len(nid), bool)
             return batch.filter(pa.array(m))
 
-        node_ds = self.nodes().map_batches(node_semi, batch_format="pyarrow")
+        node_cols = ["id", "lon", "lat", "tags"] + self._meta_cols("osm_nodes")
+        node_ds = self.nodes(columns=node_cols).map_batches(
+            node_semi, batch_format="pyarrow")
         return node_ds, edges
 
     def get_buildings(self, custom_filter=None) -> rd.Dataset:
@@ -269,10 +320,11 @@ class OSM:
 
     # -- core layer assembly ----------------------------------------------
     def _layer(self, osm_keys, data_filter, filter_type, tag_columns, mode,
-               keep_nodes, keep_ways, keep_relations, keep_all=False,
-               complete_relations: bool = False) -> rd.Dataset:
+               keep_nodes, keep_ways, keep_relations,
+               keep_all=False) -> rd.Dataset:
         tag_columns = list(dict.fromkeys(tag_columns))
-        parts = []
+        complete_relations = self.complete_relations
+        parts: list[tuple[str, rd.Dataset]] = []
 
         member_ref = None
         rel_kept = None
@@ -285,11 +337,13 @@ class OSM:
                 member_ref = ray.put(member_ids)
 
         if keep_ways or keep_relations:
-            ways = self.ways()
+            way_cols = ["id", "refs", "tags"] + self._meta_cols("osm_ways")
+            ways = self.ways(columns=way_cols)
             inbox_ref = self.inbox_node_ids()
 
-            def way_filter(batch: pa.Table, *, member_ref=member_ref,
-                           inbox_ref=inbox_ref, standalone=True) -> pa.Table:
+            def way_filter(batch: pa.Table) -> pa.Table:
+                """ONE pass: classify standalone vs relation-member, apply
+                the bbox semi-join, keep the union, flag members."""
                 ev = TagBatchEvaluator(batch["tags"])
                 ids = np.asarray(batch["id"].to_numpy(zero_copy_only=False),
                                  dtype=np.int64)
@@ -300,30 +354,52 @@ class OSM:
                         pos = np.searchsorted(mids, ids)
                         pos = np.clip(pos, 0, len(mids) - 1)
                         member = mids[pos] == ids
-                if standalone:
-                    mask = ev.keep_mask(osm_keys, data_filter, filter_type,
-                                        keep_all=keep_all) & ~member
+                touches = None
+                if inbox_ref is not None:
+                    touches = _way_touches_nodes(batch, ray.get(inbox_ref))
+                if keep_ways:
+                    stand = ev.keep_mask(osm_keys, data_filter, filter_type,
+                                         keep_all=keep_all) & ~member
+                    if touches is not None:
+                        stand &= touches
                 else:
-                    mask = member
-                if inbox_ref is not None and (standalone or
-                                              not complete_relations):
-                    mask &= _way_touches_nodes(batch, ray.get(inbox_ref))
-                return batch.filter(pa.array(mask))
+                    stand = np.zeros(len(batch), dtype=bool)
+                memb = member if keep_relations else \
+                    np.zeros(len(batch), dtype=bool)
+                if touches is not None and not complete_relations:
+                    memb = memb & touches
+                keep = stand | memb
+                out = batch.filter(pa.array(keep))
+                return out.append_column(
+                    "__member", pa.array(memb[keep], pa.bool_()))
+
+            filtered = ways.map_batches(way_filter, batch_format="pyarrow")
+            both = keep_ways and keep_relations
+            if both:
+                # the kept set (a small fraction of the ways table) feeds
+                # both branches; materializing it avoids a second full
+                # read+filter pass (blocks spill to disk past memory)
+                filtered = filtered.materialize()
 
             if keep_ways:
-                standalone = ways.map_batches(
-                    way_filter, batch_format="pyarrow")
-                standalone = standalone.map_batches(
-                    lambda b: promote_tags(b, tag_columns),
-                    batch_format="pyarrow")
-                assembled = self._assemble(standalone, mode)
-                parts.append(("way", assembled))
+                def promote_standalone(batch: pa.Table) -> pa.Table:
+                    if both:
+                        batch = batch.filter(
+                            pc.invert(batch["__member"]))
+                    batch = batch.drop_columns(["__member"])
+                    return promote_tags(batch, tag_columns)
 
-            if keep_relations and rel_kept is not None:
-                member_ways = ways.map_batches(
-                    lambda b: way_filter(b, standalone=False),
-                    batch_format="pyarrow")
-                rel_rows = self._assemble_relations(rel_kept, member_ways,
+                standalone = filtered.map_batches(
+                    promote_standalone, batch_format="pyarrow")
+                parts.append(("way", self._assemble(standalone, mode)))
+
+            if keep_relations:
+                members = filtered
+                if both:
+                    members = filtered.map_batches(
+                        lambda b: b.filter(b["__member"]),
+                        batch_format="pyarrow")
+                rel_rows = self._assemble_relations(rel_kept, members,
                                                     tag_columns)
                 if rel_rows is not None:
                     parts.append(("relation", rel_rows))
@@ -332,15 +408,60 @@ class OSM:
             parts.append(("node", self._node_features(
                 osm_keys, data_filter, filter_type, keep_all, tag_columns)))
 
-        datasets = []
-        for osm_type, ds in parts:
-            def add_type(batch: pa.Table, t=osm_type) -> pa.Table:
-                return batch.append_column(
-                    "osm_type", pa.array([t] * len(batch), pa.string()))
-            datasets.append(ds.map_batches(add_type, batch_format="pyarrow"))
-        out = union_aligned(datasets)
+        out = self._union_parts(parts, tag_columns, mode, keep_nodes)
         if self.bbox is not None:
             out = filter_intersects_bbox(out, self.bbox)
+        return out
+
+    def _union_parts(self, parts, tag_columns, mode, keep_nodes):
+        """Align every part to the statically-known union schema and union.
+
+        promote_tags emits the full requested column list per batch, so the
+        union schema never needs a (partial-execution-triggering)
+        ``Dataset.schema()`` call."""
+        target: dict[str, pa.DataType] = {"id": pa.int64()}
+        for nm in _promoted_names(tag_columns):
+            target[nm] = pa.string()
+        target["tags"] = pa.string()
+        if keep_nodes:
+            target["lon"] = pa.float64()
+            target["lat"] = pa.float64()
+        if self.keep_metadata:
+            tables = ["osm_ways", "osm_relations"] + \
+                (["osm_nodes"] if keep_nodes else [])
+            for tbl in tables:
+                sch = self._schema(tbl)
+                for c in self._meta_cols(tbl):
+                    if c not in target:
+                        target[c] = sch.field(c).type
+        if mode == "network_segments":
+            target["u"] = pa.int64()
+            target["v"] = pa.int64()
+        if mode in ("network", "network_segments"):
+            target["length"] = pa.float64()
+        target["geometry"] = pa.binary()
+        target["osm_type"] = pa.string()
+        names = list(target)
+
+        datasets = []
+        for osm_type, ds in parts:
+            def align(batch: pa.Table, t=osm_type) -> pa.Table:
+                cols = {}
+                for name in names:
+                    if name == "osm_type":
+                        cols[name] = pa.array([t] * len(batch), pa.string())
+                    elif name in batch.column_names:
+                        col = batch[name]
+                        if pa.types.is_null(col.type):
+                            col = pa.nulls(len(batch), target[name])
+                        cols[name] = col
+                    else:
+                        cols[name] = pa.nulls(len(batch), target[name])
+                return pa.table(cols)
+            datasets.append(ds.map_batches(align, batch_format="pyarrow"))
+        out = datasets[0]
+        for d in datasets[1:]:
+            out = out.union(d)
         return out
 
     # -- helpers ----------------------------------------------------------
@@ -349,16 +470,17 @@ class OSM:
     def _kept_relations(self, osm_keys, data_filter, filter_type, keep_all):
         """Filter relations; return (kept relations as an in-memory Arrow
         table, sorted way-member id array). Relations are the small side by
-        construction (~0.1% of elements): under 256 MB on disk they are
-        filtered driver-side with the same vectorised evaluator (saves three
+        construction (~0.1%% of elements): under 256 MB on disk they are
+        filtered driver-side with the same vectorised evaluator (saves
         serialized Ray executions per layer); above that, a distributed
-        filter collects the kept set."""
-        import os
-
-        import pyarrow.parquet as pq
-        path = f"{self.src}/osm_relations.parquet"
+        filter collects only the (already-filtered) kept set."""
+        path = self._path("osm_relations")
         if os.path.getsize(path) <= self.RELATIONS_DRIVER_MAX_BYTES:
             t = pq.read_table(path)
+            ev = TagBatchEvaluator(t["tags"])
+            mask = ev.keep_mask(osm_keys, data_filter, filter_type,
+                                keep_all=keep_all)
+            kept_t = t.filter(pa.array(mask))
         else:
             kept = self.relations().map_batches(
                 lambda b: b.filter(pa.array(
@@ -366,13 +488,9 @@ class OSM:
                         osm_keys, data_filter, filter_type,
                         keep_all=keep_all))),
                 batch_format="pyarrow").materialize()
-            t = pa.concat_tables(
+            kept_t = pa.concat_tables(
                 [pa.table(b) for b in kept.iter_batches(
                     batch_size=1 << 16, batch_format="pyarrow")])
-        ev = TagBatchEvaluator(t["tags"])
-        mask = ev.keep_mask(osm_keys, data_filter, filter_type,
-                            keep_all=keep_all)
-        kept_t = t.filter(pa.array(mask))
         if kept_t.num_rows == 0:
             return None, np.empty(0, dtype=np.int64)
         members = kept_t["members"].combine_chunks()
@@ -385,20 +503,25 @@ class OSM:
         return kept_t, member_ids
 
     def _assemble(self, ways_ds, mode):
-        if self.strategy == "broadcast":
+        strategy = self.strategy
+        if strategy == "broadcast" and not self._coords_fit_broadcast():
+            # the node table outgrew the object-store broadcast contract:
+            # route to the (parity-tested) shuffle join automatically
+            strategy = "shuffle"
+        if strategy == "broadcast":
             return ways_ds.map_batches(
-                topology.WayAssembler,
-                fn_constructor_kwargs={"coord_ref": self.coord_ref(),
-                                       "mode": mode},
-                batch_format="pyarrow", batch_size=16 * 1024,
-                concurrency=(1, max(2, self.num_partitions)))
+                functools.partial(topology.assemble_ways_batch,
+                                  coord_ref=self.coord_ref(), mode=mode),
+                batch_format="pyarrow", batch_size=16 * 1024)
         return topology.assemble_ways(
             ways_ds, self.nodes(columns=["id", "lon", "lat"]), mode=mode,
-            strategy="shuffle", num_partitions=self.num_partitions)
+            strategy="shuffle",
+            num_partitions=self.num_partitions or 32)
 
     def _node_features(self, osm_keys, data_filter, filter_type, keep_all,
                        tag_columns):
-        nodes = self.nodes()
+        node_cols = ["id", "lon", "lat", "tags"] + self._meta_cols("osm_nodes")
+        nodes = self.nodes(columns=node_cols)
         bbox = self.bbox
 
         def node_filter(batch: pa.Table) -> pa.Table:
@@ -419,27 +542,9 @@ class OSM:
 
         return nodes.map_batches(node_filter, batch_format="pyarrow")
 
-    def _assemble_relations(self, rel_kept, member_ways_ds, tag_columns):
-        """Member-way join + multipolygon assembly.
-
-        Member ways' coordinate chains are built per batch (broadcast gather),
-        then grouped per relation with ``groupby.map_groups`` (reference J3 +
-        M21-M23). The member->relation mapping is shipped broadcast (small
-        side)."""
-        # relation payload with typing flags
-        def rel_payload(batch: pa.Table) -> pa.Table:
-            tags_list = batch["tags"].to_pylist()
-            force = [ops.relation_is_linestring(dict(t) if t else {})
-                     for t in tags_list]
-            out = promote_tags(batch, tag_columns)
-            out = out.drop_columns(
-                [c for c in ("members",) if c in out.column_names])
-            return out.append_column("__force_line", pa.array(force, pa.bool_()))
-
-        # rel_kept is an in-memory Arrow table (the small side)
-        payload = rd.from_arrow(rel_payload(rel_kept))
-
-        # (relation_id, way_member_id) pairs — broadcast (small side)
+    # -- relation assembly -------------------------------------------------
+    def _member_pairs(self, rel_kept):
+        """(sorted way-member ids, their relation ids) from the kept set."""
         members = rel_kept["members"].combine_chunks()
         off = np.asarray(members.offsets, dtype=np.int64)
         rel_ids_np = np.asarray(rel_kept["id"].to_numpy(
@@ -455,10 +560,16 @@ class OSM:
         rel_of = rel_ids_np[rep[w]]
         way_of = mid[w]
         order = np.argsort(way_of, kind="stable")
-        pair_ref = ray.put((way_of[order], rel_of[order]))
+        return way_of[order], rel_of[order]
+
+    def _member_chains(self, rel_kept, member_ways_ds):
+        """Member-way coordinate chains tagged with their relation id:
+        rows of (relation_id, chain<binary>) — the J3 join side. Chains are
+        packed ``<f8`` (lon,lat) pairs; the per-way gather runs distributed
+        against the broadcast coordinate index."""
+        pair_ref = ray.put(self._member_pairs(rel_kept))
         coord_ref = self.coord_ref()
 
-        # member way coord chains tagged with their relation id
         def member_coords(batch: pa.Table) -> pa.Table:
             flat, off = topology._refs_csr(batch["refs"])
             lon, lat, valid = topology.gather_coords(
@@ -466,51 +577,111 @@ class OSM:
             cs = np.zeros(len(flat) + 1, dtype=np.int64)
             np.cumsum(valid, out=cs[1:])
             voff = cs[off]
-            lon_v, lat_v = lon[valid], lat[valid]
+            coords_v = np.ascontiguousarray(
+                np.column_stack([lon[valid], lat[valid]]), dtype="<f8")
+            raw = coords_v.tobytes()
             ids = np.asarray(batch["id"].to_numpy(zero_copy_only=False),
                              dtype=np.int64)
-            woff = (voff - voff[0]).astype(np.int32)
-            xs = pa.ListArray.from_arrays(pa.array(woff),
-                                          pa.array(lon_v, pa.float64()))
-            ys = pa.ListArray.from_arrays(pa.array(woff),
-                                          pa.array(lat_v, pa.float64()))
-            # expand to one row per (relation, member way)
             wsort, rsort = ray.get(pair_ref)
             lo = np.searchsorted(wsort, ids, side="left")
             hi = np.searchsorted(wsort, ids, side="right")
             counts = hi - lo
             rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
             rel_ids = rsort[topology.concat_ranges(lo, counts)]
+            blobs = [raw[16 * voff[i]:16 * voff[i + 1]] for i in rep]
             return pa.table({
                 "relation_id": pa.array(rel_ids, pa.int64()),
-                "xs": xs.take(pa.array(rep)),
-                "ys": ys.take(pa.array(rep)),
+                "chain": pa.array(blobs, pa.binary()),
             })
 
-        chains = member_ways_ds.map_batches(member_coords,
-                                            batch_format="pyarrow")
-        # with a bbox every member way may be filtered out — all-empty blocks
-        # would break the join, so guard (costs one extra execution); without
-        # a bbox the member set is non-empty by construction
-        if self.bbox is not None:
-            chains = chains.materialize()
-            if chains.count() == 0:
-                return None
+        return member_ways_ds.map_batches(member_coords,
+                                          batch_format="pyarrow")
+
+    def _rel_payload(self, rel_kept: pa.Table, tag_columns) -> pa.Table:
+        """Promoted relation payload columns + the __force_line typing flag
+        (M21: route/boundary linestring rule)."""
+        tags_list = rel_kept["tags"].to_pylist()
+        force = [ops.relation_is_linestring(dict(t) if t else {})
+                 for t in tags_list]
+        drop = ["members"]
+        if not self.keep_metadata:
+            drop += [c for c in META_COLS if c in rel_kept.column_names]
+        out = promote_tags(rel_kept.drop_columns(drop), tag_columns)
+        return out.append_column("__force_line",
+                                 pa.array(force, pa.bool_()))
+
+    def _assemble_relations(self, rel_kept, member_ways_ds, tag_columns):
+        """Member-way join + multipolygon assembly (J3 + M21-M23).
+
+        ``strategy='broadcast'`` (relations fit the driver — the same
+        contract as :meth:`_kept_relations`): chains are collected and the
+        per-relation assembly loop runs driver-side, zero shuffles.
+        ``strategy='shuffle'``: groupby(relation_id) + acero join, fully
+        distributed (the beyond-memory escape hatch)."""
+        if self.strategy == "broadcast":
+            return self._assemble_relations_driver(
+                rel_kept, member_ways_ds, tag_columns)
+        return self._assemble_relations_distributed(
+            rel_kept, member_ways_ds, tag_columns)
+
+    def _assemble_relations_driver(self, rel_kept, member_ways_ds,
+                                   tag_columns):
+        from collections import defaultdict
+        per_rel: dict[int, list[np.ndarray]] = defaultdict(list)
+        chains = self._member_chains(rel_kept, member_ways_ds)
+        for b in chains.iter_batches(batch_size=1 << 16,
+                                     batch_format="pyarrow"):
+            rids = np.asarray(b["relation_id"].to_numpy(
+                zero_copy_only=False))
+            for rid, blob in zip(rids, b["chain"].to_pylist()):
+                arr = np.frombuffer(blob, dtype="<f8").reshape(-1, 2)
+                if len(arr) >= 2:
+                    per_rel[int(rid)].append(arr)
+        payload = self._rel_payload(rel_kept, tag_columns)
+        force = np.asarray(payload["__force_line"].to_numpy(
+            zero_copy_only=False))
+        rel_ids = np.asarray(rel_kept["id"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+        keep_rows, geoms = [], []
+        for i, rid in enumerate(rel_ids):
+            lines = per_rel.get(int(rid))
+            if not lines:
+                continue
+            g = relation_geometry(lines, bool(force[i]))
+            if g is None:
+                continue
+            keep_rows.append(i)
+            geoms.append(g)
+        if not keep_rows:
+            return None
+        out = payload.take(pa.array(keep_rows, pa.int64()))
+        out = out.drop_columns(["__force_line"])
+        out = out.append_column("geometry", pa.array(geoms, pa.binary()))
+        return rd.from_arrow(out)
+
+    def _assemble_relations_distributed(self, rel_kept, member_ways_ds,
+                                        tag_columns):
+        """Distributed J3: chains grouped per relation
+        (``groupby.map_groups``), payload joined back by relation id."""
+        payload = rd.from_arrow(self._rel_payload(rel_kept, tag_columns))
+        chains = self._member_chains(rel_kept, member_ways_ds)
+        # guard unconditionally: a layer whose kept relations resolve no
+        # member ways would feed an empty/schema-less grouped side into the
+        # acero join and fail at execution
+        chains = chains.materialize()
+        if chains.count() == 0:
+            return None
 
         def assemble(group: pa.Table) -> pa.Table:
-            # list payloads are packed to binary: acero hash joins (under
-            # Dataset.join) reject nested payload columns
             rel_id = group["relation_id"][0].as_py()
-            xs = group["xs"].to_pylist()
-            ys = group["ys"].to_pylist()
-            lines = [np.column_stack([x, y]) for x, y in zip(xs, ys)
-                     if x is not None and len(x) >= 2]
-            flat = (np.concatenate(lines) if lines
-                    else np.empty((0, 2))).astype("<f8")
-            lens = np.array([len(l) for l in lines], dtype="<i8")
+            blobs = [b for b in group["chain"].to_pylist() if b]
+            lens = np.array([len(b) // 16 for b in blobs], dtype="<i8")
+            flat = (np.frombuffer(b"".join(blobs), dtype="<f8")
+                    .reshape(-1, 2) if blobs else np.empty((0, 2)))
             return pa.table({
                 "id": pa.array([rel_id], pa.int64()),
-                "__lines": pa.array([flat.tobytes()], pa.binary()),
+                "__lines": pa.array([flat.astype("<f8").tobytes()],
+                                    pa.binary()),
                 "__lens": pa.array([lens.tobytes()], pa.binary()),
             })
 
@@ -518,9 +689,9 @@ class OSM:
             assemble, batch_format="pyarrow")
         # coalesce away the zero-column empty blocks hash-groupby emits for
         # empty partitions — acero joins reject schema-less blocks
-        grouped = grouped.repartition(max(2, self.num_partitions // 8))
-        joined = payload.join(grouped, "inner",
-                              num_partitions=max(2, self.num_partitions // 4),
+        nparts = max(2, (self.num_partitions or 32) // 8)
+        grouped = grouped.repartition(nparts)
+        joined = payload.join(grouped, "inner", num_partitions=nparts,
                               on=("id",),
                               aggregator_ray_remote_args={"num_cpus": 0.25})
 
@@ -534,7 +705,8 @@ class OSM:
                 flat = np.frombuffer(lines_col[i], dtype="<f8").reshape(-1, 2)
                 lens = np.frombuffer(lens_col[i], dtype="<i8")
                 offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-                lines = [flat[offs[j]:offs[j + 1]] for j in range(len(lens))]
+                lines = [flat[offs[j]:offs[j + 1]] for j in range(len(lens))
+                         if offs[j + 1] - offs[j] >= 2]
                 geoms.append(relation_geometry(lines, bool(force[i])))
             cols = {c: batch[c] for c in batch.column_names
                     if not c.startswith("__")}

@@ -11,13 +11,14 @@ Pipelines:
   deterministic salt for mega-cells (city centres): a cheap count aggregate
   finds cells over threshold, pages in them get ``salt = page_id % k``
   (SURVEY.md §4 skew row).
-* :class:`PipJoiner` — stateful actor-pool stage: polygons (the small side)
-  are broadcast once via ``ray.put``; each actor decodes them and builds an
-  STRtree in ``__init__``; every page batch queries candidates and confirms
-  with exact even-odd PIP. Pages stream — ``html``/``text`` pass through the
+* :func:`pip_join` — polygons (the small side) are decoded distributed and
+  packed ONCE into a flat uniform-grid candidate index broadcast via
+  ``ray.put``; every page batch (a plain Ray task — the per-task ``ray.get``
+  is a zero-copy plasma read) looks up grid candidates and confirms with
+  exact even-odd PIP. Pages stream — ``html``/``text`` pass through the
   batch untouched (byte-identical per url invariant).
-* :class:`KnnJoiner` — kNN-to-nearest-POI with expanding-radius candidate
-  search against a broadcast point index + exact haversine ranking.
+* :func:`knn_join` — kNN-to-nearest-POI with expanding-radius candidate
+  search against a broadcast point grid index + exact haversine ranking.
 * :func:`pip_join_partitioned` — the co-partitioned shuffle variant for when
   the polygon side outgrows a broadcast: both sides keyed by covering cell
   (polygons replicated to every cell their bbox covers), joined per cell.
@@ -35,21 +36,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+import functools
+
 from pyrosm_ray.fixtures import geocode_from_page_id
 from pyrosm_ray.geom import ops, wkb
-from pyrosm_ray.geom.strtree import STRtree
 from pyrosm_ray.tiles import grid
-
-
-def _auto_concurrency():
-    """Actor-pool bounds sized to the cluster (min 1 actor, max = CPUs)."""
-    try:
-        n = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        n = 8
-    # pre-start half the pool: lazy 1-actor ramp-up wastes the first seconds
-    # of every stage; full pre-start delays short stages
-    return (max(1, n // 2), max(2, n))
 
 
 # ---------------------------------------------------------------------------
@@ -390,47 +381,53 @@ def _cell_candidates(index, px: np.ndarray, py: np.ndarray):
     return cand_pt[ok], cand_poly[ok]
 
 
-class PipJoiner:
-    """Actor-pool point-in-polygon joiner (stateful map_batches stage).
+def pip_join_batch(batch: pa.Table, *, index_ref, how: str = "inner",
+                   lon_col: str = "lon", lat_col: str = "lat") -> pa.Table:
+    """Point-in-polygon join over one page batch (plain-task map_batches
+    stage: the per-task ``ray.get`` of the broadcast polygon index is a
+    zero-copy plasma read, so no actor pool needs to spin up).
 
-    ``__init__`` (once per actor): fetch the broadcast polygon index, build
-    the STRtree over polygon bboxes. ``__call__`` (per page batch): tree
-    candidates -> exact even-odd PIP -> emit one row per (page, polygon)
-    hit; non-matching pages drop (inner) or keep nulls (left outer).
-    """
+    Uniform-grid candidates -> exact even-odd PIP -> one row per
+    (page, polygon) hit; non-matching pages drop (inner) or keep nulls
+    (left outer)."""
+    index = ray.get(index_ref)  # zero-copy numpy views from plasma
+    n = len(batch)
+    px = np.asarray(batch[lon_col].to_numpy(zero_copy_only=False))
+    py = np.asarray(batch[lat_col].to_numpy(zero_copy_only=False))
+    cand_pt, cand_poly = _cell_candidates(index, px, py)
+    keep = _confirm_pip(index, cand_pt, cand_poly, px, py)
+    hit_pt = cand_pt[keep]
+    hit_poly = index["ids"][cand_poly[keep]]
+    if how == "inner":
+        out = batch.take(pa.array(hit_pt))
+        out = out.append_column("polygon_id",
+                                pa.array(hit_poly, pa.int64()))
+    else:  # left outer: first hit per page, null if none
+        poly_col = np.full(n, None, dtype=object)
+        # keep the first (lowest polygon id) hit deterministically
+        order = np.lexsort((hit_poly, hit_pt))
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = hit_pt[order][1:] != hit_pt[order][:-1]
+        for p, g in zip(hit_pt[order][first], hit_poly[order][first]):
+            poly_col[p] = int(g)
+        out = batch.append_column("polygon_id",
+                                  pa.array(poly_col, pa.int64()))
+    return out.append_column(
+        "polygon_layer",
+        pa.array([index["layer"]] * len(out), pa.string()))
+
+
+class PipJoiner:
+    """Actor-form of :func:`pip_join_batch` (kept for callers that want an
+    explicit actor pool; the index is fetched once per actor)."""
 
     def __init__(self, index_ref, how: str = "inner",
                  lon_col: str = "lon", lat_col: str = "lat"):
-        self.index = ray.get(index_ref)  # zero-copy numpy views from plasma
-        self.how = how
-        self.lon_col = lon_col
-        self.lat_col = lat_col
+        self.kwargs = dict(index_ref=index_ref, how=how,
+                           lon_col=lon_col, lat_col=lat_col)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        px = np.asarray(batch[self.lon_col].to_numpy(zero_copy_only=False))
-        py = np.asarray(batch[self.lat_col].to_numpy(zero_copy_only=False))
-        cand_pt, cand_poly = _cell_candidates(self.index, px, py)
-        keep = _confirm_pip(self.index, cand_pt, cand_poly, px, py)
-        hit_pt = cand_pt[keep]
-        hit_poly = self.index["ids"][cand_poly[keep]]
-        if self.how == "inner":
-            out = batch.take(pa.array(hit_pt))
-            out = out.append_column("polygon_id",
-                                    pa.array(hit_poly, pa.int64()))
-        else:  # left outer: first hit per page, null if none
-            poly_col = np.full(n, None, dtype=object)
-            # keep the first (lowest polygon id) hit deterministically
-            order = np.lexsort((hit_poly, hit_pt))
-            first = np.ones(len(order), dtype=bool)
-            first[1:] = hit_pt[order][1:] != hit_pt[order][:-1]
-            for p, g in zip(hit_pt[order][first], hit_poly[order][first]):
-                poly_col[p] = int(g)
-            out = batch.append_column("polygon_id",
-                                      pa.array(poly_col, pa.int64()))
-        return out.append_column(
-            "polygon_layer",
-            pa.array([self.index["layer"]] * len(out), pa.string()))
+        return pip_join_batch(batch, **self.kwargs)
 
 
 def pip_join(pages_ds, polygons_ds=None, how: str = "inner",
@@ -445,10 +442,8 @@ def pip_join(pages_ds, polygons_ds=None, how: str = "inner",
         index_ref = pack_polygon_index(polygons_ds, id_col=id_col,
                                        layer=layer)
     return pages_ds.map_batches(
-        PipJoiner,
-        fn_constructor_kwargs={"index_ref": index_ref, "how": how},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or _auto_concurrency())
+        functools.partial(pip_join_batch, index_ref=index_ref, how=how),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -500,28 +495,34 @@ def pack_point_index(points_ds, id_col: str = "id",
     key_s = key[order]
     uniq, starts = np.unique(key_s, return_index=True)
     offsets = np.append(starts, len(key_s)).astype(np.int64)
+    # density-adaptive start radius for the expanding-ring search
+    # (expect ~pi*k candidates in the first box); computed once at pack
+    # time so the join stage can run as plain tasks
+    if len(lon) > 1:
+        w = max(lon.max() - lon.min(), 1e-6)
+        h = max(lat.max() - lat.min(), 1e-6)
+        r0 = float(np.sqrt(w * h / len(lon)))
+    else:
+        r0 = 0.01
     return ray.put({"ids": ids, "lon": lon, "lat": lat,
                     "cell_res": res, "cell_keys": uniq,
                     "cell_offsets": offsets,
-                    "cell_points": order.astype(np.int64)})
+                    "cell_points": order.astype(np.int64),
+                    "r0": r0})
 
 
 class KnnJoiner:
-    """Actor-pool kNN-to-nearest-POI: broadcast point index + STRtree in
-    ``__init__``; per batch an expanding-radius candidate search, exact
-    haversine ranking, top-k rows per page."""
+    """kNN-to-nearest-POI join over the broadcast point index: per batch an
+    expanding-radius candidate search, exact haversine ranking, top-k rows
+    per page. Used as a plain-task map_batches stage via
+    :func:`knn_join_batch` (the index ``ray.get`` is zero-copy)."""
 
     def __init__(self, index_ref, k: int = 1, r0_deg: float | None = None,
                  lon_col: str = "lon", lat_col: str = "lat"):
         self.index = ray.get(index_ref)
         self.k = k
-        lon, lat = self.index["lon"], self.index["lat"]
-        if r0_deg is None and len(lon) > 1:
-            # density-adaptive start radius: expect ~pi*k candidates per box
-            w = max(lon.max() - lon.min(), 1e-6)
-            h = max(lat.max() - lat.min(), 1e-6)
-            r0_deg = float(np.sqrt(max(k, 1) * w * h / len(lon)))
-        self.r0 = r0_deg or 0.01
+        self.r0 = r0_deg or self.index.get("r0", 0.01) * max(
+            1.0, float(np.sqrt(k)))
         self.lon_col = lon_col
         self.lat_col = lat_col
 
@@ -643,15 +644,18 @@ class KnnJoiner:
         return out.append_column("knn_rank", pa.array(rank + 1, pa.int64()))
 
 
+def knn_join_batch(batch: pa.Table, *, index_ref, k: int = 1) -> pa.Table:
+    return KnnJoiner(index_ref, k=k)(batch)
+
+
 def knn_join(pages_ds, pois_ds=None, k: int = 1, id_col: str = "id",
              batch_size: int = 32 * 1024, concurrency=None,
              index_ref=None):
     if index_ref is None:
         index_ref = pack_point_index(pois_ds, id_col=id_col)
     return pages_ds.map_batches(
-        KnnJoiner, fn_constructor_kwargs={"index_ref": index_ref, "k": k},
-        batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency or _auto_concurrency())
+        functools.partial(knn_join_batch, index_ref=index_ref, k=k),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
@@ -700,19 +704,37 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                        aggregator_ray_remote_args={"num_cpus": 0.25})
 
     def per_pair_pip(batch: pa.Table) -> pa.Table:
-        keep = np.zeros(len(batch), dtype=bool)
+        n = len(batch)
+        if n == 0:
+            return batch.drop_columns(["pgeom"])
         px = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
         py = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
-        geoms = batch["pgeom"].to_pylist()
-        cache: dict[int, list] = {}
         pids = np.asarray(batch["polygon_id"].to_numpy(zero_copy_only=False))
-        for i, g in enumerate(geoms):
-            rings = cache.get(pids[i])
-            if rings is None:
-                rings = wkb.polygon_rings(g)
-                cache[pids[i]] = rings
-            keep[i] = ops.points_in_rings_even_odd(
-                rings, px[i:i + 1], py[i:i + 1])[0]
+        geoms = batch["pgeom"].to_pylist()
+        # decode each distinct polygon ONCE, pack its edges into the same
+        # flat-CSR layout the broadcast path uses, then run the fully
+        # vectorised crossing test over every (point, polygon) pair at once
+        order = np.argsort(pids, kind="stable")
+        uniq, starts = np.unique(pids[order], return_index=True)
+        edge_parts: list[np.ndarray] = []
+        counts = np.empty(len(uniq), dtype=np.int64)
+        for u, s in enumerate(starts):
+            rings = wkb.polygon_rings(geoms[order[s]])
+            cnt = 0
+            for ring in rings:
+                if len(ring) >= 2:
+                    edge_parts.append(
+                        np.column_stack([ring[:-1], ring[1:]]))
+                    cnt += len(ring) - 1
+            counts[u] = cnt
+        edges = (np.concatenate(edge_parts) if edge_parts
+                 else np.empty((0, 4)))
+        peo = np.zeros(len(uniq) + 1, dtype=np.int64)
+        np.cumsum(counts, out=peo[1:])
+        local_poly = np.searchsorted(uniq, pids)
+        keep = _confirm_pip({"poly_edge_offsets": peo, "edges": edges},
+                            np.arange(n, dtype=np.int64), local_poly,
+                            px, py)
         out = batch.filter(pa.array(keep))
         return out.drop_columns(["pgeom"])
 

@@ -215,6 +215,15 @@ def _string_col(batch: pa.Table, name: str, n: int) -> np.ndarray:
     return np.full(n, None, dtype=object)
 
 
+def assemble_ways_batch(batch: pa.Table, *, coord_ref, mode: str = "area",
+                        drop_refs: bool = True) -> pa.Table:
+    """Plain-task form of the broadcast assembler: ``ray.get`` of the
+    coordinate index inside the task is a zero-copy plasma read (cached
+    per node), so no actor pool needs to spin up for this stage."""
+    coords = ray.get(coord_ref) if coord_ref is not None else None
+    return _assemble_ways_impl(batch, coords, mode, drop_refs)
+
+
 class WayAssembler:
     """map_batches callable: ways batch (with promoted area/highway/barrier/
     route columns and ``refs``) -> rows with WKB ``geometry`` (+``length``).
@@ -230,11 +239,17 @@ class WayAssembler:
         self.drop_refs = drop_refs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _assemble_ways_impl(batch, self.coords, self.mode,
+                                   self.drop_refs)
+
+
+def _assemble_ways_impl(batch: pa.Table, coords_idx, mode: str,
+                        drop_refs: bool) -> pa.Table:
         n = len(batch)
         if n == 0:
             return batch
         flat, off = _refs_csr(batch["refs"])
-        lon, lat, valid = gather_coords(self.coords, flat)
+        lon, lat, valid = gather_coords(coords_idx, flat)
         coords = np.column_stack([lon, lat])
         vcoords = coords[valid]
         cs = np.zeros(len(flat) + 1, dtype=np.int64)
@@ -246,7 +261,7 @@ class WayAssembler:
         nz = n_refs > 0
         closed[nz] = flat[off[:-1][nz]] == flat[off[1:][nz] - 1]
 
-        if self.mode == "network_segments":
+        if mode == "network_segments":
             # one row per segment with u/v node ids (graph-export path,
             # reference nodes=True: pyrosm/frames.pyx:77-100)
             flat_ids_v = flat[valid]
@@ -268,7 +283,7 @@ class WayAssembler:
                 seg_xy[1::2, 1], seg_xy[1::2, 0]), 3)
             out = batch.take(pa.array(row_of_seg))
             cols = dict(zip(out.column_names, out.columns))
-            if self.drop_refs:
+            if drop_refs:
                 cols.pop("refs", None)
             cols["u"] = pa.array(u, pa.int64())
             cols["v"] = pa.array(v, pa.int64())
@@ -283,10 +298,10 @@ class WayAssembler:
                                 for v in _string_col(batch, key, n)])
 
         geoms, lengths = way_geometry_columns(
-            vcoords, voff, n_refs, closed, area_vals, linear, self.mode)
+            vcoords, voff, n_refs, closed, area_vals, linear, mode)
 
         cols = dict(zip(batch.column_names, batch.columns))
-        if self.drop_refs:
+        if drop_refs:
             cols.pop("refs", None)
         cols["geometry"] = pa.array(geoms, pa.binary())
         if lengths is not None:
@@ -424,12 +439,15 @@ def assemble_ways(ways_ds, nodes_ds, mode: str = "area",
     first — :func:`pyrosm_ray.stages.tags.promote_tags`).
     """
     if strategy == "broadcast":
+        import functools
         coord_ref = build_coord_index(nodes_ds)
+        # plain tasks, not an actor pool: the per-task ray.get of the
+        # broadcast index is a zero-copy plasma read, and tasks skip the
+        # pool spin-up cost that dominates short stages
         return ways_ds.map_batches(
-            WayAssembler, fn_constructor_kwargs={
-                "coord_ref": coord_ref, "mode": mode},
-            batch_format="pyarrow", batch_size=batch_size,
-            concurrency=(1, 16))
+            functools.partial(assemble_ways_batch, coord_ref=coord_ref,
+                              mode=mode),
+            batch_format="pyarrow", batch_size=batch_size)
     if strategy != "shuffle":
         raise ValueError(f"unknown strategy {strategy!r}")
     refs = explode_refs(ways_ds)
