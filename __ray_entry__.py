@@ -183,15 +183,19 @@ def q_embedding_near_dup(sf_dir: str):
         df = pd.DataFrame({"a": pd.Series(dtype="int64"),
                            "b": pd.Series(dtype="int64"),
                            "cosine": pd.Series(dtype="float64")})
-    df["cosine"] = df["cosine"].round(4)
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def _query_vectors(sf_dir: str, n=3) -> np.ndarray:
+    """The n lowest-vec_id embeddings (deterministic on both sides: the
+    SQL oracle selects the same rows with ORDER BY vec_id LIMIT n)."""
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir.rstrip('/')}/embeddings.parquet",
                       columns=["vec_id", "embedding"])
-    emb = np.array(t["embedding"].to_pylist()[:n], dtype=np.float64)
+    order = np.argsort(np.asarray(t["vec_id"].to_numpy(
+        zero_copy_only=False)), kind="stable")[:n]
+    emb = np.array(t.take(order)["embedding"].to_pylist(),
+                   dtype=np.float64)
     return emb
 
 
@@ -361,6 +365,160 @@ def _lang_id_sql(doc_table: str = "documents") -> str:
             f"FROM {doc_table}) ORDER BY doc_id")
 
 
+def _norm_text_sql(col: str = "text") -> str:
+    """SQL for Python ``' '.join(text.lower().split())``."""
+    return f"trim(regexp_replace(lower({col}), '\\s+', ' ', 'g'))"
+
+
+def _word_shingle_cte(doc_table: str = "documents") -> str:
+    """CTE fragment: ``sh(doc_id, h)`` = distinct md5-hashed 3-word
+    shingles (pads with empty words below 3 — mirrors
+    dedup._word_shingles)."""
+    return f"""
+        w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
+              FROM {doc_table}),
+        wp AS (SELECT doc_id, CASE WHEN len(ws) >= 3 THEN ws
+                    ELSE ws || (['','',''])[1:3-len(ws)] END AS ws FROM w),
+        shi AS (SELECT doc_id, ws,
+                       unnest(generate_series(1, greatest(len(ws) - 2, 1)))
+                           AS i FROM wp),
+        sh AS (SELECT DISTINCT doc_id,
+                      md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' ||
+                                       ws[i+2]) AS h
+               FROM shi)"""
+
+
+def _ngram_jaccard_sql(threshold: float = 0.6) -> str:
+    """Exact char-3-gram Jaccard pairs (the engine's prefix-filter
+    candidates are provably complete, so its output equals this)."""
+    norm = _norm_text_sql()
+    return f"""
+        WITH nt AS (SELECT doc_id, {norm} AS t FROM documents),
+        np_ AS (SELECT doc_id,
+                       CASE WHEN len(t) < 3 THEN rpad(t, 3, ' ') ELSE t END
+                       AS t FROM nt),
+        gi AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2))
+                   AS i FROM np_),
+        g AS (SELECT DISTINCT doc_id,
+                     md5_number_lower(substring(t, i, 3)) AS h FROM gi),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS i
+                  FROM g ga JOIN g gb ON ga.h = gb.h
+                       AND ga.doc_id < gb.doc_id
+                  GROUP BY 1, 2)
+        SELECT a, b,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+        ORDER BY a, b"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 10) -> str:
+    """Exact Hamming-<=k simhash pairs (engine banding is complete by
+    pigeonhole, so its output equals this all-pairs computation)."""
+    from pyrosm_ray.stages.hashing import to_int64_sql
+    x = ("SUM(CASE WHEN s > 0 THEN (CAST(1 AS HUGEINT) << b)"
+         " ELSE 0 END)")
+    return f"""
+        WITH wds AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '\\S+')) AS wd
+                     FROM documents),
+        bitsum AS (SELECT doc_id, b,
+                   SUM(CASE WHEN (md5_number_lower(wd) >> b) & 1 = 1
+                       THEN 1 ELSE -1 END) AS s
+                   FROM wds, generate_series(0, 63) AS gb(b)
+                   GROUP BY doc_id, b),
+        simv AS (SELECT doc_id, {to_int64_sql(x)} AS x FROM bitsum
+                 GROUP BY doc_id),
+        sim AS (SELECT d.doc_id, COALESCE(v.x, 0) AS x FROM documents d
+                LEFT JOIN simv v ON v.doc_id = d.doc_id)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               bit_count(xor(a.x, b.x)) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.x, b.x)) <= {max_hamming}
+        ORDER BY a, b"""
+
+
+def _embedding_near_dup_sql(threshold: float = 0.4) -> str:
+    cos = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),"
+           " CAST(b.embedding AS DOUBLE[]))")
+    return f"""
+        SELECT a.vec_id AS a, b.vec_id AS b, ROUND({cos}, 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {cos} >= {threshold}
+        ORDER BY a, b"""
+
+
+def _topk_cosine_sql(k: int = 10, nq: int = 3) -> str:
+    cos = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
+           " CAST(e.embedding AS DOUBLE[]))")
+    return f"""
+        WITH q AS (SELECT vec_id, embedding,
+                          ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                              AS query_id
+                   FROM embeddings ORDER BY vec_id LIMIT {nq}),
+        ranked AS (
+          SELECT q.query_id, e.vec_id,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id
+                     ORDER BY {cos} DESC, e.vec_id ASC) AS rank
+          FROM q CROSS JOIN embeddings e)
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
+        ORDER BY query_id, rank"""
+
+
+def _minhash_dedup_sql(threshold: float = 0.5, num_perm: int = 64,
+                       bands: int = 16, bucket_cap: int = 256) -> str:
+    """Full replication of minhash_dedup: md5 shingles -> 64 xorshift
+    minhash perms (HUGEINT modular arithmetic) -> banded buckets ->
+    candidate pairs -> exact-Jaccard edges -> connected components via a
+    recursive CTE -> min-id dup_of per doc."""
+    from pyrosm_ray.stages.hashing import hash64_sql_dynamic
+    rows = num_perm // bands
+    h = hash64_sql_dynamic("h", "p")
+    return f"""
+        WITH RECURSIVE {_word_shingle_cte()},
+        mh AS (SELECT doc_id, p, MIN({h}) AS m
+               FROM sh, generate_series(1, {num_perm}) AS gp(p)
+               GROUP BY doc_id, p),
+        band AS (SELECT doc_id, (p - 1) // {rows} AS band,
+                        string_agg(CAST(m AS VARCHAR), ',' ORDER BY p)
+                            AS bucket
+                 FROM mh GROUP BY doc_id, (p - 1) // {rows}),
+        grp AS (SELECT band, bucket, doc_id,
+                       COUNT(*) OVER (PARTITION BY band, bucket) AS gsz,
+                       LEAD(doc_id) OVER (PARTITION BY band, bucket
+                                          ORDER BY doc_id) AS nxt
+                FROM band),
+        cand AS (SELECT DISTINCT a, b FROM (
+                   SELECT g1.doc_id AS a, g2.doc_id AS b
+                   FROM grp g1 JOIN grp g2 ON g1.band = g2.band
+                        AND g1.bucket = g2.bucket
+                        AND g1.doc_id < g2.doc_id AND g1.gsz <= {bucket_cap}
+                   UNION ALL
+                   SELECT doc_id AS a, nxt AS b FROM grp
+                   WHERE gsz > {bucket_cap} AND nxt IS NOT NULL)),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (SELECT c.a, c.b, COUNT(*) AS i
+                  FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                       JOIN sh sb ON sb.doc_id = c.b AND sb.h = sa.h
+                  GROUP BY c.a, c.b),
+        edges AS (SELECT a, b FROM inter
+                  JOIN sz za ON za.doc_id = a JOIN sz zb ON zb.doc_id = b
+                  WHERE CAST(i AS DOUBLE) / (za.n + zb.n - i)
+                        >= {threshold}),
+        sym AS (SELECT a AS s, b AS d FROM edges
+                UNION SELECT b, a FROM edges),
+        reach(id, t) AS (
+            SELECT s, d FROM sym
+            UNION
+            SELECT reach.id, sym.d FROM reach JOIN sym ON sym.s = reach.t),
+        comp AS (SELECT id, LEAST(MIN(t), id) AS dup_of FROM reach
+                 GROUP BY id)
+        SELECT d.doc_id, COALESCE(c.dup_of, d.doc_id) AS dup_of
+        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        ORDER BY d.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.fixtures import TEST_BBOX, geocode_sql
     from pyrosm_ray.stages.text import PUNCT_RE, STOPWORD_RE, TOKEN_RE
@@ -446,6 +604,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {quality_score_sql('text')} AS quality_score
             FROM documents ORDER BY doc_id""",
         "q_lang_id": _lang_id_sql(),
+        "q_minhash_dedup": _minhash_dedup_sql(threshold=0.5),
+        "q_simhash_pairs": _simhash_pairs_sql(max_hamming=10),
+        "q_ngram_jaccard": _ngram_jaccard_sql(threshold=0.6),
+        "q_embedding_near_dup": _embedding_near_dup_sql(threshold=0.4),
+        "q_topk_cosine": _topk_cosine_sql(k=10, nq=3),
+        # nprobe == n_clusters probes every cell -> IVF output is exact
+        "q_ivf_topk": _topk_cosine_sql(k=10, nq=3),
         "q_fingerprint_md5": """
             SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id""",
         "q_exact_dedup": """

@@ -1,0 +1,29 @@
+"""Block-level hygiene for shuffle outputs.
+
+Ray Data's hash-shuffle operators (groupby aggregates / map_groups / joins)
+emit ZERO-COLUMN empty blocks for empty partitions, map transforms skip
+empty blocks (so a per-batch fix never sees them), and repartition carries
+them along — but pyarrow/acero joins reject a partition whose concatenated
+schema is missing the key column. :func:`nonempty` rebuilds a Dataset from
+only the non-empty block refs (a metadata check — block contents never move
+or land on the driver), yielding a uniformly-typed Dataset that downstream
+joins accept."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def nonempty(ds, empty_schema: pa.Table) -> rd.Dataset:
+    """Materialize ``ds`` and drop empty blocks; if nothing remains, return
+    a one-block Dataset with ``empty_schema`` (a zero-row typed table)."""
+    mat = ds.materialize()
+    refs = []
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            if meta.num_rows:
+                refs.append(ref)
+    if not refs:
+        return rd.from_arrow(empty_schema)
+    return rd.from_arrow_refs(refs)

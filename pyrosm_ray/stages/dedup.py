@@ -4,23 +4,34 @@ Five families, each a ``queries()``-exposed pipeline (SURVEY.md §2.7 notes
 the reference only has exact id-dedup — these are the engine's large-scale
 additions):
 
-* :func:`exact_dedup` — hash-partition on a content hash, keep the minimum
-  id per group (the canonical Ray exact dedup; SQL-oracle-able via md5).
+* :func:`exact_dedup` — groupby on a content hash, keep the minimum id per
+  group, survivors re-selected by a distributed semi-join (no driver
+  keep-set).
 * :func:`minhash_dedup` — word-shingle -> 64 minhash permutations -> banded
-  LSH buckets (groupby) -> exact-Jaccard verification -> union-find clusters.
-* :func:`simhash_dedup` — 64-bit simhash, candidates from 16-bit band
-  equality (Hamming<=3 guarantee by pigeonhole over 4 bands), verified by
-  true Hamming distance.
-* :func:`ngram_jaccard_pairs` — exact character-n-gram Jaccard over LSH
-  candidates.
-* :func:`embedding_near_dup` — cosine-similarity near-dup pairs over the
-  embeddings table (brute force per block against a broadcast matrix).
+  LSH buckets (groupby over (band, signature) ONLY — shingle payloads never
+  enter the shuffle) -> candidate pairs -> exact-Jaccard verification via
+  id-join -> distributed connected components
+  (:mod:`pyrosm_ray.stages.components`).
+* :func:`simhash_dedup` — 64-bit simhash; ``max_hamming + 1`` bands make
+  the banding COMPLETE by pigeonhole (any pair within the Hamming budget
+  shares >=1 exact band), so the output equals the exact all-pairs answer.
+* :func:`ngram_jaccard_pairs` — exact character-n-gram Jaccard; candidates
+  from PREFIX FILTERING (index only the ``|S| - ceil(t*|S|) + 1`` smallest
+  grams per doc — any pair with J >= t must share a prefix gram), which is
+  complete, so the output equals the exact all-pairs answer.
+* :func:`embedding_near_dup` — cosine >= threshold pairs over the
+  embeddings table, computed block x block: normalized blocks stay in the
+  object store, one task per block pair — the full matrix never lands on
+  the driver.
+
+Hashes come from :mod:`pyrosm_ray.stages.hashing` (md5-derived base hash +
+xorshift mix), both bit-replicable in DuckDB SQL, so every operator here
+can be oracle-checked value-for-value.
 
 Scale notes: signatures are computed per batch (stateless, vectorised with
-segment reductions); the only shuffles are the banded groupbys whose keys
-are (band, bucket-hash) — bounded-size groups by construction. Union-find
-runs driver-side over the (tiny) verified-pair set, like the reference keeps
-its sequential tails driver-side (SURVEY.md §7.4).
+segment reductions); shuffles carry only (band, signature, id) keys; pair
+verification re-joins the shingle sets by id; clustering is hash-partitioned
+label propagation. Nothing driver-side grows with the corpus.
 """
 
 from __future__ import annotations
@@ -29,36 +40,28 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-MERSENNE61 = np.uint64((1 << 61) - 1)
+from pyrosm_ray.stages.blocks import nonempty
+from pyrosm_ray.stages.components import attach_components, \
+    connected_components
+from pyrosm_ray.stages.hashing import hash64, stable64
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
-def _stable64(s: str) -> int:
-    """Process-stable 64-bit string hash (Python's hash() is salted per
-    process, which would scatter identical shingles across workers)."""
-    import hashlib
-    return int.from_bytes(
-        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
-
-
-def _hash64(arr: np.ndarray, seed: int) -> np.ndarray:
-    """Cheap xorshift-multiply hash of uint64 -> uint64."""
-    with np.errstate(over="ignore"):
-        x = arr.astype(np.uint64) + np.uint64(
-            (seed * 0x9E3779B97F4A7C15 or 1) & 0xFFFFFFFFFFFFFFFF)
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xFF51AFD7ED558CCD)
-        x ^= x >> np.uint64(33)
-        x *= np.uint64(0xC4CEB9FE1A85EC53)
-        x ^= x >> np.uint64(33)
-    return x
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorised 64-bit popcount (byte-table lookup)."""
+    v = np.ascontiguousarray(x.astype(np.uint64))
+    return _POP8[v.view(np.uint8)].reshape(len(v), 8).sum(axis=1) \
+        .astype(np.int64)
 
 
 def _word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of the k-word shingles of ``text`` (lowered, whitespace split)."""
+    """Hashes of the k-word shingles of ``text`` (lowered, whitespace
+    split; shorter texts pad with empty words — one shingle minimum)."""
     words = text.lower().split()
     if len(words) < k:
         words = words + [""] * (k - len(words))
-    h = np.array([_stable64(" ".join(words[i:i + k]))
+    h = np.array([stable64(" ".join(words[i:i + k]))
                   for i in range(max(1, len(words) - k + 1))],
                  dtype=np.uint64)
     return np.unique(h)
@@ -68,7 +71,7 @@ def _char_ngrams(text: str, n: int = 3) -> np.ndarray:
     t = " ".join(text.lower().split())
     if len(t) < n:
         t = t.ljust(n)
-    h = np.array([_stable64(t[i:i + n])
+    h = np.array([stable64(t[i:i + n])
                   for i in range(len(t) - n + 1)], dtype=np.uint64)
     return np.unique(h)
 
@@ -77,12 +80,13 @@ def _char_ngrams(text: str, n: int = 3) -> np.ndarray:
 # exact dedup
 # ---------------------------------------------------------------------------
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                num_partitions: int = 8):
     """Keep the minimum-id row per normalised-content hash.
 
     Normalisation = lower + whitespace collapse. The groupby shuffles only
-    (hash, id) pairs — content never moves; survivors are re-selected by id
-    semi-join (broadcastable result of the tiny aggregate)."""
+    (hash, id) pairs — content never moves; survivors are re-selected by a
+    distributed semi-join on id (no driver keep-set)."""
     import hashlib
 
     def add_hash(batch: pa.Table) -> pa.Table:
@@ -96,20 +100,14 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
     keep = ds.map_batches(add_hash, batch_format="pyarrow") \
         .groupby("content_hash").min(id_col)
-    keep_ids = np.sort(np.asarray(
-        keep.to_pandas()[f"min({id_col})"].values, dtype=np.int64))
-    import ray
-    keep_ref = ray.put(keep_ids)
 
-    def filter_kept(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        ki = _ray.get(keep_ref)
-        pos = np.clip(np.searchsorted(ki, ids), 0, max(len(ki) - 1, 0))
-        m = ki[pos] == ids if len(ki) else np.zeros(len(ids), dtype=bool)
-        return batch.filter(pa.array(m))
+    def keep_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"__keep_id": batch[f"min({id_col})"]})
 
-    return ds.map_batches(filter_kept, batch_format="pyarrow")
+    keep = keep.map_batches(keep_ids, batch_format="pyarrow")
+    return ds.join(keep, "inner", num_partitions=num_partitions,
+                   on=(id_col,), right_on=("__keep_id",),
+                   aggregator_ray_remote_args={"num_cpus": 0.25})
 
 
 # ---------------------------------------------------------------------------
@@ -127,125 +125,161 @@ def minhash_signatures_batch(batch: pa.Table, id_col: str, text_col: str,
     np.cumsum(counts, out=off[1:])
     sigs = np.empty((len(sh), num_perm), dtype=np.uint64)
     for p in range(num_perm):
-        v = _hash64(flat, p + 1)
+        v = hash64(flat, p + 1)
         if len(v):
             sigs[:, p] = np.minimum.reduceat(v, off[:-1])
         else:
             sigs[:, p] = 0
-    # pack shingle set for later exact-Jaccard verification
-    blobs = [s.astype("<u8").tobytes() for s in sh]
     return pa.table({
         id_col: batch[id_col],
         "sig": pa.array([s.astype("<u8").tobytes() for s in sigs],
                         pa.binary()),
-        "shingles": pa.array(blobs, pa.binary()),
+        "shingles": pa.array([s.astype("<u8").tobytes() for s in sh],
+                             pa.binary()),
     })
 
 
-def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
-    inter = len(np.intersect1d(a, b, assume_unique=True))
-    union = len(a) + len(b) - inter
-    return inter / union if union else 1.0
-
-
-def _union_find_clusters(ids: np.ndarray, pairs: list[tuple[int, int]]):
-    parent: dict[int, int] = {}
-
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    return {int(i): find(int(i)) for i in ids}
-
-
-def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
-                  num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
-                  threshold: float = 0.8):
-    """Near-dup detection: returns a Dataset of (id, dup_of) where
-    ``dup_of`` is the cluster's canonical (minimum) id; singleton docs map
-    to themselves."""
-    import ray
-
+def _band_rows(batch: pa.Table, id_col: str, num_perm: int,
+               bands: int) -> pa.Table:
+    """(band, bucket, id) rows — bucket is the band's raw signature slice
+    rendered as a decimal string (exact banding, no re-hash; shingle
+    payloads do NOT ride this shuffle)."""
     rows = num_perm // bands
+    n = len(batch)
+    ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+    sigs = np.frombuffer(b"".join(batch["sig"].to_pylist()),
+                         dtype="<u8").reshape(n, num_perm)
+    out_band, out_key, out_id = [], [], []
+    for b_i in range(bands):
+        seg = sigs[:, b_i * rows:(b_i + 1) * rows]
+        key = seg[:, 0].astype("U20")
+        for c in range(1, rows):
+            key = np.char.add(np.char.add(key, ","),
+                              seg[:, c].astype("U20"))
+        out_band.append(np.full(n, b_i, dtype=np.int64))
+        out_key.append(key)
+        out_id.append(ids)
+    return pa.table({
+        "band": pa.array(np.concatenate(out_band)),
+        "bucket": pa.array(np.concatenate(out_key).astype(object),
+                           pa.string()),
+        id_col: pa.array(np.concatenate(out_id)),
+    })
 
-    sig_ds = ds.map_batches(
-        lambda b: minhash_signatures_batch(b, id_col, text_col, num_perm,
-                                           k_shingle),
-        batch_format="pyarrow")
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        sigs = np.frombuffer(b"".join(batch["sig"].to_pylist()),
-                             dtype="<u8").reshape(len(batch), num_perm)
-        out_band, out_key, out_id, out_sh = [], [], [], []
-        shingles = batch["shingles"].to_pylist()
-        for b_i in range(bands):
-            seg = sigs[:, b_i * rows:(b_i + 1) * rows]
-            key = _hash64(seg[:, 0], 101 + b_i)
-            for c in range(1, rows):
-                with np.errstate(over="ignore"):
-                    key = _hash64(key ^ seg[:, c], 202 + c)
-            out_band.append(np.full(len(batch), b_i, dtype=np.int64))
-            out_key.append(key.astype(np.int64))
-            out_id.append(ids)
-            out_sh.extend(shingles)
-        return pa.table({
-            "band": pa.array(np.concatenate(out_band)),
-            "bucket": pa.array(np.concatenate(out_key)),
-            id_col: pa.array(np.concatenate(out_id)),
-            "shingles": pa.array(out_sh, pa.binary()),
-        })
+def _bucket_pairs(group: pa.Table, id_col: str, cap: int) -> pa.Table:
+    """Candidate pairs within one (band, bucket) group. Groups above
+    ``cap`` emit only the consecutive chain over sorted ids — that
+    preserves full connectivity for clustering (a mega-bucket is one
+    component either way) while bounding pair count to O(group)."""
+    ids = np.unique(np.asarray(group[id_col].to_numpy(
+        zero_copy_only=False), dtype=np.int64))
+    n = len(ids)
+    if n < 2:
+        return pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+    if n > cap:
+        a, b = ids[:-1], ids[1:]
+    else:
+        iu, ju = np.triu_indices(n, k=1)
+        a, b = ids[iu], ids[ju]
+    return pa.table({"a": pa.array(a, pa.int64()),
+                     "b": pa.array(b, pa.int64())})
 
-    banded = sig_ds.map_batches(band_rows, batch_format="pyarrow")
 
-    def verify_group(group: pa.Table) -> pa.Table:
-        n = len(group)
-        if n < 2:
-            return pa.table({"a": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64()),
-                             "jaccard": pa.array([], pa.float64())})
-        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False))
-        sh = [np.frombuffer(x, dtype="<u8")
-              for x in group["shingles"].to_pylist()]
+_PAIRS_EMPTY = pa.table({"a": pa.array([], pa.int64()),
+                         "b": pa.array([], pa.int64())})
+
+
+def _distinct_pairs(pairs_ds):
+    counted = nonempty(
+        pairs_ds.groupby(["a", "b"]).count(),
+        pa.table({"a": pa.array([], pa.int64()),
+                  "b": pa.array([], pa.int64()),
+                  "count()": pa.array([], pa.int64())}))
+    return counted.map_batches(lambda t: t.select(["a", "b"]),
+                               batch_format="pyarrow")
+
+
+def _verify_pairs_jaccard(pairs_ds, shingles_ds, id_col: str,
+                          threshold: float, num_partitions: int = 8):
+    """Exact Jaccard over candidate pairs: the (small) pair list joins the
+    shingle sets by id — twice — then one vectorisable verify pass.
+    Shingle bytes move only for ids that appear in a candidate pair."""
+    def rn(batch: pa.Table, name: str) -> pa.Table:
+        cols = {c: batch[c] for c in batch.column_names
+                if c != "shingles"}
+        cols[name] = batch["shingles"]
+        return pa.table(cols)
+
+    # nonempty() between the two id-joins doubles as a materialize
+    # barrier: each hash-shuffle join reserves an aggregator actor pool
+    # (a deep lazy chain can exhaust small clusters' CPU slots), and join
+    # outputs can carry zero-column empty partition blocks that the next
+    # acero join rejects (pair sets are tiny, so the barrier is cheap)
+    j = pairs_ds.join(shingles_ds, "inner", num_partitions=num_partitions,
+                      on=("a",), right_on=(id_col,),
+                      aggregator_ray_remote_args={"num_cpus": 0.25}) \
+        .map_batches(lambda b: rn(b, "sh_a"), batch_format="pyarrow")
+    j = nonempty(j, pa.table({"a": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64()),
+                              "sh_a": pa.array([], pa.binary())}))
+    j = j.join(shingles_ds, "inner", num_partitions=num_partitions,
+               on=("b",), right_on=(id_col,),
+               aggregator_ray_remote_args={"num_cpus": 0.25}) \
+        .map_batches(lambda b: rn(b, "sh_b"), batch_format="pyarrow")
+
+    def verify(batch: pa.Table) -> pa.Table:
         a_out, b_out, j_out = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if ids[i] == ids[j]:
-                    continue
-                jac = _jaccard(sh[i], sh[j])
-                if jac >= threshold:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    a_out.append(a)
-                    b_out.append(b)
-                    j_out.append(jac)
+        av = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
+        bv = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
+        for i in range(len(batch)):
+            sa = np.frombuffer(batch["sh_a"][i].as_py(), dtype="<u8")
+            sb = np.frombuffer(batch["sh_b"][i].as_py(), dtype="<u8")
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 1.0
+            if jac >= threshold:
+                a_out.append(int(av[i]))
+                b_out.append(int(bv[i]))
+                j_out.append(round(jac, 6))
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64()),
                          "jaccard": pa.array(j_out, pa.float64())})
 
-    pairs_ds = banded.groupby(["band", "bucket"]).map_groups(
-        verify_group, batch_format="pyarrow")
-    pair_df = pairs_ds.to_pandas().drop_duplicates(["a", "b"])
-    pairs = list(zip(pair_df["a"], pair_df["b"]))
+    return j.map_batches(verify, batch_format="pyarrow")
 
-    all_ids = np.asarray(
-        ds.select_columns([id_col]).to_pandas()[id_col].values)
-    mapping = _union_find_clusters(all_ids, pairs)
-    map_ref = ray.put(mapping)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        m = ray.get(map_ref)
-        ids = batch[id_col].to_pylist()
-        return batch.append_column(
-            "dup_of", pa.array([m.get(int(i), int(i)) for i in ids],
-                               pa.int64()))
+def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                  num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
+                  threshold: float = 0.8, bucket_cap: int = 256,
+                  num_partitions: int = 8):
+    """Near-dup detection: returns a Dataset of (id, dup_of) where
+    ``dup_of`` is the cluster's canonical (minimum) id; singleton docs map
+    to themselves. Fully distributed: banding shuffles (band, sig, id)
+    only, verification joins shingles by id, clustering is label
+    propagation."""
+    sig_ds = ds.map_batches(
+        lambda b: minhash_signatures_batch(b, id_col, text_col, num_perm,
+                                           k_shingle),
+        batch_format="pyarrow").materialize()
 
-    return ds.map_batches(attach, batch_format="pyarrow")
+    banded = sig_ds.map_batches(
+        lambda b: _band_rows(b.select([id_col, "sig"]), id_col, num_perm,
+                             bands),
+        batch_format="pyarrow")
+    cand = banded.groupby(["band", "bucket"]).map_groups(
+        lambda g: _bucket_pairs(g, id_col, bucket_cap),
+        batch_format="pyarrow")
+    cand = _distinct_pairs(cand).materialize()
+    shingles = sig_ds.map_batches(lambda b: b.select([id_col, "shingles"]),
+                                  batch_format="pyarrow")
+    edges = _verify_pairs_jaccard(cand, shingles, id_col, threshold,
+                                  num_partitions)
+    labels = connected_components(edges, "a", "b",
+                                  num_partitions=num_partitions)
+    return attach_components(ds, labels, id_col, out_col="dup_of",
+                             num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -253,71 +287,98 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """64-bit simhash over word occurrences (bit b set when the signed
+    occurrence-count of bit b across word hashes is positive)."""
     texts = batch[text_col].to_pylist()
-    out = np.empty(len(texts), dtype=np.uint64)
+    out = np.zeros(len(texts), dtype=np.uint64)
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
     for i, t in enumerate(texts):
         words = (t or "").lower().split()
         if not words:
-            out[i] = 0
             continue
-        hs = _hash64(np.array([_stable64(w) for w in words],
-                              dtype=np.uint64), 7)
+        hs = np.array([stable64(w) for w in words], dtype=np.uint64)
         bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
                 np.uint64(1)).astype(np.int64)
         v = (2 * bits - 1).sum(axis=0)
-        out[i] = np.packbits((v > 0).astype(np.uint8)[::-1]).view(">u8")[0]
+        out[i] = (weights[v > 0]).sum(dtype=np.uint64)
     return pa.table({id_col: batch[id_col],
-                     "simhash": pa.array(out.astype(np.int64))})
+                     "simhash": pa.array(out.view(np.int64))})
 
 
 def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
-                  max_hamming: int = 3):
-    """Candidate pairs via 16-bit band equality (4 bands: any pair with
-    Hamming<=3 shares at least one exact band), verified by true Hamming."""
+                  max_hamming: int = 3, num_partitions: int = 8):
+    """Exact Hamming-<=k pairs over 64-bit simhashes.
+
+    COMPLETE banding by pigeonhole: the 64 bits split into
+    ``max_hamming + 1`` bands, so any pair within the budget matches
+    exactly on >=1 band; candidates verify with a true popcount. (Scale
+    note: larger budgets mean narrower bands and hotter buckets — the
+    usual near-dup budget is <=3, i.e. 4 x 16-bit bands.)"""
+    bands = max_hamming + 1
+    widths = np.full(bands, 64 // bands, dtype=np.int64)
+    widths[:64 % bands] += 1
+    starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
+
     sig = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
-                         batch_format="pyarrow")
+                         batch_format="pyarrow").materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
         sh = np.asarray(batch["simhash"].to_numpy(zero_copy_only=False)
-                        ).astype(np.uint64)
-        bands_out, keys, oids, sigs = [], [], [], []
-        for b_i in range(4):
-            part = (sh >> np.uint64(16 * b_i)) & np.uint64(0xFFFF)
+                        ).astype(np.int64).view(np.uint64)
+        bands_out, keys, oids = [], [], []
+        for b_i in range(bands):
+            mask = np.uint64((1 << int(widths[b_i])) - 1)
+            part = (sh >> np.uint64(starts[b_i])) & mask
             bands_out.append(np.full(len(ids), b_i, dtype=np.int64))
             keys.append(part.astype(np.int64))
             oids.append(ids)
-            sigs.append(sh.astype(np.int64))
         return pa.table({
             "band": pa.array(np.concatenate(bands_out)),
             "bucket": pa.array(np.concatenate(keys)),
             id_col: pa.array(np.concatenate(oids)),
-            "simhash": pa.array(np.concatenate(sigs)),
         })
 
-    def verify_group(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False))
-        sh = np.asarray(group["simhash"].to_numpy(zero_copy_only=False)
-                        ).astype(np.uint64)
-        a_out, b_out, d_out = [], [], []
-        n = len(ids)
-        for i in range(n):
-            x = sh[i] ^ sh[i + 1:]
-            ham = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.flatnonzero(ham <= max_hamming):
-                a, b = sorted((int(ids[i]), int(ids[i + 1 + j])))
-                if a != b:
-                    a_out.append(a)
-                    b_out.append(b)
-                    d_out.append(int(ham[j]))
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64()),
-                         "hamming": pa.array(d_out, pa.int64())})
+    cand = sig.map_batches(band_rows, batch_format="pyarrow") \
+        .groupby(["band", "bucket"]).map_groups(
+            lambda g: _bucket_pairs(g, id_col, cap=1 << 30),
+            batch_format="pyarrow")
+    cand = _distinct_pairs(cand).materialize()
 
-    pairs = sig.map_batches(band_rows, batch_format="pyarrow") \
-        .groupby(["band", "bucket"]).map_groups(verify_group,
-                                                batch_format="pyarrow")
-    return pairs
+    sim_proj = sig.map_batches(lambda b: b.select([id_col, "simhash"]),
+                               batch_format="pyarrow")
+
+    def rn(batch: pa.Table, name: str) -> pa.Table:
+        cols = {c: batch[c] for c in batch.column_names if c != "simhash"}
+        cols[name] = batch["simhash"]
+        return pa.table(cols)
+
+    j = cand.join(sim_proj, "inner", num_partitions=num_partitions,
+                  on=("a",), right_on=(id_col,),
+                  aggregator_ray_remote_args={"num_cpus": 0.25}) \
+        .map_batches(lambda b: rn(b, "h_a"), batch_format="pyarrow")
+    j = nonempty(j, pa.table({"a": pa.array([], pa.int64()),
+                              "b": pa.array([], pa.int64()),
+                              "h_a": pa.array([], pa.int64())}))
+    j = j.join(sim_proj, "inner", num_partitions=num_partitions,
+               on=("b",), right_on=(id_col,),
+               aggregator_ray_remote_args={"num_cpus": 0.25}) \
+        .map_batches(lambda b: rn(b, "h_b"), batch_format="pyarrow")
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ha = np.asarray(batch["h_a"].to_numpy(zero_copy_only=False)
+                        ).astype(np.int64).view(np.uint64)
+        hb = np.asarray(batch["h_b"].to_numpy(zero_copy_only=False)
+                        ).astype(np.int64).view(np.uint64)
+        ham = popcount64(ha ^ hb)
+        keep = ham <= max_hamming
+        return pa.table({
+            "a": batch["a"].filter(pa.array(keep)),
+            "b": batch["b"].filter(pa.array(keep)),
+            "hamming": pa.array(ham[keep], pa.int64()),
+        })
+
+    return j.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -326,110 +387,120 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, threshold: float = 0.8,
-                        num_perm: int = 64, bands: int = 16):
-    """Exact character-n-gram Jaccard >= threshold pairs, LSH-pruned."""
+                        num_partitions: int = 8):
+    """EXACT character-n-gram Jaccard >= threshold pairs.
+
+    Candidates come from prefix filtering (PPJoin-style): with grams
+    globally ordered by hash, a doc with gram-set S indexes only its
+    ``|S| - ceil(t*|S|) + 1`` smallest grams; any pair with J >= t shares
+    at least one indexed gram, so the candidate set is complete and the
+    output equals the exact all-pairs answer (which is what the SQL oracle
+    computes)."""
     def sigs(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
         sh = [_char_ngrams(t or "", n) for t in texts]
-        counts = np.array([len(s) for s in sh], dtype=np.int64)
-        flat = np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64)
-        off = np.zeros(len(sh) + 1, dtype=np.int64)
-        np.cumsum(counts, out=off[1:])
-        out = np.empty((len(sh), num_perm), dtype=np.uint64)
-        for p in range(num_perm):
-            v = _hash64(flat, 31 + p)
-            out[:, p] = np.minimum.reduceat(v, off[:-1]) if len(v) else 0
         return pa.table({
             id_col: batch[id_col],
-            "sig": pa.array([s.astype("<u8").tobytes() for s in out],
-                            pa.binary()),
             "shingles": pa.array([s.astype("<u8").tobytes() for s in sh],
                                  pa.binary()),
         })
 
-    rows = num_perm // bands
-    sig_ds = ds.map_batches(sigs, batch_format="pyarrow")
+    sig_ds = ds.map_batches(sigs, batch_format="pyarrow").materialize()
 
-    def band_rows(batch: pa.Table) -> pa.Table:
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        """(gram, id) rows for each doc's prefix grams only."""
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        s = np.frombuffer(b"".join(batch["sig"].to_pylist()),
-                          dtype="<u8").reshape(len(batch), num_perm)
-        out = {"band": [], "bucket": [], id_col: [], "shingles": []}
-        shingles = batch["shingles"].to_pylist()
-        for b_i in range(bands):
-            seg = s[:, b_i * rows:(b_i + 1) * rows]
-            key = _hash64(seg[:, 0], 301 + b_i)
-            for c in range(1, rows):
-                key = _hash64(key ^ seg[:, c], 401 + c)
-            out["band"].append(np.full(len(ids), b_i, dtype=np.int64))
-            out["bucket"].append(key.astype(np.int64))
-            out[id_col].append(ids)
-            out["shingles"].extend(shingles)
+        if len(ids) == 0:
+            return pa.table({"gram": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64())})
+        grams_out, ids_out = [], []
+        for i, blob in enumerate(batch["shingles"].to_pylist()):
+            s = np.frombuffer(blob, dtype="<u8")  # sorted unique
+            plen = len(s) - int(np.ceil(threshold * len(s))) + 1
+            grams_out.append(s[:max(plen, 1)])
+            ids_out.append(np.full(min(max(plen, 1), len(s)), ids[i],
+                                   dtype=np.int64))
         return pa.table({
-            "band": pa.array(np.concatenate(out["band"])),
-            "bucket": pa.array(np.concatenate(out["bucket"])),
-            id_col: pa.array(np.concatenate(out[id_col])),
-            "shingles": pa.array(out["shingles"], pa.binary()),
+            "gram": pa.array(np.concatenate(grams_out).view(np.int64)),
+            id_col: pa.array(np.concatenate(ids_out)),
         })
 
-    def verify_group(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False))
-        sh = [np.frombuffer(x, dtype="<u8")
-              for x in group["shingles"].to_pylist()]
-        a_out, b_out, j_out = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                jac = _jaccard(sh[i], sh[j])
-                if jac >= threshold:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    a_out.append(a)
-                    b_out.append(b)
-                    j_out.append(round(jac, 6))
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64()),
-                         "jaccard": pa.array(j_out, pa.float64())})
-
-    return sig_ds.map_batches(band_rows, batch_format="pyarrow") \
-        .groupby(["band", "bucket"]).map_groups(verify_group,
-                                                batch_format="pyarrow")
+    cand = sig_ds.map_batches(prefix_rows, batch_format="pyarrow") \
+        .groupby("gram").map_groups(
+            lambda g: _bucket_pairs(g, id_col, cap=1 << 30),
+            batch_format="pyarrow")
+    cand = _distinct_pairs(cand).materialize()
+    return _verify_pairs_jaccard(cand, sig_ds, id_col, threshold,
+                                 num_partitions)
 
 
 def embedding_near_dup(ds, id_col: str = "vec_id",
                        emb_col: str = "embedding",
-                       threshold: float = 0.95):
-    """Cosine >= threshold pairs: every batch multiplies against the
-    broadcast (normalised) full matrix — brute-force baseline; the LSH
-    scale path is random-hyperplane simhash over embeddings."""
+                       threshold: float = 0.95,
+                       block_rows: int = 8192):
+    """Exact cosine >= threshold pairs, computed block x block.
+
+    Each ~``block_rows``-vector block is L2-normalised and packed once
+    (map_batches), stays in the object store, and one Ray task per block
+    pair runs the matmul — the full matrix never lands on the driver and
+    compute parallelises over the O(B^2) pair grid."""
     import ray
+    import ray.data as rd
 
-    mats = []
-    ids_all = []
-    for b in ds.select_columns([id_col, emb_col]).iter_batches(
-            batch_size=1 << 16, batch_format="pyarrow"):
-        emb = np.array(b[emb_col].to_pylist(), dtype=np.float64)
-        mats.append(emb)
-        ids_all.append(np.asarray(b[id_col].to_numpy(zero_copy_only=False)))
-    m = np.concatenate(mats) if mats else np.empty((0, 1))
-    ids_all = np.concatenate(ids_all) if ids_all else np.empty(0, np.int64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    m = m / np.maximum(norms, 1e-12)
-    ref = ray.put((ids_all, m))
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        oids, om = ray.get(ref)
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+    def pack(batch: pa.Table) -> pa.Table:
         emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
-        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
-                               1e-12)
-        sim = emb @ om.T
-        ai, bi = np.nonzero(sim >= threshold)
-        keep = ids[ai] < oids[bi]  # dedupe symmetric pairs
+        emb = emb / np.maximum(
+            np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
         return pa.table({
-            "a": pa.array(ids[ai][keep], pa.int64()),
-            "b": pa.array(oids[bi][keep], pa.int64()),
-            "cosine": pa.array(np.round(sim[ai, bi][keep], 6), pa.float64()),
+            "ids": pa.array([ids.astype("<i8").tobytes()], pa.binary()),
+            "mat": pa.array([np.ascontiguousarray(emb, dtype="<f8")
+                             .tobytes()], pa.binary()),
+            "dim": pa.array([emb.shape[1] if emb.size else 0], pa.int64()),
         })
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    packed = ds.map_batches(pack, batch_format="pyarrow",
+                            batch_size=block_rows).materialize()
+    refs = packed.to_arrow_refs()  # ObjectRefs only — no driver pull
+
+    def _unpack(tbl: pa.Table):
+        out = []
+        for i in range(tbl.num_rows):
+            ids = np.frombuffer(tbl["ids"][i].as_py(), dtype="<i8")
+            dim = tbl["dim"][i].as_py()
+            mat = np.frombuffer(tbl["mat"][i].as_py(),
+                                dtype="<f8").reshape(-1, max(dim, 1))
+            out.append((ids, mat))
+        return out
+
+    n_blocks = len(refs)
+    pair_items = [{"i": i, "j": j} for i in range(n_blocks)
+                  for j in range(i, n_blocks)]
+    if not pair_items:
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+
+    def compute(batch) -> pa.Table:
+        a_out, b_out, c_out = [], [], []
+        for i, j in zip(batch["i"], batch["j"]):
+            for ids_a, mat_a in _unpack(ray.get(refs[int(i)])):
+                for ids_b, mat_b in _unpack(ray.get(refs[int(j)])):
+                    sim = mat_a @ mat_b.T
+                    ai, bi = np.nonzero(sim >= threshold)
+                    keep = ids_a[ai] < ids_b[bi]
+                    a_out.append(ids_a[ai][keep])
+                    b_out.append(ids_b[bi][keep])
+                    c_out.append(np.round(sim[ai, bi][keep], 6))
+        a = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        c = np.concatenate(c_out) if c_out else np.empty(0)
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "cosine": pa.array(c, pa.float64())})
+
+    pairs = rd.from_items(pair_items)
+    if len(pair_items) > 1:
+        pairs = pairs.repartition(len(pair_items))
+    return pairs.map_batches(compute, batch_format="numpy")

@@ -1,0 +1,220 @@
+"""Dedup family: hashing parity, distributed CC, completeness guarantees.
+
+Each distributed operator is differentially tested against a brute-force
+in-process oracle on small synthetic corpora (the driver's DuckDB oracle
+does the same comparison value-for-value at sf0.01)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pyrosm_ray.stages import dedup
+from pyrosm_ray.stages.components import attach_components, \
+    connected_components
+from pyrosm_ray.stages.hashing import hash64, hash64_sql, \
+    hash64_sql_dynamic, stable64, to_int64, to_int64_sql
+
+
+# ---------------------------------------------------------------------------
+# hashing parity vs DuckDB
+# ---------------------------------------------------------------------------
+
+def test_stable64_is_md5_number_lower():
+    import duckdb
+    con = duckdb.connect()
+    for s in ["", "abc", "hello world", "Paäge"]:
+        assert stable64(s) == con.execute(
+            "SELECT md5_number_lower(?)", [s]).fetchone()[0]
+
+
+def test_hash64_sql_parity():
+    import duckdb
+    con = duckdb.connect()
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.integers(0, 1 << 63, 20, dtype=np.int64).astype(np.uint64),
+        np.array([0, 1, (1 << 64) - 1, 1 << 63], dtype=np.uint64)])
+    con.execute("CREATE TABLE t (v UBIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)",
+                    [(int(v),) for v in vals])
+    for seed in (1, 5, 64):
+        got = np.array([r[0] for r in con.execute(
+            f"SELECT {hash64_sql('v', seed)} FROM t").fetchall()],
+            dtype=np.uint64)
+        assert np.array_equal(got, hash64(vals, seed))
+        got_dyn = np.array([r[0] for r in con.execute(
+            f"SELECT {hash64_sql_dynamic('v', str(seed))} FROM t"
+        ).fetchall()], dtype=np.uint64)
+        assert np.array_equal(got_dyn, hash64(vals, seed))
+    got = np.array([r[0] for r in con.execute(
+        f"SELECT {to_int64_sql('v')} FROM t").fetchall()], dtype=np.int64)
+    assert np.array_equal(got, to_int64(vals))
+
+
+def test_popcount64():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 63, 100, dtype=np.int64).astype(np.uint64)
+    expect = np.array([bin(int(v)).count("1") for v in x])
+    assert np.array_equal(dedup.popcount64(x), expect)
+
+
+# ---------------------------------------------------------------------------
+# connected components
+# ---------------------------------------------------------------------------
+
+def _uf_components(edges, nodes):
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_matches_union_find(ray_session):
+    rng = np.random.default_rng(7)
+    n = 200
+    edges = [(int(a), int(b)) for a, b in
+             rng.integers(0, n, size=(150, 2)) if a != b]
+    eds = rd.from_arrow(pa.table({
+        "a": pa.array([a for a, b in edges], pa.int64()),
+        "b": pa.array([b for a, b in edges], pa.int64())}))
+    labels = connected_components(eds).to_pandas()
+    got = dict(zip(labels.node, labels.comp))
+    nodes = {x for e in edges for x in e}
+    expect = _uf_components(edges, nodes)
+    assert got == expect
+
+
+def test_attach_components_self_map(ray_session):
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())}))
+    out = attach_components(ds, None, "doc_id").to_pandas()
+    assert list(out.dup_of) == [1, 2, 3]
+
+
+# ---------------------------------------------------------------------------
+# corpora helpers
+# ---------------------------------------------------------------------------
+
+def _corpus():
+    """Small corpus with exact dups, near dups and unique docs."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "rain in spain stays mainly in the plain")
+    docs = {
+        1: base,
+        2: base,                         # exact dup of 1
+        3: base + " extra tail words appended here",   # near dup
+        4: "completely different content about ray data pipelines "
+           "and arrow record batches flowing through object stores",
+        5: "short text",
+        6: "  THE   quick brown fox jumps over the lazy dog while the "
+           "rain in spain stays mainly in the plain  ",  # ws/case dup of 1
+        7: "another unique document mentioning parquet row groups and "
+           "hash partitioned shuffles with salted keys",
+    }
+    return pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string()),
+    })
+
+
+def test_exact_dedup_semi_join(ray_session):
+    ds = rd.from_arrow(_corpus())
+    out = dedup.exact_dedup(ds).to_pandas().sort_values("doc_id")
+    # 1==2==6 (after normalisation) -> keep 1; everything else survives
+    assert list(out.doc_id) == [1, 3, 4, 5, 7]
+
+
+def test_minhash_dedup_clusters(ray_session):
+    ds = rd.from_arrow(_corpus())
+    out = dedup.minhash_dedup(ds, threshold=0.5).to_pandas()
+    m = dict(zip(out.doc_id, out.dup_of))
+    assert m[1] == 1 and m[2] == 1 and m[6] == 1  # identical shingle sets
+    assert m[4] == 4 and m[7] == 7                # singletons
+    # near-dup doc 3 shares >50% of shingles with 1 -> same cluster
+    j = _jaccard_words(3, 1)
+    assert (m[3] == 1) == (j >= 0.5)
+
+
+def _jaccard_words(i, j, k=3):
+    t = _corpus()
+    txt = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    a = dedup._word_shingles(txt[i], k)
+    b = dedup._word_shingles(txt[j], k)
+    inter = len(np.intersect1d(a, b))
+    return inter / (len(a) + len(b) - inter)
+
+
+def test_simhash_pairs_complete(ray_session):
+    """Banding must return EXACTLY the all-pairs Hamming-<=k answer."""
+    ds = rd.from_arrow(_corpus())
+    max_h = 12
+    out = dedup.simhash_dedup(ds, max_hamming=max_h).to_pandas()
+    got = {(a, b): h for a, b, h in
+           zip(out.a, out.b, out.hamming)}
+    # brute force
+    t = _corpus()
+    sims = dedup.simhash_batch(t, "doc_id", "text").to_pandas()
+    sh = dict(zip(sims.doc_id, np.asarray(sims.simhash).astype(np.int64)
+                  .view(np.uint64) if len(sims) else []))
+    ids = sorted(sh)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = int(dedup.popcount64(np.array([sh[a] ^ sh[b]],
+                                              dtype=np.uint64))[0])
+            if h <= max_h:
+                expect[(a, b)] = h
+    assert got == expect
+
+
+def test_ngram_jaccard_prefix_filter_complete(ray_session):
+    """Prefix filtering must return EXACTLY the all-pairs answer."""
+    t = _corpus()
+    thresh = 0.3
+    ds = rd.from_arrow(t)
+    out = dedup.ngram_jaccard_pairs(ds, threshold=thresh).to_pandas()
+    got = {(a, b): round(j, 6) for a, b, j in
+           zip(out.a, out.b, out.jaccard)}
+    txt = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    grams = {i: dedup._char_ngrams(s) for i, s in txt.items()}
+    ids = sorted(grams)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(np.intersect1d(grams[a], grams[b],
+                                       assume_unique=True))
+            union = len(grams[a]) + len(grams[b]) - inter
+            j = inter / union
+            if j >= thresh:
+                expect[(a, b)] = round(j, 6)
+    assert got == expect
+
+
+def test_embedding_near_dup_blockpairs(ray_session):
+    rng = np.random.default_rng(11)
+    n, d = 60, 8
+    emb = rng.normal(size=(n, d))
+    emb[10] = emb[3] + 0.01 * rng.normal(size=d)   # planted near-dup
+    emb[25] = emb[14] * 1.7                        # scaled copy
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(emb))})
+    ds = rd.from_arrow(t)
+    # block_rows=16 forces a multi-block pair grid
+    out = dedup.embedding_near_dup(ds, threshold=0.9,
+                                   block_rows=16).to_pandas()
+    got = {(a, b) for a, b in zip(out.a, out.b)}
+    m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sim = m @ m.T
+    ai, bi = np.nonzero(np.triu(sim >= 0.9, k=1))
+    assert got == set(zip(ai.tolist(), bi.tolist()))
+    assert (3, 10) in got and (14, 25) in got
