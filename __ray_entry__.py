@@ -208,9 +208,21 @@ def q_topk_cosine(sf_dir: str):
 
 
 def q_ivf_topk(sf_dir: str):
-    from pyrosm_ray.stages.similarity import ivf_topk
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = ivf_topk(ds, _query_vectors(sf_dir), k=10, n_clusters=8, nprobe=8)
+    """Write-time-partitioned IVF: the index is Parquet partitioned by
+    cluster cell; queries read only probed partitions. nprobe=n_clusters
+    probes everything, so the result is exact (same oracle as
+    q_topk_cosine)."""
+    import os
+
+    from pyrosm_ray.stages.similarity import ivf_build, \
+        ivf_topk_partitioned
+    idx_dir = ("/tmp/geograft_ivf/"
+               + os.path.basename(sf_dir.rstrip("/")))
+    if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        ivf_build(ds, idx_dir, n_clusters=8)
+    out = ivf_topk_partitioned(idx_dir, _query_vectors(sf_dir), k=10,
+                               nprobe=8)
     df = out.to_pandas()[["query_id", "vec_id", "rank"]]
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
@@ -309,26 +321,51 @@ def q_boundaries_names(sf_dir: str):
 
 def q_history_latest(sf_dir: str):
     """Latest-version merge (reference A1: history reads keep the last
-    version per id; invisible latest -> dropped)."""
+    version per id; invisible latest -> dropped). Library operator:
+    groupby max + hash join — no per-id Python groups."""
     import ray.data as rd
+    from pyrosm_ray.stages.history import latest_versions
     fx = _fixture_dir(sf_dir)
     ds = rd.read_parquet(f"{fx}/osm_history.parquet",
                          columns=["id", "version", "visible", "lon"])
-
-    def last_per_id(g):
-        g = g.sort_values("version")
-        row = g.iloc[-1]
-        import pandas as pd
-        if not row.visible:
-            return pd.DataFrame({"id": [], "version": [], "lon": []})
-        return pd.DataFrame({"id": [row.id], "version": [row.version],
-                             "lon": [row.lon]})
-
-    df = ds.groupby("id").map_groups(last_per_id,
-                                     batch_format="pandas").to_pandas()
+    df = latest_versions(ds).to_pandas()[["id", "version", "lon"]]
     df["id"] = df["id"].astype("int64")
     df["version"] = df["version"].astype("int64")
     return df.sort_values("id").reset_index(drop=True)
+
+
+def q_graph_simplified(sf_dir: str):
+    """Topological simplification of the walking network (A4/A5): chains
+    of interstitial nodes collapse to single edges; lengths sum in
+    integer millimetres. The chain walk runs driver-side over the
+    collected network edges (the reference's sequential kernel does too);
+    endpoint stats are Dataset aggregates."""
+    from pyrosm_ray.pipelines.graph import directed_edges
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.pipelines.simplify import simplify_graph
+    fx = _fixture_dir(sf_dir)
+    nodes_ds, edges_ds = OSM(str(fx)).get_network("walking", nodes=True)
+    d = directed_edges(edges_ds, force_bidirectional=True)
+    nodes_df = nodes_ds.to_pandas()
+    edges_df = d.to_pandas()
+    _, out = simplify_graph(nodes_df, edges_df)
+    res = out[["u", "v", "n_segments", "length_mm"]].copy()
+    res["n_segments"] = res["n_segments"].astype("int64")
+    res["length_mm"] = res["length_mm"].astype("int64")
+    return res.sort_values(["u", "v", "n_segments", "length_mm"]) \
+        .reset_index(drop=True)
+
+
+def q_street_counts(sf_dir: str):
+    """Undirected incident-segment count per node (A6) over the walking
+    network segments."""
+    from pyrosm_ray.pipelines.graph import street_count_per_node
+    from pyrosm_ray.pipelines.layers import OSM
+    fx = _fixture_dir(sf_dir)
+    _, edges_ds = OSM(str(fx)).get_network("walking", nodes=True)
+    df = street_count_per_node(edges_ds)
+    df["street_count"] = df["street_count"].astype("int64")
+    return df
 
 
 def q_pages_by_lang(sf_dir: str):
@@ -671,6 +708,71 @@ def oracle_sql() -> dict[str, str]:
         "q_pages_by_lang": f"""
             SELECT lang, COUNT(*) AS n FROM {pages}
             GROUP BY lang ORDER BY lang""",
+        # walking-network segment graph (bidirectional), OSMnx endpoint
+        # rules, recursive chain walk; chain key = (start node, first
+        # neighbour) — unique absent parallel edges
+        "q_graph_simplified": f"""
+            WITH RECURSIVE kept AS (
+              SELECT w.id, w.refs FROM {ways_p} w WHERE {walking_filter}
+            ), refs AS (
+              SELECT k.id, unnest(k.refs) AS r,
+                     generate_subscripts(k.refs, 1) AS ord FROM kept k
+            ), pts AS (
+              SELECT refs.id, refs.ord, n.id AS nid, n.lon, n.lat,
+                     LEAD(n.id) OVER w AS nnid,
+                     LEAD(n.lon) OVER w AS nlon,
+                     LEAD(n.lat) OVER w AS nlat
+              FROM refs JOIN {nodes_p} n ON n.id = refs.r
+              WINDOW w AS (PARTITION BY refs.id ORDER BY refs.ord)
+            ), seg AS (
+              SELECT nid AS u, nnid AS v, {hav} AS mm
+              FROM pts WHERE nnid IS NOT NULL
+            ), dir AS (
+              SELECT u, v, mm FROM seg UNION ALL SELECT v, u, mm FROM seg
+            ), deg AS (
+              SELECT u AS node, COUNT(*) AS out_deg,
+                     COUNT(DISTINCT v) AS dn FROM dir GROUP BY u
+            ), ep AS (
+              SELECT node, NOT (dn = 2 AND (2 * out_deg = 2
+                                            OR 2 * out_deg = 4)) AS is_ep
+              FROM deg
+            ), walk(start_u, first_v, cur, prev, mm_sum, nseg) AS (
+              SELECT d.u, d.v, d.v, d.u, d.mm, 1
+              FROM dir d JOIN ep ON ep.node = d.u AND ep.is_ep
+              UNION ALL
+              SELECT w.start_u, w.first_v, d.v, d.u,
+                     w.mm_sum + d.mm, w.nseg + 1
+              FROM walk w
+              JOIN ep e2 ON e2.node = w.cur AND NOT e2.is_ep
+              JOIN dir d ON d.u = w.cur AND d.v <> w.prev
+              WHERE w.nseg < 100000
+            ), fin AS (
+              SELECT start_u, first_v, cur, mm_sum, nseg,
+                     ROW_NUMBER() OVER (PARTITION BY start_u, first_v
+                                        ORDER BY nseg DESC) AS rn
+              FROM walk)
+            SELECT start_u AS u, cur AS v, nseg AS n_segments,
+                   mm_sum AS length_mm
+            FROM fin WHERE rn = 1
+            ORDER BY u, v, n_segments, length_mm""",
+        "q_street_counts": f"""
+            WITH kept AS (
+              SELECT w.id, w.refs FROM {ways_p} w WHERE {walking_filter}
+            ), refs AS (
+              SELECT k.id, unnest(k.refs) AS r,
+                     generate_subscripts(k.refs, 1) AS ord FROM kept k
+            ), pts AS (
+              SELECT refs.id, refs.ord, n.id AS nid,
+                     LEAD(n.id) OVER (PARTITION BY refs.id
+                                      ORDER BY refs.ord) AS nnid
+              FROM refs JOIN {nodes_p} n ON n.id = refs.r
+            ), seg AS (
+              SELECT nid AS u, nnid AS v FROM pts WHERE nnid IS NOT NULL
+            ), ex AS (
+              SELECT u AS node_id FROM seg
+              UNION ALL SELECT v FROM seg)
+            SELECT node_id, COUNT(*) AS street_count FROM ex
+            GROUP BY node_id ORDER BY node_id""",
         "q_knn_join": f"""
             WITH pois AS (
               SELECT n.id AS poi_id, n.lon AS plon, n.lat AS plat
@@ -722,6 +824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_knn_join": q_knn_join,
         "q_osm_buildings_ways": q_osm_buildings_ways,
         "q_network_walking_lengths": q_network_walking_lengths,
+        "q_graph_simplified": q_graph_simplified,
+        "q_street_counts": q_street_counts,
         "q_boundaries_names": q_boundaries_names,
         "q_history_latest": q_history_latest,
         "q_pages_by_lang": q_pages_by_lang,

@@ -96,6 +96,136 @@ def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
     return centers
 
 
+def ivf_build(ds, out_dir: str, n_clusters: int = 16,
+              id_col: str = "vec_id", emb_col: str = "embedding",
+              sample_size: int = 10_000, seed: int = 42) -> np.ndarray:
+    """Write-time IVF: assign every vector its nearest (cosine) centroid
+    and write the table as Parquet HASH-PARTITIONED BY CELL
+    (``ivf_cell=<c>/`` directories). Queries then read ONLY their probed
+    cells' files — IO proportional to nprobe/n_clusters, the real ANN
+    scale path (the in-memory variant scans everything and prunes rows).
+
+    Returns the centroid matrix (also persisted as ``centroids.npy``)."""
+    import os
+
+    import ray
+    sample = []
+    seen = 0
+    for b in ds.select_columns([emb_col]).iter_batches(
+            batch_size=1 << 14, batch_format="pyarrow"):
+        m = _emb_matrix(b, emb_col)
+        take = min(len(m), max(0, sample_size - seen))
+        sample.append(m[:take])
+        seen += take
+        if seen >= sample_size:
+            break
+    sample = _normalize(np.concatenate(sample)) if sample else \
+        np.empty((0, 1))
+    centers = _normalize(_kmeans(sample, n_clusters, seed=seed))
+    c_ref = ray.put(centers)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(c_ref)
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        cell = (emb @ c.T).argmax(axis=1) if len(emb) else \
+            np.empty(0, np.int64)
+        return batch.append_column(
+            "ivf_cell", pa.array(cell.astype(np.int64)))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["ivf_cell"])
+    np.save(os.path.join(out_dir, "centroids.npy"), centers)
+    return centers
+
+
+def ivf_topk_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
+                         nprobe: int = 4, id_col: str = "vec_id",
+                         emb_col: str = "embedding"):
+    """Query a :func:`ivf_build` index: resolve each query's ``nprobe``
+    nearest centroids, read ONLY those cell partitions, brute-force the
+    read rows. Same output contract as :func:`topk_cosine`."""
+    import os
+
+    import ray
+    import ray.data as rd
+    centers = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nprobe = min(nprobe, len(centers))
+    probes = np.argsort(-(q @ centers.T), axis=1)[:, :nprobe]
+    cells = np.unique(probes)
+    # partition-pruned read: only probed ivf_cell=<c> directories open
+    paths = [os.path.join(index_dir, f"ivf_cell={int(c)}")
+             for c in cells]
+    paths = [p for p in paths if os.path.isdir(p)]
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "vec_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64()),
+                         "rank": pa.array([], pa.int64())})
+    cell_of_path = {p: int(p.rsplit("=", 1)[1]) for p in paths}
+    model_ref = ray.put((q, probes))
+    dss = []
+    for p in paths:
+        cell = cell_of_path[p]
+        sub = rd.read_parquet(p, columns=[id_col, emb_col])
+
+        def tag(batch: pa.Table, c=cell) -> pa.Table:
+            return batch.append_column(
+                "ivf_cell", pa.array(np.full(len(batch), c,
+                                             dtype=np.int64)))
+        dss.append(sub.map_batches(tag, batch_format="pyarrow"))
+    full = dss[0]
+    for d in dss[1:]:
+        full = full.union(d)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, probes_ = ray.get(model_ref)
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        cell = np.asarray(batch["ivf_cell"].to_numpy(zero_copy_only=False))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(cell, probes_[qi])
+            if not mask.any():
+                continue
+            sim = emb[mask] @ qm[qi]
+            kk = min(k, len(sim))
+            top = np.argpartition(-sim, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[mask][top])
+            out_s.append(sim[top])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    parts = full.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return _merge_topk(parts, k)
+
+
+def _merge_topk(parts, k: int) -> pa.Table:
+    out = {"query_id": [], "vec_id": [], "score": [], "rank": []}
+    for qid, g in parts.groupby("query_id"):
+        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
+                          kind="stable").head(k)
+        out["query_id"].extend([int(qid)] * len(g))
+        out["vec_id"].extend(int(v) for v in g.vec_id)
+        out["score"].extend(np.round(g.score.values, 4))
+        out["rank"].extend(range(1, len(g) + 1))
+    return pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+        "score": pa.array(out["score"], pa.float64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+    })
+
+
 def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
              nprobe: int = 4, id_col: str = "vec_id",
              emb_col: str = "embedding", sample_size: int = 10_000,

@@ -310,39 +310,54 @@ def _poly_rings(index, poly_idx: int) -> list[np.ndarray]:
     return [index["coords"][ro[j]:ro[j + 1]] for j in range(r0, r1)]
 
 
+_CONFIRM_CHUNK_EDGES = 1 << 19  # ~512k expanded edge rows ≈ 30 MB temporaries
+
+
 def _confirm_pip(index, cand_pt: np.ndarray, cand_poly: np.ndarray,
                  px: np.ndarray, py: np.ndarray) -> np.ndarray:
     """Exact even-odd confirmation of candidate (point, polygon) pairs.
 
-    Fully vectorised: every pair expands to its polygon's edges (flat edge
-    CSR built once at pack time), one ray-casting crossing test over the
-    whole expansion, crossing counts reduced per pair."""
+    Vectorised ray casting: every pair expands to its polygon's edges
+    (flat edge CSR built once at pack time). The expansion is processed in
+    bounded chunks — an unbounded expansion allocates ~1 GB of temporaries
+    per 64k-page batch, and concurrent tasks then fight for DRAM bandwidth
+    instead of scaling across cores."""
     n_pairs = len(cand_pt)
     keep = np.zeros(n_pairs, dtype=bool)
     if not n_pairs:
         return keep
     peo = index["poly_edge_offsets"]
     e = index["edges"]
-    starts = peo[cand_poly]
-    counts = peo[cand_poly + 1] - starts
-    edge_idx = _concat_ranges(starts, counts)
-    pair_of_edge = np.repeat(np.arange(n_pairs, dtype=np.int64), counts)
-    ex1 = e[edge_idx, 0]
-    ey1 = e[edge_idx, 1]
-    ex2 = e[edge_idx, 2]
-    ey2 = e[edge_idx, 3]
-    qx = px[cand_pt[pair_of_edge]]
-    qy = py[cand_pt[pair_of_edge]]
-    cond = (ey1 > qy) != (ey2 > qy)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = ex1 + (qy - ey1) * (ex2 - ex1) / (ey2 - ey1)
-    hits = (cond & (qx < xint)).astype(np.int64)
-    cs = np.zeros(len(hits) + 1, dtype=np.int64)
-    np.cumsum(hits, out=cs[1:])
-    pair_off = np.zeros(n_pairs + 1, dtype=np.int64)
-    np.cumsum(counts, out=pair_off[1:])
-    crossings = cs[pair_off[1:]] - cs[pair_off[:-1]]
-    return (crossings % 2) == 1
+    counts = peo[cand_poly + 1] - peo[cand_poly]
+    pair_cum = np.zeros(n_pairs + 1, dtype=np.int64)
+    np.cumsum(counts, out=pair_cum[1:])
+    lo = 0
+    while lo < n_pairs:
+        hi = int(np.searchsorted(pair_cum,
+                                 pair_cum[lo] + _CONFIRM_CHUNK_EDGES,
+                                 side="right")) - 1
+        hi = min(max(hi, lo + 1), n_pairs)
+        sel = slice(lo, hi)
+        cnt = counts[sel]
+        edge_idx = _concat_ranges(peo[cand_poly[sel]], cnt)
+        pair_of_edge = np.repeat(np.arange(hi - lo, dtype=np.int64), cnt)
+        ex1 = e[edge_idx, 0]
+        ey1 = e[edge_idx, 1]
+        ex2 = e[edge_idx, 2]
+        ey2 = e[edge_idx, 3]
+        qx = px[cand_pt[sel][pair_of_edge]]
+        qy = py[cand_pt[sel][pair_of_edge]]
+        cond = (ey1 > qy) != (ey2 > qy)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = ex1 + (qy - ey1) * (ex2 - ex1) / (ey2 - ey1)
+        hits = (cond & (qx < xint)).astype(np.int64)
+        cs = np.zeros(len(hits) + 1, dtype=np.int64)
+        np.cumsum(hits, out=cs[1:])
+        off = pair_cum[lo:hi + 1] - pair_cum[lo]
+        crossings = cs[off[1:]] - cs[off[:-1]]
+        keep[sel] = (crossings % 2) == 1
+        lo = hi
+    return keep
 
 
 def _cell_candidates(index, px: np.ndarray, py: np.ndarray):

@@ -175,22 +175,54 @@ def _sub_coords(coords: np.ndarray, voff: np.ndarray, keep: np.ndarray):
     idx = np.flatnonzero(keep)
     if len(idx) == 0:
         return np.empty((0, 2))
-    parts = [coords[voff[i]:voff[i + 1]] for i in idx]
-    return np.concatenate(parts) if parts else np.empty((0, 2))
+    cnt = (voff[1:] - voff[:-1])[idx]
+    return coords[concat_ranges(voff[:-1][idx], cnt)]
 
 
 def _oriented_rings(coords: np.ndarray, voff: np.ndarray, idx: np.ndarray,
                     close: bool):
-    """Extract rings for the chosen ways, auto-close and orient CCW (M24)."""
-    rings = []
-    for i in idx:
-        ring = coords[voff[i]:voff[i + 1]]
-        if close and not np.array_equal(ring[0], ring[-1]):
-            ring = np.vstack([ring, ring[:1]])
-        rings.append(ops.orient_ring(ring, ccw=True))
-    off = np.zeros(len(rings) + 1, dtype=np.int64)
-    np.cumsum([len(r) for r in rings], out=off[1:])
-    return (np.concatenate(rings) if rings else np.empty((0, 2))), off
+    """Extract rings for the chosen ways, auto-close and orient CCW (M24).
+
+    Fully vectorised over the flat ring CSR: one shoelace pass (per-edge
+    cross products segment-summed per ring) decides winding, one scatter
+    closes open rings, one permutation gather reverses the clockwise ones
+    (the per-ring np.roll loop this replaces dominated assembly wall)."""
+    if len(idx) == 0:
+        return np.empty((0, 2)), np.zeros(1, dtype=np.int64)
+    cnt = (voff[1:] - voff[:-1])[idx]
+    pts = coords[concat_ranges(voff[:-1][idx], cnt)]
+    off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(cnt, out=off[1:])
+    if close:
+        first = pts[off[:-1]]
+        last = pts[off[1:] - 1]
+        needs = ~np.all(first == last, axis=1)
+        if needs.any():
+            new_cnt = cnt + needs
+            new_off = np.zeros(len(idx) + 1, dtype=np.int64)
+            np.cumsum(new_cnt, out=new_off[1:])
+            out = np.empty((new_off[-1], 2), dtype=pts.dtype)
+            out[concat_ranges(new_off[:-1], cnt)] = pts
+            out[new_off[1:][needs] - 1] = first[needs]
+            pts, off, cnt = out, new_off, new_cnt
+    # shoelace over the explicit edges (rings are closed, so the implicit
+    # wrap edge contributes exactly zero — same area as ops.ring_signed_area)
+    x, y = pts[:, 0], pts[:, 1]
+    cross = x[:-1] * y[1:] - x[1:] * y[:-1]
+    valid = np.ones(len(cross), dtype=bool)
+    ring_ends = off[1:-1] - 1
+    valid[ring_ends] = False  # edges spanning ring boundaries
+    cs = np.zeros(len(cross) + 1, dtype=np.float64)
+    np.cumsum(cross * valid, out=cs[1:])
+    area2 = cs[off[1:] - 1] - cs[off[:-1]]
+    flip = area2 <= 0.0  # CCW required: reverse non-CCW rings (M24)
+    if flip.any():
+        local = concat_ranges(np.zeros(len(cnt), dtype=np.int64), cnt)
+        starts_rep = np.repeat(off[:-1], cnt)
+        rev = starts_rep + np.repeat(cnt, cnt) - 1 - local
+        fwd = np.arange(len(pts), dtype=np.int64)
+        pts = pts[np.where(np.repeat(flip, cnt), rev, fwd)]
+    return pts, off
 
 
 # ---------------------------------------------------------------------------
