@@ -53,6 +53,8 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
+from pyrosm_ray.stages.blocks import shuffle_join_args
+
 from pyrosm_ray import config
 from pyrosm_ray.filters.compiler import CompiledFilter, compile_custom_filter
 from pyrosm_ray.filters.semantics import TagBatchEvaluator
@@ -691,9 +693,8 @@ class OSM:
         # empty partitions — acero joins reject schema-less blocks
         nparts = max(2, (self.num_partitions or 32) // 8)
         grouped = grouped.repartition(nparts)
-        joined = payload.join(grouped, "inner", num_partitions=nparts,
-                              on=("id",),
-                              aggregator_ray_remote_args={"num_cpus": 0.25})
+        joined = payload.join(grouped, "inner", on=("id",),
+                              **shuffle_join_args(nparts))
 
         def finalize(batch: pa.Table) -> pa.Table:
             force = np.asarray(batch["__force_line"].to_numpy(

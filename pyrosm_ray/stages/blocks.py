@@ -12,7 +12,26 @@ joins accept."""
 from __future__ import annotations
 
 import pyarrow as pa
+import ray
 import ray.data as rd
+
+
+def shuffle_join_args(num_partitions: int | None = None) -> dict:
+    """Join/shuffle kwargs sized so aggregator actors can never starve the
+    map side: the pool reserves at most ~half the cluster's CPUs.
+
+    Ray's hash-shuffle join spawns ``min(num_partitions, max)`` aggregator
+    ACTORS holding their CPU reservation for the operator's lifetime; a
+    fixed ``8 x 0.25`` recipe deadlocks a 2-CPU cluster (the whole
+    allotment goes to aggregators and no map task can run)."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    np_ = num_partitions or max(2, min(8, cpus))
+    agg_cpus = max(0.05, min(0.25, (cpus / 2.0) / np_))
+    return {"num_partitions": np_,
+            "aggregator_ray_remote_args": {"num_cpus": agg_cpus}}
 
 
 def nonempty(ds, empty_schema: pa.Table) -> rd.Dataset:

@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-from pyrosm_ray.stages.blocks import nonempty
+from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
 
 _EDGES_EMPTY = pa.table({"src": pa.array([], pa.int64()),
                          "dst": pa.array([], pa.int64())})
@@ -61,9 +61,8 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
         _LABELS_EMPTY)
     prev_sum = labels.sum("label")
     for _ in range(max_iter):
-        j = edges.join(labels, "inner", num_partitions=num_partitions,
-                       on=("src",), right_on=("node",),
-                       aggregator_ray_remote_args={"num_cpus": 0.25})
+        j = edges.join(labels, "inner", on=("src",), right_on=("node",),
+                       **shuffle_join_args(num_partitions))
         labels = nonempty(j.groupby("dst").min("label").map_batches(
             lambda b: rename(b, "min(label)"), batch_format="pyarrow"),
             _LABELS_EMPTY)
@@ -87,9 +86,8 @@ def attach_components(ds, labels, id_col: str,
         def self_map(batch: pa.Table) -> pa.Table:
             return batch.append_column(out_col, batch[id_col])
         return ds.map_batches(self_map, batch_format="pyarrow")
-    j = ds.join(labels, "left_outer", num_partitions=num_partitions,
-                on=(id_col,), right_on=("node",),
-                aggregator_ray_remote_args={"num_cpus": 0.25})
+    j = ds.join(labels, "left_outer", on=(id_col,), right_on=("node",),
+                **shuffle_join_args(num_partitions))
 
     def coalesce(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -40,7 +40,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pyrosm_ray.stages.blocks import nonempty
+from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
 from pyrosm_ray.stages.components import attach_components, \
     connected_components
 from pyrosm_ray.stages.hashing import hash64, stable64
@@ -105,9 +105,8 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         return pa.table({"__keep_id": batch[f"min({id_col})"]})
 
     keep = keep.map_batches(keep_ids, batch_format="pyarrow")
-    return ds.join(keep, "inner", num_partitions=num_partitions,
-                   on=(id_col,), right_on=("__keep_id",),
-                   aggregator_ray_remote_args={"num_cpus": 0.25})
+    return ds.join(keep, "inner", on=(id_col,), right_on=("__keep_id",),
+                   **shuffle_join_args(num_partitions))
 
 
 # ---------------------------------------------------------------------------
@@ -217,16 +216,14 @@ def _verify_pairs_jaccard(pairs_ds, shingles_ds, id_col: str,
     # (a deep lazy chain can exhaust small clusters' CPU slots), and join
     # outputs can carry zero-column empty partition blocks that the next
     # acero join rejects (pair sets are tiny, so the barrier is cheap)
-    j = pairs_ds.join(shingles_ds, "inner", num_partitions=num_partitions,
-                      on=("a",), right_on=(id_col,),
-                      aggregator_ray_remote_args={"num_cpus": 0.25}) \
+    j = pairs_ds.join(shingles_ds, "inner", on=("a",), right_on=(id_col,),
+                      **shuffle_join_args(num_partitions)) \
         .map_batches(lambda b: rn(b, "sh_a"), batch_format="pyarrow")
     j = nonempty(j, pa.table({"a": pa.array([], pa.int64()),
                               "b": pa.array([], pa.int64()),
                               "sh_a": pa.array([], pa.binary())}))
-    j = j.join(shingles_ds, "inner", num_partitions=num_partitions,
-               on=("b",), right_on=(id_col,),
-               aggregator_ray_remote_args={"num_cpus": 0.25}) \
+    j = j.join(shingles_ds, "inner", on=("b",), right_on=(id_col,),
+               **shuffle_join_args(num_partitions)) \
         .map_batches(lambda b: rn(b, "sh_b"), batch_format="pyarrow")
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -353,16 +350,14 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         cols[name] = batch["simhash"]
         return pa.table(cols)
 
-    j = cand.join(sim_proj, "inner", num_partitions=num_partitions,
-                  on=("a",), right_on=(id_col,),
-                  aggregator_ray_remote_args={"num_cpus": 0.25}) \
+    j = cand.join(sim_proj, "inner", on=("a",), right_on=(id_col,),
+                  **shuffle_join_args(num_partitions)) \
         .map_batches(lambda b: rn(b, "h_a"), batch_format="pyarrow")
     j = nonempty(j, pa.table({"a": pa.array([], pa.int64()),
                               "b": pa.array([], pa.int64()),
                               "h_a": pa.array([], pa.int64())}))
-    j = j.join(sim_proj, "inner", num_partitions=num_partitions,
-               on=("b",), right_on=(id_col,),
-               aggregator_ray_remote_args={"num_cpus": 0.25}) \
+    j = j.join(sim_proj, "inner", on=("b",), right_on=(id_col,),
+               **shuffle_join_args(num_partitions)) \
         .map_batches(lambda b: rn(b, "h_b"), batch_format="pyarrow")
 
     def verify(batch: pa.Table) -> pa.Table:

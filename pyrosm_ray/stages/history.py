@@ -12,7 +12,7 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pyrosm_ray.stages.blocks import nonempty
+from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
 
 
 def latest_versions(ds, id_col: str = "id", version_col: str = "version",
@@ -38,9 +38,9 @@ def latest_versions(ds, id_col: str = "id", version_col: str = "version",
     mx = nonempty(mx.map_batches(rename, batch_format="pyarrow"),
                   pa.table({"__id": pa.array([], pa.int64()),
                             "__ver": pa.array([], ver_type or pa.int64())}))
-    j = ds.join(mx, "inner", num_partitions=num_partitions,
-                on=(id_col, version_col), right_on=("__id", "__ver"),
-                aggregator_ray_remote_args={"num_cpus": 0.25})
+    j = ds.join(mx, "inner", on=(id_col, version_col),
+                right_on=("__id", "__ver"),
+                **shuffle_join_args(num_partitions))
     if visible_col is None:
         return j
 

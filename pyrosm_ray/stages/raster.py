@@ -83,9 +83,9 @@ def polygon_zonal_stats(polygons_ds, raster_ds, tile_col: str = "h3_r7",
         return grid.cover_bbox(x0, y0, x1, y1, raster_res)
 
     polys = polygons_ds.map_batches(polys_to_cells, batch_format="pyarrow")
-    joined = polys.join(raster_ds, "inner", num_partitions=num_partitions,
+    joined = polys.join(raster_ds, "inner",
                         on=(tile_col,),
-                        aggregator_ray_remote_args={"num_cpus": 0.25})
+                        **shuffle_join_args(num_partitions))
 
     def stats(batch: pa.Table) -> pa.Table:
         n = len(batch)

@@ -36,6 +36,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from pyrosm_ray.stages.blocks import shuffle_join_args
+
 import functools
 
 from pyrosm_ray.fixtures import geocode_from_page_id
@@ -714,9 +716,8 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
         })
 
     polys = polygons_ds.map_batches(polys_to_cells, batch_format="pyarrow")
-    joined = proj.join(polys, "inner", num_partitions=num_partitions,
-                       on=(col,),
-                       aggregator_ray_remote_args={"num_cpus": 0.25})
+    joined = proj.join(polys, "inner", on=(col,),
+                       **shuffle_join_args(num_partitions))
 
     def per_pair_pip(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -761,6 +762,5 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                                   pa.array([lay] * len(b), pa.string())),
         batch_format="pyarrow")
     # re-attach the full payload by url (payload bytes never shuffled by cell)
-    return pages_ds.join(hits, "inner", num_partitions=num_partitions,
-                         on=("url",),
-                         aggregator_ray_remote_args={"num_cpus": 0.25})
+    return pages_ds.join(hits, "inner", on=("url",),
+                         **shuffle_join_args(num_partitions))

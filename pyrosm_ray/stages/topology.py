@@ -35,6 +35,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
+from pyrosm_ray.stages.blocks import shuffle_join_args
+
 from pyrosm_ray.geom import ops, wkb
 
 DEFAULT_BROADCAST_MAX_NODES = 50_000_000  # ~1.2 GB of id+lon+lat arrays
@@ -484,9 +486,9 @@ def assemble_ways(ways_ds, nodes_ds, mode: str = "area",
         raise ValueError(f"unknown strategy {strategy!r}")
     refs = explode_refs(ways_ds)
     nodes_proj = nodes_ds.select_columns(["id", "lon", "lat"])
-    joined = refs.join(nodes_proj, "inner", num_partitions=num_partitions,
+    joined = refs.join(nodes_proj, "inner",
                        on=("node_id",), right_on=("id",),
-                       aggregator_ray_remote_args={"num_cpus": 0.25})
+                       **shuffle_join_args(num_partitions))
     joined = joined.add_column(
         "way_bucket",
         lambda df: (df["way_id"] % num_buckets).astype("int64"),
@@ -498,9 +500,8 @@ def assemble_ways(ways_ds, nodes_ds, mode: str = "area",
     per_way = per_way.repartition(num_partitions)
     payload = ways_ds.map_batches(pack_refs, batch_format="pyarrow")
     withc = payload.join(per_way, "left_outer",
-                         num_partitions=num_partitions,
                          on=("id",), right_on=("way_id",),
-                         aggregator_ray_remote_args={"num_cpus": 0.25})
+                         **shuffle_join_args(num_partitions))
     # the joined assembler holds no per-actor state -> plain tasks (no actor
     # pool competing with the join aggregators for CPU slots)
     import functools
