@@ -114,9 +114,24 @@ class OSM:
     def _path(self, table: str) -> str:
         return f"{self.src}/{table}.parquet"
 
+    def _table_bytes(self, table: str) -> int:
+        """On-disk size; element tables may be single files or fragment
+        directories (the PBF on-ramp writes one fragment per blob)."""
+        p = self._path(table)
+        if os.path.isdir(p):
+            return sum(e.stat().st_size for e in os.scandir(p)
+                       if e.name.endswith(".parquet"))
+        return os.path.getsize(p)
+
     def _schema(self, table: str) -> pa.Schema:
         if table not in self._schemas:
-            self._schemas[table] = pq.read_schema(self._path(table))
+            p = self._path(table)
+            if os.path.isdir(p):
+                frag = sorted(e.path for e in os.scandir(p)
+                              if e.name.endswith(".parquet"))[0]
+                self._schemas[table] = pq.read_schema(frag)
+            else:
+                self._schemas[table] = pq.read_schema(p)
         return self._schemas[table]
 
     def _meta_cols(self, table: str) -> list[str]:
@@ -134,7 +149,7 @@ class OSM:
     BLOCK_TARGET_BYTES = 1 << 20
 
     def _auto_blocks(self, table: str) -> int:
-        size = os.path.getsize(self._path(table))
+        size = self._table_bytes(table)
         return int(np.clip(size // self.BLOCK_TARGET_BYTES, 1, 4096))
 
     def _read(self, table: str, columns=None) -> rd.Dataset:
@@ -155,8 +170,7 @@ class OSM:
     COORDS_DRIVER_MAX_BYTES = 2 << 30
 
     def _coords_fit_broadcast(self) -> bool:
-        return os.path.getsize(
-            self._path("osm_nodes")) <= self.COORDS_DRIVER_MAX_BYTES
+        return self._table_bytes("osm_nodes") <= self.COORDS_DRIVER_MAX_BYTES
 
     def coord_ref(self):
         if self._coord_ref is None:
@@ -477,7 +491,8 @@ class OSM:
         serialized Ray executions per layer); above that, a distributed
         filter collects only the (already-filtered) kept set."""
         path = self._path("osm_relations")
-        if os.path.getsize(path) <= self.RELATIONS_DRIVER_MAX_BYTES:
+        if self._table_bytes("osm_relations") <= \
+                self.RELATIONS_DRIVER_MAX_BYTES:
             t = pq.read_table(path)
             ev = TagBatchEvaluator(t["tags"])
             mask = ev.keep_mask(osm_keys, data_filter, filter_type,
@@ -716,6 +731,42 @@ class OSM:
             return out.filter(pc.is_valid(out["geometry"]))
 
         return joined.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# output boundary (occurring-tags-only contract, M8)
+# ---------------------------------------------------------------------------
+
+LAYER_CONTRACT_COLS = frozenset({
+    "id", "osm_type", "geometry", "tags", "lon", "lat", "u", "v",
+    "length", *META_COLS})
+
+
+def _empty_tag_candidates(ds) -> list[str]:
+    sch = ds.schema()
+    if sch is None:
+        return []
+    return [n for n, t in zip(sch.names, sch.types)
+            if n not in LAYER_CONTRACT_COLS and pa.types.is_string(t)]
+
+
+def collect_layer(ds, drop_empty: bool = True):
+    """Output-boundary collector: pandas frame with never-occurring tag
+    columns dropped (the reference's occurring-tags-only GeoDataFrame
+    contract, pyrosm/engine/collect.py:487-560 / M8)."""
+    from pyrosm_ray.stages.tags import drop_empty_columns
+    if drop_empty:
+        ds = drop_empty_columns(ds, _empty_tag_candidates(ds))
+    return ds.to_pandas()
+
+
+def write_layer(ds, path: str, drop_empty: bool = True, **write_kwargs):
+    """GeoParquet-style sink (S8): schema-aligned layer rows written as
+    partitioned Parquet, empty tag columns dropped at the boundary."""
+    from pyrosm_ray.stages.tags import drop_empty_columns
+    if drop_empty:
+        ds = drop_empty_columns(ds, _empty_tag_candidates(ds))
+    ds.write_parquet(path, **write_kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -152,3 +152,20 @@ def test_checkpoint_sweeps_stale_tmp(ray_session, tmp_path):
     out = mgr.run_partitioned("s2", ["1"], build)
     assert not stale.exists()
     assert out.to_pandas()["x"].tolist() == [1]
+
+
+# ---------------------------------------------------------------------------
+# output boundary: occurring-tags-only contract (M8)
+# ---------------------------------------------------------------------------
+
+def test_collect_layer_drops_empty_tag_columns(ray_session, fx):
+    from pyrosm_ray.pipelines.layers import collect_layer
+    raw = OSM(fx).get_buildings().to_pandas()
+    lean = collect_layer(OSM(fx).get_buildings())
+    dropped = set(raw.columns) - set(lean.columns)
+    assert dropped  # the building preset has never-occurring tag columns
+    assert all(raw[c].isna().all() for c in dropped)
+    # contract columns always survive
+    for c in ("id", "osm_type", "geometry", "tags", "building"):
+        assert c in lean.columns
+    assert len(lean) == len(raw)
