@@ -284,6 +284,25 @@ def q_pip_join(sf_dir: str):
     return df.sort_values(["url", "polygon_id"]).reset_index(drop=True)
 
 
+def q_pip_join_ways(sf_dir: str):
+    """PIP join pages x WAY-buildings — oracle-checkable: single-ring way
+    polygons reproduce in SQL as even-odd crossing counts over the ring
+    edges (relation multipolygons stay in the rows-only q_pip_join)."""
+    import ray.data as rd
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.stages.spatial import assign_tiles, pip_join
+
+    fx = _fixture_dir(sf_dir)
+    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    polys = OSM(str(fx)).get_buildings()
+    polys = polys.map_batches(
+        lambda b: b.filter(pc.equal(b["osm_type"], "way")),
+        batch_format="pyarrow").materialize()
+    out = pip_join(assign_tiles(pages), polys, layer="buildings")
+    df = out.to_pandas()[["url", "polygon_id"]]
+    return df.sort_values(["url", "polygon_id"]).reset_index(drop=True)
+
+
 def q_knn_join(sf_dir: str):
     """kNN to nearest POIs; oracle = SQL window over exact haversine."""
     import ray.data as rd
@@ -773,6 +792,48 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT v FROM seg)
             SELECT node_id, COUNT(*) AS street_count FROM ex
             GROUP BY node_id ORDER BY node_id""",
+        # even-odd crossing parity over way-building ring edges, the same
+        # per-edge arithmetic as spatial._confirm_pip (candidate bbox
+        # prefilter is safe: an out-of-bbox point has even parity anyway)
+        "q_pip_join_ways": f"""
+            WITH pg AS (
+              SELECT url, {lon_sql} AS qx, {lat_sql} AS qy FROM {pages}
+            ), bw AS (
+              SELECT w.id, w.refs FROM {ways_p} w
+              WHERE len(map_extract(w.tags, 'building')) > 0
+                AND w.id NOT IN ({member_ways_b})
+                AND w.refs[1] = w.refs[len(w.refs)]
+                AND COALESCE(map_extract(w.tags, 'area')[1], '') <> 'no'
+            ), refs AS (
+              SELECT b.id, unnest(b.refs) AS r,
+                     generate_subscripts(b.refs, 1) AS ord FROM bw b
+            ), pts AS (
+              SELECT refs.id, refs.ord, n.lon AS x1, n.lat AS y1,
+                     LEAD(n.lon) OVER w AS x2, LEAD(n.lat) OVER w AS y2,
+                     COUNT(*) OVER (PARTITION BY refs.id) AS npts
+              FROM refs JOIN {nodes_p} n ON n.id = refs.r
+              WINDOW w AS (PARTITION BY refs.id ORDER BY refs.ord)
+            ), edges AS (
+              SELECT id, x1, y1, x2, y2 FROM pts
+              WHERE x2 IS NOT NULL AND npts > 2
+            ), bbox AS (
+              SELECT id, MIN(x1) AS bx0, MAX(x1) AS bx1,
+                     MIN(y1) AS by0, MAX(y1) AS by1
+              FROM edges GROUP BY id
+            ), cand AS (
+              SELECT pg.url, pg.qx, pg.qy, b.id FROM pg JOIN bbox b
+              ON pg.qx >= b.bx0 AND pg.qx <= b.bx1
+                 AND pg.qy >= b.by0 AND pg.qy <= b.by1
+            ), crossings AS (
+              SELECT c.url, c.id,
+                     SUM(CASE WHEN ((e.y1 > c.qy) <> (e.y2 > c.qy))
+                          AND c.qx < e.x1 + (c.qy - e.y1)
+                              * (e.x2 - e.x1) / (e.y2 - e.y1)
+                          THEN 1 ELSE 0 END) AS k
+              FROM cand c JOIN edges e ON e.id = c.id
+              GROUP BY c.url, c.id)
+            SELECT url, id AS polygon_id FROM crossings WHERE k % 2 = 1
+            ORDER BY url, polygon_id""",
         "q_knn_join": f"""
             WITH pois AS (
               SELECT n.id AS poi_id, n.lon AS plon, n.lat AS plat
@@ -821,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tile_counts": q_tile_counts,
         "q_pages_in_bbox": q_pages_in_bbox,
         "q_pip_join": q_pip_join,
+        "q_pip_join_ways": q_pip_join_ways,
         "q_knn_join": q_knn_join,
         "q_osm_buildings_ways": q_osm_buildings_ways,
         "q_network_walking_lengths": q_network_walking_lengths,

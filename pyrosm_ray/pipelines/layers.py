@@ -559,6 +559,48 @@ class OSM:
 
         return nodes.map_batches(node_filter, batch_format="pyarrow")
 
+    def count_straddling_relations(self, osm_keys, data_filter,
+                                   filter_type: str = "keep") -> int:
+        """A8 (reference warn metric, pyrosm/frames.pyx:142-160): kept
+        relations with SOME but not ALL member ways touching the bbox —
+        i.e. relations whose geometry a plain bbox read would cut
+        (``complete_relations=True`` repairs them). 0 without a bbox."""
+        if self.bbox is None:
+            return 0
+        rel_kept, member_ids = self._kept_relations(
+            osm_keys, data_filter, filter_type, keep_all=False)
+        if rel_kept is None or not len(member_ids):
+            return 0
+        member_ref = ray.put(member_ids)
+        inbox_ref = self.inbox_node_ids()
+
+        def member_touch(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["id"].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            mids = ray.get(member_ref)
+            pos = np.clip(np.searchsorted(mids, ids), 0, len(mids) - 1)
+            member = mids[pos] == ids
+            touches = _way_touches_nodes(batch, ray.get(inbox_ref))
+            return pa.table({
+                "way_id": pa.array(ids[member], pa.int64()),
+                "touch": pa.array(touches[member], pa.bool_()),
+            })
+
+        touch: dict[int, bool] = {}
+        for b in self.ways(columns=["id", "refs"]).map_batches(
+                member_touch, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow"):
+            for wid, t in zip(b["way_id"].to_pylist(),
+                              b["touch"].to_pylist()):
+                touch[wid] = t
+        way_of, rel_of = self._member_pairs(rel_kept)
+        n = 0
+        for rid in np.unique(rel_of):
+            flags = [touch[w] for w in way_of[rel_of == rid] if w in touch]
+            if flags and any(flags) and not all(flags):
+                n += 1
+        return n
+
     # -- relation assembly -------------------------------------------------
     def _member_pairs(self, rel_kept):
         """(sorted way-member ids, their relation ids) from the kept set."""

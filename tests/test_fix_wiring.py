@@ -169,3 +169,14 @@ def test_collect_layer_drops_empty_tag_columns(ray_session, fx):
     for c in ("id", "osm_type", "geometry", "tags", "building"):
         assert c in lean.columns
     assert len(lean) == len(raw)
+
+
+def test_straddling_relation_count(ray_session, fx):
+    """A8: the StraddleRel fixture relation has one member way in
+    TEST_BBOX and one outside -> exactly the straddling set a bbox read
+    would cut."""
+    osm = OSM(fx, bounding_box=TEST_BBOX)
+    n = osm.count_straddling_relations(["building"], {"building": [True]})
+    assert n == 1
+    assert OSM(fx).count_straddling_relations(
+        ["building"], {"building": [True]}) == 0
