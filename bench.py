@@ -83,10 +83,14 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # CPU-dependent: the same input yields the same task graph at every
     # parallelism level, so scaling runs vary only the worker count
     pages_path = f"{fx}/pages.parquet"
-    pages_blocks = max(8, os.path.getsize(pages_path) // (2 << 20))
+    pages_blocks = max(8, os.path.getsize(pages_path) // (8 << 20))
     pages = rd.read_parquet(pages_path,
                             override_num_blocks=int(pages_blocks))
-    tiled = spatial.assign_tiles(pages, salt_threshold=2000)
+    # hot-cell detection on a 2% systematic sample (mega-cells are visible
+    # in any fixed-rate sample; the full-histogram pass would double the
+    # geocode+tile work)
+    tiled = spatial.assign_tiles(pages, salt_threshold=2000,
+                                 salt_sample_mod=50)
     # streaming throughput (no materialize in the timing)
     timed("tile_assignment", lambda: tiled.count())
     # join input projection: the engine's contract re-joins html/text by url

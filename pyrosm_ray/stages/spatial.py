@@ -81,17 +81,28 @@ def tile_columns(batch: pa.Table, resolutions=(5, 7, 9)) -> pa.Table:
 
 
 def hot_cells(ds_with_tiles, res: int, threshold: int,
-              max_salt: int = 64) -> dict[int, int]:
+              max_salt: int = 64,
+              sample_mod: int | None = None) -> dict[int, int]:
     """Cells whose page count exceeds ``threshold`` -> salt modulus k.
 
     Pre-aggregated per batch (combiner) before the small groupby — the
-    all-to-all carries one row per distinct cell per block, not per page."""
+    all-to-all carries one row per distinct cell per block, not per page.
+
+    ``sample_mod=k`` estimates the histogram from the deterministic
+    ``page_id %% k == 0`` systematic sample (counts scaled back up): a
+    mega-cell is by definition visible in any fixed-rate sample, and the
+    detection pass then reads 1/k of the data instead of doubling the
+    full geocode+tile work (the classic skew-detection design at scale)."""
     col = f"h3_r{res}"
+    scale = sample_mod or 1
 
     def partial(batch: pa.Table) -> pa.Table:
-        cells, counts = np.unique(
-            np.asarray(batch[col].to_numpy(zero_copy_only=False)),
-            return_counts=True)
+        cells_np = np.asarray(batch[col].to_numpy(zero_copy_only=False))
+        if sample_mod:
+            pid = np.asarray(batch["page_id"].to_numpy(
+                zero_copy_only=False))
+            cells_np = cells_np[pid % sample_mod == 0]
+        cells, counts = np.unique(cells_np, return_counts=True)
         return pa.table({col: pa.array(cells, pa.int64()),
                          "n": pa.array(counts, pa.int64())})
 
@@ -99,17 +110,21 @@ def hot_cells(ds_with_tiles, res: int, threshold: int,
         .groupby(col).sum("n").to_pandas()
     out = {}
     for cell, n in zip(agg[col], agg["sum(n)"]):
-        if n > threshold:
-            out[int(cell)] = int(min(max_salt, max(2, n // threshold)))
+        if n * scale > threshold:
+            out[int(cell)] = int(min(max_salt,
+                                     max(2, (n * scale) // threshold)))
     return out
 
 
 def assign_tiles(pages_ds, resolutions=(5, 7, 9), salt_res: int = 9,
-                 salt_threshold: int | None = None):
+                 salt_threshold: int | None = None,
+                 salt_sample_mod: int | None = None):
     """Geocode + hierarchical cell columns + mega-cell salt column.
 
     ``salt_threshold`` pages per ``salt_res`` cell triggers salting (default:
-    none). Returns a Dataset with page_id/lon/lat/h3_r*/salt appended."""
+    none); ``salt_sample_mod`` makes the hot-cell histogram pass read a
+    deterministic 1/k sample. Returns a Dataset with
+    page_id/lon/lat/h3_r*/salt appended."""
     ds = geocode_pages(pages_ds)
     ds = ds.map_batches(lambda b: tile_columns(b, resolutions),
                         batch_format="pyarrow")
@@ -118,7 +133,8 @@ def assign_tiles(pages_ds, resolutions=(5, 7, 9), salt_res: int = 9,
             lambda b: b.append_column(
                 "salt", pa.array(np.zeros(len(b), dtype=np.int64))),
             batch_format="pyarrow")
-    hot = hot_cells(ds, salt_res, salt_threshold)
+    hot = hot_cells(ds, salt_res, salt_threshold,
+                    sample_mod=salt_sample_mod)
     hot_ref = ray.put(hot)
     col = f"h3_r{salt_res}"
 
