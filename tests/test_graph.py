@@ -1,0 +1,110 @@
+"""Directed-edge expansion truth table (M27), SCC restriction (A9),
+OSMnx export (M28), and raster zonal stats — the round-1 untested
+components."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from pyrosm_ray.geom import wkb as wkblib
+from pyrosm_ray.pipelines.graph import directed_edges, largest_scc_edges, \
+    street_count_per_node, to_networkx
+from pyrosm_ray.tiles import grid
+
+
+def _edges(rows):
+    cols = {k: [r.get(k) for r in rows] for k in
+            {k for r in rows for k in r}}
+    t = {}
+    for k, v in cols.items():
+        if k in ("u", "v"):
+            t[k] = pa.array(v, pa.int64())
+        else:
+            t[k] = pa.array(v, pa.string())
+    return rd.from_arrow(pa.table(t))
+
+
+def _expand(rows, **kwargs):
+    out = directed_edges(_edges(rows), **kwargs).to_pandas()
+    return sorted(zip(out["u"], out["v"]))
+
+
+def test_directed_edges_truth_table(ray_session):
+    """M27 (reference oneway value set: yes/true/1/T/F, against: -1/T)."""
+    # plain two-way street -> both directions
+    assert _expand([{"u": 1, "v": 2}]) == [(1, 2), (2, 1)]
+    # oneway=yes -> forward only
+    assert _expand([{"u": 1, "v": 2, "oneway": "yes"}]) == [(1, 2)]
+    for val in ("true", "1", "F"):
+        assert _expand([{"u": 1, "v": 2, "oneway": val}]) == [(1, 2)]
+    # against-direction values flip u/v
+    for val in ("-1", "T"):
+        assert _expand([{"u": 1, "v": 2, "oneway": val}]) == [(2, 1)]
+    # junction=roundabout implies oneway forward
+    assert _expand([{"u": 1, "v": 2, "junction": "roundabout"}]) == [(1, 2)]
+    # oneway:bicycle override beats oneway for the bicycle direction col
+    assert _expand([{"u": 1, "v": 2, "oneway": "yes",
+                     "oneway:bicycle": "no"}],
+                   direction_suffix="bicycle") == [(1, 2), (2, 1)]
+    # force_bidirectional ignores oneway entirely
+    assert _expand([{"u": 1, "v": 2, "oneway": "yes"}],
+                   force_bidirectional=True) == [(1, 2), (2, 1)]
+
+
+def test_street_count(ray_session):
+    out = street_count_per_node(_edges(
+        [{"u": 1, "v": 2}, {"u": 2, "v": 3}, {"u": 2, "v": 4}]))
+    counts = dict(zip(out["node_id"], out["street_count"]))
+    assert counts == {1: 1, 2: 3, 3: 1, 4: 1}
+
+
+def test_largest_scc():
+    # cycle 1-2-3-1 plus a dangling one-way tail 3->4
+    df = pd.DataFrame({"u": [1, 2, 3, 3], "v": [2, 3, 1, 4]})
+    kept = largest_scc_edges(df)
+    assert sorted(zip(kept["u"], kept["v"])) == [(1, 2), (2, 3), (3, 1)]
+
+
+def test_to_networkx_osmnx_compat():
+    nodes = pd.DataFrame({"id": [1, 2, 3], "lon": [0.0, 1.0, 2.0],
+                          "lat": [0.0, 0.0, 0.0]})
+    edges = pd.DataFrame({"u": [1, 2, 3], "v": [2, 3, 1],
+                          "id": [10, 11, 12],
+                          "length": [1.0, 1.0, 1.0]})
+    g = to_networkx(nodes, edges)
+    assert g.graph["crs"] == "epsg:4326"
+    assert g.nodes[1]["x"] == 0.0 and g.nodes[1]["osmid"] == 1
+    data = g.get_edge_data(1, 2)
+    assert 0 in data  # multigraph key 0, OSMnx-style
+    assert data[0]["osmid"] == 10
+
+
+def test_raster_zonal_stats(ray_session):
+    """Rasterize points per tile, zonal-reduce under a polygon covering
+    half the tile -> the mask sum equals the points that fell inside."""
+    from pyrosm_ray.stages.raster import polygon_zonal_stats, \
+        rasterize_points
+    res = grid.h3_equiv_res(7)
+    # one tile; its bounds
+    cell = int(grid.cell_id(np.array([24.9]), np.array([60.2]), res)[0])
+    x0, y0, x1, y1 = grid.cell_bounds(np.array([cell]))[0]
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(x0, x1, 4000)
+    lat = rng.uniform(y0, y1, 4000)
+    pts = rd.from_arrow(pa.table({
+        "h3_r7": pa.array(np.full(4000, cell), pa.int64()),
+        "lon": pa.array(lon), "lat": pa.array(lat)}))
+    rast = rasterize_points(pts, grid_size=16).materialize()
+    # polygon = left half of the tile
+    xm = (x0 + x1) / 2
+    ring = np.array([[x0, y0], [xm, y0], [xm, y1], [x0, y1], [x0, y0]])
+    polys = rd.from_arrow(pa.table({
+        "id": pa.array([7], pa.int64()),
+        "geometry": pa.array([wkblib.polygon_wkb([ring])], pa.binary())}))
+    out = polygon_zonal_stats(polys, rast, grid_size=16).to_pandas()
+    row = out[out.h3_r7 == cell].iloc[0]
+    assert row["pixel_count"] == 16 * 16 // 2
+    # value_sum counts the points under the mask: ~half of 4000
+    assert abs(row["value_sum"] - (lon < xm).sum()) <= 4000 * 0.02
+    assert row["value_mean"] == row["value_sum"] / row["pixel_count"]
