@@ -101,6 +101,7 @@ def q_events_window(sf_dir: str):
             Sum("value", alias_name="sum_value"),
             Count(alias_name="n"))
     df = out.to_pandas()
+    df["hour"] = df["hour"].astype("datetime64[us]")  # match DuckDB unit
     df["sum_value"] = df["sum_value"].round(6)
     df["n"] = df["n"].astype("int64")
     return df.sort_values(["event_type", "hour"]).reset_index(drop=True)

@@ -20,6 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyrosm_ray.geom import ops, wkb
+from pyrosm_ray.stages.blocks import shuffle_join_args
 from pyrosm_ray.tiles import grid
 
 
