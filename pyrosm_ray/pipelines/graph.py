@@ -127,9 +127,22 @@ def to_networkx(nodes_df: pd.DataFrame, edges_df: pd.DataFrame,
         g.add_node(int(r["id"]), x=float(r["lon"]), y=float(r["lat"]),
                    osmid=int(r["id"]))
     for _, r in edges_df.iterrows():
-        attrs = {k: r[k] for k in edges_df.columns
-                 if k not in ("u", "v") and pd.notna(r[k])}
-        attrs["osmid"] = int(r["id"]) if "id" in edges_df.columns else None
+        attrs = {}
+        for k in edges_df.columns:
+            if k in ("u", "v"):
+                continue
+            val = r[k]
+            if isinstance(val, (list, np.ndarray)):
+                attrs[k] = list(val)  # mixed-chain merge emits lists (A5)
+            elif pd.notna(val):
+                attrs[k] = val
+        if "id" in edges_df.columns:
+            # merged chains carry the per-segment way-id list (OSMnx keeps
+            # a list osmid for simplified edges too)
+            attrs["osmid"] = list(r["id"]) \
+                if isinstance(r["id"], (list, np.ndarray)) else int(r["id"])
+        else:
+            attrs["osmid"] = None
         attrs["key"] = 0
         g.add_edge(int(r["u"]), int(r["v"]), **attrs)
     return g

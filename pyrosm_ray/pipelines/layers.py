@@ -559,6 +559,28 @@ class OSM:
 
         return nodes.map_batches(node_filter, batch_format="pyarrow")
 
+    def to_graph(self, nodes_ds, edges_ds, graph_type: str = "networkx",
+                 direction: str = "oneway", force_bidirectional: bool = False,
+                 simplify: bool = False, retain_all: bool = False):
+        """Routable-graph export (reference ``OSM.to_graph``,
+        pyrosm/pyrosm.py graph path): directed-edge expansion (M27) ->
+        optional topological simplification -> largest-SCC restriction ->
+        OSMnx-compatible MultiDiGraph (M28). Input is the
+        ``get_network(..., nodes=True)`` pair."""
+        from pyrosm_ray.pipelines.graph import directed_edges, to_networkx
+        from pyrosm_ray.pipelines.simplify import simplify_graph
+        if graph_type != "networkx":
+            raise ValueError("graph_type='networkx' is the supported "
+                             "exporter (igraph/pandana need libs absent "
+                             "from this environment)")
+        d = directed_edges(edges_ds, direction=direction,
+                           force_bidirectional=force_bidirectional)
+        edges_df = d.to_pandas()
+        nodes_df = nodes_ds.to_pandas()
+        if simplify:
+            nodes_df, edges_df = simplify_graph(nodes_df, edges_df)
+        return to_networkx(nodes_df, edges_df, retain_all=retain_all)
+
     def count_straddling_relations(self, osm_keys, data_filter,
                                    filter_type: str = "keep") -> int:
         """A8 (reference warn metric, pyrosm/frames.pyx:142-160): kept

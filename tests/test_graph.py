@@ -108,3 +108,26 @@ def test_raster_zonal_stats(ray_session):
     # value_sum counts the points under the mask: ~half of 4000
     assert abs(row["value_sum"] - (lon < xm).sum()) <= 4000 * 0.02
     assert row["value_mean"] == row["value_sum"] / row["pixel_count"]
+
+
+def test_osm_to_graph_export(ray_session):
+    """Full export path on the fixture network: directed expansion +
+    simplification + SCC + OSMnx attributes."""
+    from pyrosm_ray.fixtures import ensure_fixtures
+    from pyrosm_ray.pipelines.layers import OSM
+    fx = str(ensure_fixtures("/root/testdata/sf0.001"))
+    osm = OSM(fx)
+    nodes_ds, edges_ds = osm.get_network("walking", nodes=True)
+    g = osm.to_graph(nodes_ds, edges_ds, force_bidirectional=True,
+                     simplify=True)
+    assert g.number_of_nodes() > 0 and g.number_of_edges() > 0
+    n0 = next(iter(g.nodes))
+    assert {"x", "y", "osmid"} <= set(g.nodes[n0])
+    # simplified edges carry summed lengths
+    _, _, d0 = next(iter(g.edges(data=True)))
+    assert d0["length"] > 0 and "n_segments" in d0
+    # unsimplified graph has at least as many edges
+    g2 = osm.to_graph(osm.get_network("walking", nodes=True)[0],
+                      osm.get_network("walking", nodes=True)[1],
+                      force_bidirectional=True, simplify=False)
+    assert g2.number_of_edges() >= g.number_of_edges()
