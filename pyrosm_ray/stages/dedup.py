@@ -269,6 +269,8 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         lambda g: _bucket_pairs(g, id_col, bucket_cap),
         batch_format="pyarrow")
     cand = _distinct_pairs(cand).materialize()
+    if cand.count() == 0:
+        return attach_components(ds, None, id_col, out_col="dup_of")
     shingles = sig_ds.map_batches(lambda b: b.select([id_col, "shingles"]),
                                   batch_format="pyarrow")
     edges = _verify_pairs_jaccard(cand, shingles, id_col, threshold,
