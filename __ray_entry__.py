@@ -217,8 +217,14 @@ def q_ivf_topk(sf_dir: str):
 
     from pyrosm_ray.stages.similarity import ivf_build, \
         ivf_topk_partitioned
+    # cache keyed on the source file's content fingerprint (size+mtime):
+    # a regenerated fixture or a same-basename sibling root never reuses a
+    # stale index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
     idx_dir = ("/tmp/geograft_ivf/"
-               + os.path.basename(sf_dir.rstrip("/")))
+               + os.path.basename(sf_dir.rstrip("/"))
+               + f"-{st.st_size}-{int(st.st_mtime_ns)}")
     if not os.path.exists(os.path.join(idx_dir, "centroids.npy")):
         ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         ivf_build(ds, idx_dir, n_clusters=8)

@@ -127,9 +127,15 @@ class OSM:
         if table not in self._schemas:
             p = self._path(table)
             if os.path.isdir(p):
-                frag = sorted(e.path for e in os.scandir(p)
-                              if e.name.endswith(".parquet"))[0]
-                self._schemas[table] = pq.read_schema(frag)
+                frags = sorted(e.path for e in os.scandir(p)
+                               if e.name.endswith(".parquet"))
+                if not frags:
+                    raise FileNotFoundError(
+                        f"{p} is a fragment directory with no .parquet "
+                        f"fragments; pbf_to_parquet writes a zero-row "
+                        f"typed fragment for empty tables — regenerate "
+                        f"or add one")
+                self._schemas[table] = pq.read_schema(frags[0])
             else:
                 self._schemas[table] = pq.read_schema(p)
         return self._schemas[table]

@@ -148,13 +148,35 @@ def read_blob_data(path: str, offset: int, size: int) -> bytes:
         f.seek(offset)
         blob = memoryview(f.read(size))
     raw = None
+    seen: list[str] = []
     for field, val in _fields(blob):
         if field == 1:          # uncompressed
             raw = bytes(val)
         elif field == 3:        # zlib_data
             raw = zlib.decompress(bytes(val))
+        elif field == 4:        # lzma_data (spec-legal; stdlib codec)
+            import lzma
+            raw = lzma.decompress(bytes(val))
+        elif field == 6:        # lz4_data (block format, needs lz4 pkg)
+            seen.append("lz4")
+            try:
+                import lz4.block
+            except ImportError:
+                continue
+            raw = lz4.block.decompress(bytes(val))
+        elif field == 7:        # zstd_data (needs zstandard pkg)
+            seen.append("zstd")
+            try:
+                import zstandard
+            except ImportError:
+                continue
+            raw = zstandard.ZstdDecompressor().decompress(bytes(val))
     if raw is None:
-        raise ValueError("Blob carries no raw/zlib payload")
+        if seen:
+            raise ValueError(
+                f"Blob uses {'/'.join(seen)} compression but the codec "
+                f"package is not installed")
+        raise ValueError("Blob carries no raw/zlib/lzma payload")
     return raw
 
 
@@ -560,4 +582,17 @@ def pbf_to_parquet(path: str, out_dir: str) -> dict:
     if len(idx) > 1:
         ds = ds.repartition(len(idx))
     agg = ds.map_batches(decode_write, batch_format="numpy").to_pandas()
+    # an extract with no relations (or no ways) would leave an empty
+    # fragment directory that OSM._schema/_read cannot open — back-fill a
+    # zero-row typed fragment so every element table is always readable
+    no_strings = np.array([], dtype=object)
+    empties = {
+        "osm_nodes": _nodes_table(no_strings, [], [], [], [], [], [], []),
+        "osm_ways": _ways_table(no_strings, []),
+        "osm_relations": _relations_table(no_strings, []),
+    }
+    for name, empty_t in empties.items():
+        d = os.path.join(out_dir, f"{name}.parquet")
+        if not any(e.name.endswith(".parquet") for e in os.scandir(d)):
+            pq.write_table(empty_t, os.path.join(d, "part-empty.parquet"))
     return {k: int(agg[k].sum()) for k in ("nodes", "ways", "relations")}

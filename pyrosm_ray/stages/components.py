@@ -10,6 +10,15 @@ The per-round invariant: ``label(v) <- min(label(u) for u in N(v) ∪ {v})``.
 Labels only ever decrease, so the global label sum is strictly monotone and
 ``sum unchanged`` is an exact convergence test (one cheap aggregate per
 round, no change-count join).
+
+Deep components (a mega-bucket's consecutive-id chain, or a long
+transitive near-dup path) would need diameter rounds under plain
+propagation; from round ``DOUBLING_START`` on, every round additionally
+pointer-doubles (``label(v) <- label(label(v))`` via a labels-self-join),
+making convergence O(log diameter) — a path of 2^20 nodes converges in
+~25 rounds instead of 10^6. Shallow clusters never pay the extra join.
+If the labels are STILL moving at ``max_iter`` the function raises
+rather than silently returning fragmented components.
 """
 
 from __future__ import annotations
@@ -19,6 +28,8 @@ import pyarrow as pa
 import ray.data as rd
 
 from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
+
+DOUBLING_START = 2  # propagation-only rounds before pointer doubling kicks in
 
 _EDGES_EMPTY = pa.table({"src": pa.array([], pa.int64()),
                          "dst": pa.array([], pa.int64())})
@@ -54,22 +65,46 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
     def rename(batch: pa.Table, src_name: str) -> pa.Table:
         return pa.table({"node": batch["dst"], "label": batch[src_name]})
 
+    def double(labels):
+        """Pointer doubling: label(v) <- label(label(v)). Every label IS a
+        node id that appears in an edge (it is a min over edge endpoints),
+        and the self-loops in ``_sym_edges`` put every such node in the
+        label map, so the inner self-join is total. label(l) <= l, so the
+        monotone-sum convergence test still holds."""
+        rhs = labels.map_batches(
+            lambda b: pa.table({"lnode": b["node"], "llabel": b["label"]}),
+            batch_format="pyarrow")
+        j = labels.join(rhs, "inner", on=("label",), right_on=("lnode",),
+                        **shuffle_join_args(num_partitions))
+        return nonempty(j.map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["llabel"]}),
+            batch_format="pyarrow"), _LABELS_EMPTY)
+
     # round 0 fused with init (labels start as node ids, so the first
     # min over neighbors is just min(src) per dst)
     labels = nonempty(edges.groupby("dst").min("src").map_batches(
         lambda b: rename(b, "min(src)"), batch_format="pyarrow"),
         _LABELS_EMPTY)
     prev_sum = labels.sum("label")
-    for _ in range(max_iter):
+    converged = False
+    for round_i in range(max_iter):
         j = edges.join(labels, "inner", on=("src",), right_on=("node",),
                        **shuffle_join_args(num_partitions))
         labels = nonempty(j.groupby("dst").min("label").map_batches(
             lambda b: rename(b, "min(label)"), batch_format="pyarrow"),
             _LABELS_EMPTY)
+        if round_i >= DOUBLING_START:
+            labels = double(labels)
         new_sum = labels.sum("label")
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"connected_components: labels still changing after "
+            f"{max_iter} rounds (component diameter > ~2^{max_iter}); "
+            f"raise max_iter")
 
     def finalize(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["node"], "comp": batch["label"]})

@@ -95,6 +95,19 @@ def test_connected_components_matches_union_find(ray_session):
     assert got == expect
 
 
+def test_connected_components_deep_chain(ray_session):
+    """A path of 300 nodes has diameter 299 — plain min-propagation would
+    need 299 rounds (the old max_iter=25 silently fragmented it); pointer
+    doubling converges in O(log d) rounds and yields one component."""
+    n = 300
+    eds = rd.from_arrow(pa.table({
+        "a": pa.array(list(range(n - 1)), pa.int64()),
+        "b": pa.array(list(range(1, n)), pa.int64())}))
+    labels = connected_components(eds).to_pandas()
+    assert len(labels) == n
+    assert set(labels.comp) == {0}
+
+
 def test_attach_components_self_map(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())}))
     out = attach_components(ds, None, "doc_id").to_pandas()
