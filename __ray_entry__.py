@@ -434,9 +434,14 @@ def _norm_text_sql(col: str = "text") -> str:
 
 
 def _word_shingle_cte(doc_table: str = "documents") -> str:
-    """CTE fragment: ``sh(doc_id, h)`` = distinct md5-hashed 3-word
-    shingles (pads with empty words below 3 — mirrors
-    dedup._word_shingles)."""
+    """CTE fragment: ``sh(doc_id, h)`` = distinct 3-word-shingle hashes
+    (pads with empty words below 3). The shingle hash is combine3 over the
+    per-WORD md5 hashes — bit-identical to dedup._word_shingles_many,
+    which never materialises shingle strings."""
+    from pyrosm_ray.stages.hashing import combine3_sql
+    comb = combine3_sql("md5_number_lower(ws[i])",
+                        "md5_number_lower(ws[i+1])",
+                        "md5_number_lower(ws[i+2])")
     return f"""
         w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws
               FROM {doc_table}),
@@ -445,9 +450,7 @@ def _word_shingle_cte(doc_table: str = "documents") -> str:
         shi AS (SELECT doc_id, ws,
                        unnest(generate_series(1, greatest(len(ws) - 2, 1)))
                            AS i FROM wp),
-        sh AS (SELECT DISTINCT doc_id,
-                      md5_number_lower(ws[i] || ' ' || ws[i+1] || ' ' ||
-                                       ws[i+2]) AS h
+        sh AS (SELECT DISTINCT doc_id, {comb} AS h
                FROM shi)"""
 
 

@@ -43,7 +43,8 @@ import pyarrow.compute as pc
 from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
 from pyrosm_ray.stages.components import attach_components, \
     connected_components
-from pyrosm_ray.stages.hashing import hash64, stable64
+from pyrosm_ray.stages.hashing import combine3, hash64, stable64, \
+    stable64_many
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
@@ -55,25 +56,69 @@ def popcount64(x: np.ndarray) -> np.ndarray:
         .astype(np.int64)
 
 
+def _word_shingles_many(texts, k: int = 3) -> list[np.ndarray]:
+    """Per-doc unique k-word-shingle hashes for a whole batch.
+
+    No shingle strings are ever built: every word in the batch hashes in
+    ONE :func:`stable64_many` pass (md5 once per unique word — Zipf vocab),
+    then each shingle hash is :func:`pyrosm_ray.stages.hashing.combine3`
+    over its k consecutive word hashes, fully vectorised across the batch.
+    The DuckDB oracle renders the identical combine (combine3_sql), so the
+    operator stays bit-exact. Replaces the per-shingle Python md5 loop —
+    the 10^12-doc signature wall."""
+    assert k == 3, "combine3 path is specialised to 3-word shingles"
+    words_all: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        words = (text or "").lower().split()
+        if len(words) < k:
+            words = words + [""] * (k - len(words))
+        words_all.extend(words)
+        counts[i] = len(words)
+    h = stable64_many(words_all)
+    woff = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=woff[1:])
+    sh_counts = counts - (k - 1)            # >=1: padded to k words
+    idx = _concat_ranges_dedup(woff[:-1], sh_counts)
+    sh = combine3(h[idx], h[idx + 1], h[idx + 2])
+    soff = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(sh_counts, out=soff[1:])
+    return [np.unique(sh[soff[i]:soff[i + 1]]) for i in range(len(texts))]
+
+
+def _concat_ranges_dedup(starts: np.ndarray, cnts: np.ndarray) -> np.ndarray:
+    total = int(cnts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    off = np.zeros(len(cnts) + 1, dtype=np.int64)
+    np.cumsum(cnts, out=off[1:])
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(off[:-1], cnts) + np.repeat(starts, cnts))
+
+
 def _word_shingles(text: str, k: int = 3) -> np.ndarray:
-    """Hashes of the k-word shingles of ``text`` (lowered, whitespace
-    split; shorter texts pad with empty words — one shingle minimum)."""
-    words = text.lower().split()
-    if len(words) < k:
-        words = words + [""] * (k - len(words))
-    h = np.array([stable64(" ".join(words[i:i + k]))
-                  for i in range(max(1, len(words) - k + 1))],
-                 dtype=np.uint64)
-    return np.unique(h)
+    return _word_shingles_many([text], k)[0]
+
+
+def _char_ngrams_many(texts, n: int = 3) -> list[np.ndarray]:
+    """Per-doc unique char-n-gram hashes, one batched md5 pass."""
+    gram_strs: list[str] = []
+    counts = np.empty(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        t = " ".join((text or "").lower().split())
+        if len(t) < n:
+            t = t.ljust(n)
+        c = len(t) - n + 1
+        gram_strs.extend(t[j:j + n] for j in range(c))
+        counts[i] = c
+    h = stable64_many(gram_strs)
+    off = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    return [np.unique(h[off[i]:off[i + 1]]) for i in range(len(texts))]
 
 
 def _char_ngrams(text: str, n: int = 3) -> np.ndarray:
-    t = " ".join(text.lower().split())
-    if len(t) < n:
-        t = t.ljust(n)
-    h = np.array([stable64(t[i:i + n])
-                  for i in range(len(t) - n + 1)], dtype=np.uint64)
-    return np.unique(h)
+    return _char_ngrams_many([text], n)[0]
 
 
 # ---------------------------------------------------------------------------
@@ -117,7 +162,7 @@ def minhash_signatures_batch(batch: pa.Table, id_col: str, text_col: str,
                              num_perm: int, k_shingle: int) -> pa.Table:
     """Per-doc minhash signatures, vectorised with segment minima."""
     texts = batch[text_col].to_pylist()
-    sh = [_word_shingles(t or "", k_shingle) for t in texts]
+    sh = _word_shingles_many(texts, k_shingle)
     counts = np.array([len(s) for s in sh], dtype=np.int64)
     flat = np.concatenate(sh) if sh else np.empty(0, dtype=np.uint64)
     off = np.zeros(len(sh) + 1, dtype=np.int64)
@@ -287,19 +332,36 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 def simhash_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
     """64-bit simhash over word occurrences (bit b set when the signed
-    occurrence-count of bit b across word hashes is positive)."""
+    occurrence-count of bit b across word hashes is positive).
+
+    Batched: every word in the batch hashes in one :func:`stable64_many`
+    pass; the per-doc signed bit sums run as segment reductions over
+    8-bit-position chunks (bounds the bit-matrix temporary to 64 B/word)."""
     texts = batch[text_col].to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
-    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    n_docs = len(texts)
+    words_all: list[str] = []
+    counts = np.empty(n_docs, dtype=np.int64)
     for i, t in enumerate(texts):
-        words = (t or "").lower().split()
-        if not words:
-            continue
-        hs = np.array([stable64(w) for w in words], dtype=np.uint64)
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) &
-                np.uint64(1)).astype(np.int64)
-        v = (2 * bits - 1).sum(axis=0)
-        out[i] = (weights[v > 0]).sum(dtype=np.uint64)
+        ws = (t or "").lower().split()
+        words_all.extend(ws)
+        counts[i] = len(ws)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if words_all:
+        hs = stable64_many(words_all)
+        off = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        nz = np.flatnonzero(counts > 0)
+        # reduceat over the non-empty segment starts: empty segments
+        # contribute no rows, so consecutive non-empty starts span exactly
+        # one document's words
+        for b0 in range(0, 64, 8):
+            shift = np.arange(b0, b0 + 8, dtype=np.uint64)
+            bits = ((hs[:, None] >> shift) & np.uint64(1)).astype(np.int64)
+            signed = 2 * bits - 1
+            seg = np.add.reduceat(signed, off[:-1][nz], axis=0)
+            pos = seg > 0
+            w = (np.uint64(1) << shift)
+            out[nz] |= (pos * w).sum(axis=1, dtype=np.uint64)
     return pa.table({id_col: batch[id_col],
                      "simhash": pa.array(out.view(np.int64))})
 
@@ -395,7 +457,7 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     computes)."""
     def sigs(batch: pa.Table) -> pa.Table:
         texts = batch[text_col].to_pylist()
-        sh = [_char_ngrams(t or "", n) for t in texts]
+        sh = _char_ngrams_many(texts, n)
         return pa.table({
             id_col: batch[id_col],
             "shingles": pa.array([s.astype("<u8").tobytes() for s in sh],

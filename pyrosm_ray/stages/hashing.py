@@ -37,21 +37,108 @@ def stable64(s: str) -> int:
         hashlib.md5(s.encode("utf-8")).digest()[8:], "little")
 
 
+_MEMO: dict[str, int] = {}
+_MEMO_MAX = 1 << 20  # per-process cap; vocabulary tables stay ~50 MB
+
+
+def stable64_many(strings) -> np.ndarray:
+    """Vectorised :func:`stable64` over a sequence of strings.
+
+    ``pd.factorize`` (a C-level hash table) collapses the input to its
+    unique strings; md5 runs once per unique string not covered by the
+    per-process memo (word/gram vocabularies are Zipf — tiny next to the
+    token stream), digests are concatenated and the 64-bit tails sliced
+    out in one frombuffer view, and the result scatters back through the
+    factorize codes. Bit-identical to ``md5_number_lower`` (the oracle
+    contract)."""
+    import pandas as pd
+    if not len(strings):
+        return np.empty(0, dtype=np.uint64)
+    codes, uniques = pd.factorize(np.asarray(strings, dtype=object))
+    uniques = np.asarray(uniques, dtype=object)
+    memo = _MEMO
+    get = memo.get
+    uvals = np.empty(len(uniques), dtype=np.uint64)
+    miss_idx, miss = [], []
+    for i, s in enumerate(uniques):
+        v = get(s)
+        if v is None:
+            miss_idx.append(i)
+            miss.append(s)
+        else:
+            uvals[i] = v
+    if miss:
+        md5 = hashlib.md5
+        buf = b"".join([md5(s.encode("utf-8")).digest() for s in miss])
+        vals = np.frombuffer(buf, dtype="<u8")[1::2]
+        uvals[miss_idx] = vals
+        if len(memo) + len(miss) > _MEMO_MAX:
+            memo.clear()
+        memo.update(zip(miss, vals.tolist()))
+    return uvals[codes]
+
+
+_C1 = 0x9E3779B97F4A7C15
+_C2 = 0xC2B2AE3D27D4EB4F
+_C3 = 0x165667B19E3779F9
+
+
+def combine3(h1: np.ndarray, h2: np.ndarray, h3: np.ndarray) -> np.ndarray:
+    """64-bit hash of an ordered triple of 64-bit hashes: weighted wrapping
+    sum (distinct odd multipliers keep order significant) + one
+    :func:`hash64` avalanche. Lets a k-word shingle hash be computed from
+    per-WORD md5 hashes entirely in numpy — no shingle strings are ever
+    built — while :func:`combine3_sql` renders the identical value for the
+    DuckDB oracle."""
+    with np.errstate(over="ignore"):
+        acc = h1.astype(np.uint64)
+        acc *= np.uint64(_C1)
+        tmp = h2.astype(np.uint64)
+        tmp *= np.uint64(_C2)
+        acc += tmp
+        np.multiply(h3.astype(np.uint64, copy=False), np.uint64(_C3),
+                    out=tmp)
+        acc += tmp
+    return hash64(acc, 1)
+
+
+def _addmod_sql(a: str, b: str) -> str:
+    return (f"CAST((CAST({a} AS HUGEINT) + CAST({b} AS HUGEINT))"
+            f" % 18446744073709551616 AS UBIGINT)")
+
+
+def combine3_sql(h1: str, h2: str, h3: str) -> str:
+    """SQL rendering of :func:`combine3`; inputs must be UBIGINT exprs."""
+    m1 = _mulmod_sql(f"CAST({h1} AS HUGEINT)", _C1)
+    m2 = _mulmod_sql(f"CAST({h2} AS HUGEINT)", _C2)
+    m3 = _mulmod_sql(f"CAST({h3} AS HUGEINT)", _C3)
+    acc = _addmod_sql(_addmod_sql(m1, m2), m3)
+    return hash64_sql(acc, 1)
+
+
 def stable64_sql(expr: str) -> str:
     """SQL rendering of :func:`stable64` (UBIGINT result)."""
     return f"md5_number_lower({expr})"
 
 
 def hash64(arr: np.ndarray, seed: int) -> np.ndarray:
-    """Vectorised xorshift-multiply mix of uint64 -> uint64."""
+    """Vectorised xorshift-multiply mix of uint64 -> uint64.
+
+    Two allocations total (ufunc ``out=`` reuse) — naive chaining allocates
+    a fresh temporary per op and large-array page faults then dominate the
+    arithmetic by ~5x."""
+    s33 = np.uint64(33)
     with np.errstate(over="ignore"):
-        x = arr.astype(np.uint64) + np.uint64(
-            (seed * _SEED_MUL or 1) & MASK64)
-        x ^= x >> np.uint64(33)
+        x = arr.astype(np.uint64)           # the only data copy
+        x += np.uint64((seed * _SEED_MUL or 1) & MASK64)
+        tmp = np.right_shift(x, s33)
+        x ^= tmp
         x *= np.uint64(_MUL1)
-        x ^= x >> np.uint64(33)
+        np.right_shift(x, s33, out=tmp)
+        x ^= tmp
         x *= np.uint64(_MUL2)
-        x ^= x >> np.uint64(33)
+        np.right_shift(x, s33, out=tmp)
+        x ^= tmp
     return x
 
 
