@@ -115,40 +115,51 @@ def connected_components(edges_ds, a_col: str = "a", b_col: str = "b",
 ATTACH_BROADCAST_MAX = 2_000_000
 
 
+def _attach_broadcast(ds, node: np.ndarray, comp: np.ndarray, id_col: str,
+                      out_col: str) -> rd.Dataset:
+    import ray
+    order = np.argsort(node, kind="stable")
+    ref = ray.put((node[order], comp[order]))
+
+    def bmap(batch: pa.Table) -> pa.Table:
+        nodes, comps = ray.get(ref)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        out = ids.copy()
+        if len(nodes):
+            pos = np.clip(np.searchsorted(nodes, ids), 0,
+                          len(nodes) - 1)
+            hit = nodes[pos] == ids
+            out[hit] = comps[pos[hit]]
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(bmap, batch_format="pyarrow")
+
+
 def attach_components(ds, labels, id_col: str,
                       out_col: str = "dup_of",
                       num_partitions: int = 8) -> rd.Dataset:
     """Attach ``comp`` onto ``ds`` by id; nodes without an edge map to
-    themselves. The label map covers only nodes that had an edge (the
-    near-dup subgraph), so under ``ATTACH_BROADCAST_MAX`` rows it is
-    broadcast and applied with a searchsorted map (no shuffle); above
-    that a distributed left-outer join takes over."""
+    themselves. ``labels`` is a (node, comp) Dataset, a plain
+    ``(node_array, comp_array)`` tuple (driver-computed label maps), or
+    None (everyone self-maps). The label map covers only nodes that had an
+    edge (the near-dup subgraph), so under ``ATTACH_BROADCAST_MAX`` rows
+    it is broadcast and applied with a searchsorted map (no shuffle);
+    above that a distributed left-outer join takes over."""
     if labels is None:
         def self_map(batch: pa.Table) -> pa.Table:
             return batch.append_column(out_col, batch[id_col])
         return ds.map_batches(self_map, batch_format="pyarrow")
-    import numpy as np
-    import ray
+    if isinstance(labels, tuple):
+        node, comp = labels
+        return _attach_broadcast(ds, np.asarray(node, dtype=np.int64),
+                                 np.asarray(comp, dtype=np.int64),
+                                 id_col, out_col)
     if labels.count() <= ATTACH_BROADCAST_MAX:
         lab = labels.to_pandas()
-        node = np.asarray(lab["node"], dtype=np.int64)
-        comp = np.asarray(lab["comp"], dtype=np.int64)
-        order = np.argsort(node, kind="stable")
-        ref = ray.put((node[order], comp[order]))
-
-        def bmap(batch: pa.Table) -> pa.Table:
-            nodes, comps = ray.get(ref)
-            ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
-                             dtype=np.int64)
-            out = ids.copy()
-            if len(nodes):
-                pos = np.clip(np.searchsorted(nodes, ids), 0,
-                              len(nodes) - 1)
-                hit = nodes[pos] == ids
-                out[hit] = comps[pos[hit]]
-            return batch.append_column(out_col, pa.array(out, pa.int64()))
-
-        return ds.map_batches(bmap, batch_format="pyarrow")
+        return _attach_broadcast(
+            ds, np.asarray(lab["node"], dtype=np.int64),
+            np.asarray(lab["comp"], dtype=np.int64), id_col, out_col)
     j = ds.join(labels, "left_outer", on=(id_col,), right_on=("node",),
                 **shuffle_join_args(num_partitions))
 

@@ -236,13 +236,11 @@ _PAIRS_EMPTY = pa.table({"a": pa.array([], pa.int64()),
 
 
 def _distinct_pairs(pairs_ds):
-    counted = nonempty(
-        pairs_ds.groupby(["a", "b"]).count(),
-        pa.table({"a": pa.array([], pa.int64()),
-                  "b": pa.array([], pa.int64()),
-                  "count()": pa.array([], pa.int64())}))
-    return counted.map_batches(lambda t: t.select(["a", "b"]),
-                               batch_format="pyarrow")
+    """Distinct (a, b) pairs; the single nonempty() doubles as the one
+    materialize barrier (callers' count()/join reuse the in-memory refs)."""
+    counted = pairs_ds.groupby(["a", "b"]).count().map_batches(
+        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
+    return nonempty(counted, _PAIRS_EMPTY)
 
 
 def _verify_pairs_jaccard(pairs_ds, shingles_ds, id_col: str,
@@ -292,15 +290,120 @@ def _verify_pairs_jaccard(pairs_ds, shingles_ds, id_col: str,
     return j.map_batches(verify, batch_format="pyarrow")
 
 
+PAIRS_BROADCAST_MAX = 1 << 18  # candidate pairs small enough to broadcast
+
+
+def _distinct_pairs_np(a: np.ndarray, b: np.ndarray):
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    if len(a):
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        a, b = a[keep], b[keep]
+    return a, b
+
+
+def _verify_pairs_jaccard_broadcast(a: np.ndarray, b: np.ndarray,
+                                    sig_ds, id_col: str, threshold: float):
+    """Broadcast form of the exact-Jaccard verify for candidate sets under
+    :data:`PAIRS_BROADCAST_MAX`: the involved-id shingle payloads are
+    fetched with a map-side semi-join (zero shuffles), ``ray.put`` once,
+    and pair chunks verify in parallel plain tasks. Two Dataset joins +
+    their aggregator pools (the dominant fixed cost at small candidate
+    counts) drop out; the join path remains the beyond-broadcast route."""
+    import ray
+    involved = np.unique(np.concatenate([a, b]))
+    inv_ref = ray.put(involved)
+
+    def sub(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        arr = ray.get(inv_ref)
+        pos = np.clip(np.searchsorted(arr, ids), 0, max(len(arr) - 1, 0))
+        m = arr[pos] == ids if len(arr) else np.zeros(len(ids), bool)
+        return pa.table({id_col: batch[id_col],
+                         "shingles": batch["shingles"]}).filter(pa.array(m))
+
+    id2sh: dict[int, bytes] = {}
+    for bt in sig_ds.map_batches(sub, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow"):
+        for i, blob in zip(bt[id_col].to_pylist(),
+                           bt["shingles"].to_pylist()):
+            id2sh[i] = blob
+    dict_ref = ray.put(id2sh)
+
+    @ray.remote
+    def verify_chunk(a_c: np.ndarray, b_c: np.ndarray):
+        sh = ray.get(dict_ref)
+        keep = np.zeros(len(a_c), dtype=bool)
+        jac = np.zeros(len(a_c), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(a_c, b_c)):
+            sa = np.frombuffer(sh.get(int(x), b""), dtype="<u8")
+            sb = np.frombuffer(sh.get(int(y), b""), dtype="<u8")
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 1.0
+            if j >= threshold:
+                keep[i] = True
+                jac[i] = round(j, 6)
+        return a_c[keep], b_c[keep], jac[keep]
+
+    n_chunks = max(1, min(64, len(a) // 1024 + 1))
+    parts = [verify_chunk.remote(ac, bc)
+             for ac, bc in zip(np.array_split(a, n_chunks),
+                               np.array_split(b, n_chunks))]
+    res = ray.get(parts)
+    va = np.concatenate([r[0] for r in res]) if res else np.empty(0, np.int64)
+    vb = np.concatenate([r[1] for r in res]) if res else np.empty(0, np.int64)
+    vj = np.concatenate([r[2] for r in res]) if res else np.empty(0)
+    return va, vb, vj
+
+
+def _union_find_labels(a: np.ndarray, b: np.ndarray):
+    """Min-id component labels for a driver-sized edge list (the broadcast
+    twin of :func:`pyrosm_ray.stages.components.connected_components`)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    ia, ib = inv[:len(a)], inv[len(a):]
+    for x, y in zip(ia, ib):
+        rx, ry = find(int(x)), find(int(y))
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = np.array([find(int(i)) for i in range(len(nodes))],
+                     dtype=np.int64)
+    comp = np.empty(len(nodes), dtype=np.int64)
+    comp.fill(np.iinfo(np.int64).max)
+    np.minimum.at(comp, roots, nodes)
+    return nodes, comp[roots]
+
+
 def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   num_perm: int = 64, bands: int = 16, k_shingle: int = 3,
                   threshold: float = 0.8, bucket_cap: int = 256,
-                  num_partitions: int = 8):
+                  num_partitions: int = 8,
+                  pairs_broadcast_max: int | None = None):
     """Near-dup detection: returns a Dataset of (id, dup_of) where
     ``dup_of`` is the cluster's canonical (minimum) id; singleton docs map
-    to themselves. Fully distributed: banding shuffles (band, sig, id)
-    only, verification joins shingles by id, clustering is label
-    propagation."""
+    to themselves.
+
+    Banding shuffles (band, sig, id) only. The candidate-pair tail is
+    adaptive: pair sets under ``pairs_broadcast_max`` (the overwhelmingly
+    common case — candidates are a vanishing fraction of the corpus)
+    verify against broadcast shingle payloads and cluster with a
+    driver-side union-find, paying ONE shuffle total; larger pair sets
+    take the fully distributed route (dedup groupby + shingle joins +
+    label-propagation components)."""
+    if pairs_broadcast_max is None:
+        pairs_broadcast_max = PAIRS_BROADCAST_MAX
     sig_ds = ds.map_batches(
         lambda b: minhash_signatures_batch(b, id_col, text_col, num_perm,
                                            k_shingle),
@@ -310,12 +413,25 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         lambda b: _band_rows(b.select([id_col, "sig"]), id_col, num_perm,
                              bands),
         batch_format="pyarrow")
-    cand = banded.groupby(["band", "bucket"]).map_groups(
+    cand_raw = nonempty(banded.groupby(["band", "bucket"]).map_groups(
         lambda g: _bucket_pairs(g, id_col, bucket_cap),
-        batch_format="pyarrow")
-    cand = _distinct_pairs(cand).materialize()
-    if cand.count() == 0:
+        batch_format="pyarrow"), _PAIRS_EMPTY)
+    n_cand = cand_raw.count()
+    if n_cand == 0:
         return attach_components(ds, None, id_col, out_col="dup_of")
+    if n_cand <= pairs_broadcast_max:
+        pdf = cand_raw.to_pandas()
+        a = np.asarray(pdf["a"], dtype=np.int64)
+        b = np.asarray(pdf["b"], dtype=np.int64)
+        a, b = _distinct_pairs_np(a, b)
+        va, vb, _ = _verify_pairs_jaccard_broadcast(a, b, sig_ds, id_col,
+                                                    threshold)
+        if not len(va):
+            return attach_components(ds, None, id_col, out_col="dup_of")
+        nodes, comp = _union_find_labels(va, vb)
+        return attach_components(ds, (nodes, comp), id_col,
+                                 out_col="dup_of")
+    cand = _distinct_pairs(cand_raw)
     shingles = sig_ds.map_batches(lambda b: b.select([id_col, "shingles"]),
                                   batch_format="pyarrow")
     edges = _verify_pairs_jaccard(cand, shingles, id_col, threshold,
@@ -404,7 +520,7 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby(["band", "bucket"]).map_groups(
             lambda g: _bucket_pairs(g, id_col, cap=1 << 30),
             batch_format="pyarrow")
-    cand = _distinct_pairs(cand).materialize()
+    cand = _distinct_pairs(cand)
 
     sim_proj = sig.map_batches(lambda b: b.select([id_col, "simhash"]),
                                batch_format="pyarrow")
@@ -488,7 +604,7 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         .groupby("gram").map_groups(
             lambda g: _bucket_pairs(g, id_col, cap=1 << 30),
             batch_format="pyarrow")
-    cand = _distinct_pairs(cand).materialize()
+    cand = _distinct_pairs(cand)
     return _verify_pairs_jaccard(cand, sig_ds, id_col, threshold,
                                  num_partitions)
 

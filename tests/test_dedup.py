@@ -158,6 +158,19 @@ def test_minhash_dedup_clusters(ray_session):
     assert (m[3] == 1) == (j >= 0.5)
 
 
+def test_minhash_dedup_path_parity(ray_session):
+    """Broadcast verify + driver union-find vs the fully distributed
+    route (pairs_broadcast_max=0 forces the join/label-prop path) must
+    produce identical dup_of labels."""
+    ds = rd.from_arrow(_corpus())
+    fast = dedup.minhash_dedup(ds, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    dist = dedup.minhash_dedup(ds, threshold=0.5,
+                               pairs_broadcast_max=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast[["doc_id", "dup_of"]].equals(dist[["doc_id", "dup_of"]])
+
+
 def _jaccard_words(i, j, k=3):
     t = _corpus()
     txt = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
