@@ -264,35 +264,12 @@ def _build_edges(coords: np.ndarray, ring_offsets: np.ndarray,
     return e, poly_edge_offsets
 
 
-def pack_polygon_index(polygons_ds, id_col: str = "id",
-                       layer: str | None = None) -> "ray.ObjectRef":
-    """Collect a polygon layer into a compact broadcast index:
-    (ids, bboxes, ring CSR arrays). WKB decode runs distributed
-    (map_batches); the driver concatenates the compact arrays and ships the
-    index once via the object store."""
-    packed = polygons_ds.map_batches(
-        lambda b: _pack_polygon_batch(b, id_col), batch_format="pyarrow")
-    ids, bboxes, coords_bufs, ring_len_bufs = [], [], [], []
-    for b in packed.iter_batches(batch_size=1 << 16,
-                                 batch_format="pyarrow"):
-        ids.append(np.asarray(b["pid"].to_numpy(zero_copy_only=False)))
-        bboxes.append(np.column_stack([
-            np.asarray(b[c].to_numpy(zero_copy_only=False))
-            for c in ("x0", "y0", "x1", "y1")]))
-        coords_bufs.extend(b["coords"].to_pylist())
-        ring_len_bufs.extend(b["rlens"].to_pylist())
-    if ids:
-        ids = np.concatenate(ids)
-        bboxes = np.concatenate(bboxes)
-    else:
-        ids = np.empty(0, dtype=np.int64)
-        bboxes = np.empty((0, 4))
-    coords = (np.frombuffer(b"".join(coords_bufs), dtype="<f8")
-              .reshape(-1, 2) if coords_bufs else np.empty((0, 2)))
-    rlens = (np.frombuffer(b"".join(ring_len_bufs), dtype="<i8")
-             if ring_len_bufs else np.empty(0, dtype=np.int64))
-    rings_per_poly = np.array([len(buf) // 8 for buf in ring_len_bufs],
-                              dtype=np.int64)
+def _assemble_shard_index(ids: np.ndarray, bboxes: np.ndarray,
+                          coords: np.ndarray, rlens: np.ndarray,
+                          rings_per_poly: np.ndarray, layer: str) -> dict:
+    """Packed per-polygon arrays -> one queryable sub-index (grid candidate
+    bins + flat edge CSR — the working set of _cell_candidates +
+    _confirm_pip)."""
     ring_offsets = np.zeros(len(rlens) + 1, dtype=np.int64)
     np.cumsum(rlens, out=ring_offsets[1:])
     poly_ring_offsets = np.zeros(len(ids) + 1, dtype=np.int64)
@@ -301,15 +278,13 @@ def pack_polygon_index(polygons_ds, id_col: str = "id",
         _build_cell_bins(bboxes.astype(np.float64))
     edges, poly_edge_offsets = _build_edges(coords, ring_offsets,
                                             poly_ring_offsets)
-    index = {
+    return {
         "ids": ids.astype(np.int64),
         "bboxes": bboxes.astype(np.float64),
         "coords": coords,
         "ring_offsets": ring_offsets,
         "poly_ring_offsets": poly_ring_offsets,
-        "layer": layer or "polygons",
-        # candidate bins + flat edge arrays built ONCE here; actors read
-        # them zero-copy from the object store
+        "layer": layer,
         "cell_res": cell_res,
         "cell_keys": cell_keys,
         "cell_offsets": cell_offsets,
@@ -318,7 +293,154 @@ def pack_polygon_index(polygons_ds, id_col: str = "id",
         "edges": edges,
         "poly_edge_offsets": poly_edge_offsets,
     }
-    return ray.put(index)
+
+
+def _shard_from_packed(parts: list[pa.Table], layer: str) -> dict:
+    t = pa.concat_tables(parts) if len(parts) > 1 else parts[0]
+    ids = np.asarray(t["pid"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    bboxes = np.column_stack([
+        np.asarray(t[c].to_numpy(zero_copy_only=False))
+        for c in ("x0", "y0", "x1", "y1")])
+    coords_bufs = t["coords"].to_pylist()
+    rlen_bufs = t["rlens"].to_pylist()
+    coords = (np.frombuffer(b"".join(coords_bufs), dtype="<f8")
+              .reshape(-1, 2) if coords_bufs else np.empty((0, 2)))
+    rlens = (np.frombuffer(b"".join(rlen_bufs), dtype="<i8")
+             if rlen_bufs else np.empty(0, dtype=np.int64))
+    rings_per_poly = np.array([len(b) // 8 for b in rlen_bufs],
+                              dtype=np.int64)
+    return _assemble_shard_index(ids, bboxes, coords, rlens,
+                                 rings_per_poly, layer)
+
+
+@ray.remote
+def _build_shard_task(layer: str, *parts: pa.Table) -> dict:
+    return _shard_from_packed(list(parts), layer)
+
+
+MAX_TOP_COVER = 16  # top cells a polygon may replicate into before it
+#                     routes to the (rare, brute-bbox) oversize shard
+
+
+def _top_cells(bx0, by0, bx1, by1, top_res: int):
+    nx = np.int64(1) << top_res
+    cx0 = np.clip(np.floor((bx0 + 180) / 360 * nx), 0, nx - 1).astype(np.int64)
+    cx1 = np.clip(np.floor((bx1 + 180) / 360 * nx), 0, nx - 1).astype(np.int64)
+    cy0 = np.clip(np.floor((90 - by1) / 180 * nx), 0, nx - 1).astype(np.int64)
+    cy1 = np.clip(np.floor((90 - by0) / 180 * nx), 0, nx - 1).astype(np.int64)
+    return cx0, cx1, cy0, cy1
+
+
+@ray.remote
+def _route_block_task(block: pa.Table, top_res: int, max_cover: int):
+    """One packed block -> {top_cell: ObjectRef(sub-table)} + optional
+    oversize sub-table ref. The block arrives by reference (zero driver
+    copy); sub-tables go straight back into the object store."""
+    if block.num_rows == 0:
+        return {}, None
+    cols = {c: np.asarray(block[c].to_numpy(zero_copy_only=False))
+            for c in ("x0", "y0", "x1", "y1")}
+    cx0, cx1, cy0, cy1 = _top_cells(cols["x0"], cols["y0"],
+                                    cols["x1"], cols["y1"], top_res)
+    ncell = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+    over = ncell > max_cover
+    out: dict[int, "ray.ObjectRef"] = {}
+    normal = np.flatnonzero(~over)
+    if len(normal):
+        counts = ncell[normal]
+        rows = np.repeat(normal, counts)
+        local = _concat_ranges(np.zeros(len(normal), np.int64), counts)
+        nx_rep = np.repeat((cx1 - cx0 + 1)[normal], counts)
+        cellx = np.repeat(cx0[normal], counts) + local % nx_rep
+        celly = np.repeat(cy0[normal], counts) + local // nx_rep
+        key = (cellx << 32) | celly
+        order = np.argsort(key, kind="stable")
+        key_s, rows_s = key[order], rows[order]
+        uniq, starts = np.unique(key_s, return_index=True)
+        bounds = np.append(starts, len(key_s))
+        for i, cell in enumerate(uniq):
+            out[int(cell)] = ray.put(
+                block.take(pa.array(rows_s[bounds[i]:bounds[i + 1]])))
+    over_ref = None
+    if over.any():
+        over_ref = ray.put(block.take(pa.array(np.flatnonzero(over))))
+    return out, over_ref
+
+
+def pack_polygon_index(polygons_ds, id_col: str = "id",
+                       layer: str | None = None,
+                       target_shards: int | None = None) -> "ray.ObjectRef":
+    """Distributed sharded polygon index build.
+
+    WKB decode runs distributed (map_batches); packed polygon blocks are
+    ROUTED by top-level grid cell in parallel tasks and one sub-index per
+    occupied cell is built in parallel tasks — nothing but a tiny manifest
+    (cell keys + shard ObjectRefs) ever lands on the driver, and the build
+    wall scales with CPUs instead of anti-scaling on a serial driver
+    concat. Polygons whose bbox spans > MAX_TOP_COVER top cells go to one
+    brute-bbox oversize shard checked per batch. Each shard's candidate
+    grid adapts to ITS polygons (better than one global resolution)."""
+    lay = layer or "polygons"
+    packed = polygons_ds.map_batches(
+        lambda b: _pack_polygon_batch(b, id_col),
+        batch_format="pyarrow").materialize()
+
+    def stats(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "minx": pa.array([], pa.float64()),
+                             "miny": pa.array([], pa.float64()),
+                             "maxx": pa.array([], pa.float64()),
+                             "maxy": pa.array([], pa.float64())})
+        return pa.table({
+            "n": pa.array([b.num_rows], pa.int64()),
+            "minx": pa.array([pc.min(b["x0"]).as_py()], pa.float64()),
+            "miny": pa.array([pc.min(b["y0"]).as_py()], pa.float64()),
+            "maxx": pa.array([pc.max(b["x1"]).as_py()], pa.float64()),
+            "maxy": pa.array([pc.max(b["y1"]).as_py()], pa.float64()),
+        })
+
+    st = packed.map_batches(stats, batch_format="pyarrow").to_pandas()
+    n_polys = int(st["n"].sum()) if len(st) else 0
+    if n_polys == 0:
+        return ray.put({"sharded": True, "top_res": 0,
+                        "cells": np.empty(0, np.int64), "shards": [],
+                        "oversize_shard": None, "layer": lay})
+    spanx = max(float(st["maxx"].max() - st["minx"].min()), 1e-6)
+    spany = max(float(st["maxy"].max() - st["miny"].min()), 1e-6)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    target = target_shards or int(np.clip(4 * cpus, 1, 256))
+    # 2^r grid spans 360x180 deg; occupied cells over the data extent
+    # ~ spanx*spany*4^r/(360*180) — solve for ~target shards
+    top_res = int(np.clip(round(0.5 * np.log2(
+        max(target, 1) * 360.0 * 180.0 / (spanx * spany))), 0, 18))
+
+    block_refs = packed.to_arrow_refs()
+    routed = ray.get([_route_block_task.remote(ref, top_res, MAX_TOP_COVER)
+                      for ref in block_refs])
+    from collections import defaultdict
+    cell_parts: dict[int, list] = defaultdict(list)
+    over_parts: list = []
+    for d, over_ref in routed:
+        for c, ref in d.items():
+            cell_parts[c].append(ref)
+        if over_ref is not None:
+            over_parts.append(over_ref)
+    cells = np.array(sorted(cell_parts), dtype=np.int64)
+    shard_refs = [_build_shard_task.remote(lay, *cell_parts[int(c)])
+                  for c in cells]
+    over_shard = _build_shard_task.remote(lay, *over_parts) \
+        if over_parts else None
+    pending = list(shard_refs) + ([over_shard] if over_shard else [])
+    if pending:  # index is ready when this returns (honest build timing)
+        ray.wait(pending, num_returns=len(pending), fetch_local=False)
+    return ray.put({"sharded": True, "top_res": top_res, "cells": cells,
+                    "shards": shard_refs, "oversize_shard": over_shard,
+                    "layer": lay})
 
 
 def _poly_rings(index, poly_idx: int) -> list[np.ndarray]:
@@ -414,23 +536,64 @@ def _cell_candidates(index, px: np.ndarray, py: np.ndarray):
     return cand_pt[ok], cand_poly[ok]
 
 
+def _query_shard(shard: dict, pts: np.ndarray, px: np.ndarray,
+                 py: np.ndarray):
+    """Run candidate lookup + exact PIP for the point subset ``pts``
+    against one shard; returns (global point idx, polygon ids)."""
+    cand_pt, cand_poly = _cell_candidates(shard, px[pts], py[pts])
+    keep = _confirm_pip(shard, cand_pt, cand_poly, px[pts], py[pts])
+    return pts[cand_pt[keep]], shard["ids"][cand_poly[keep]]
+
+
 def pip_join_batch(batch: pa.Table, *, index_ref, how: str = "inner",
                    lon_col: str = "lon", lat_col: str = "lat") -> pa.Table:
     """Point-in-polygon join over one page batch (plain-task map_batches
-    stage: the per-task ``ray.get`` of the broadcast polygon index is a
-    zero-copy plasma read, so no actor pool needs to spin up).
+    stage: the per-task ``ray.get`` of the manifest and of each touched
+    shard is a zero-copy plasma read, so no actor pool needs to spin up).
 
-    Uniform-grid candidates -> exact even-odd PIP -> one row per
-    (page, polygon) hit; non-matching pages drop (inner) or keep nulls
-    (left outer)."""
-    index = ray.get(index_ref)  # zero-copy numpy views from plasma
+    The batch's points group by top-level cell; each group queries only
+    its cell's sub-index (uniform-grid candidates -> exact even-odd PIP);
+    the oversize shard (bbox-spanning outliers) is checked once per batch.
+    One row per (page, polygon) hit; non-matching pages drop (inner) or
+    keep nulls (left outer)."""
+    man = ray.get(index_ref)
     n = len(batch)
     px = np.asarray(batch[lon_col].to_numpy(zero_copy_only=False))
     py = np.asarray(batch[lat_col].to_numpy(zero_copy_only=False))
-    cand_pt, cand_poly = _cell_candidates(index, px, py)
-    keep = _confirm_pip(index, cand_pt, cand_poly, px, py)
-    hit_pt = cand_pt[keep]
-    hit_poly = index["ids"][cand_poly[keep]]
+    pt_parts: list[np.ndarray] = []
+    poly_parts: list[np.ndarray] = []
+    cells = man["cells"]
+    if len(cells) and n:
+        nx = np.int64(1) << man["top_res"]
+        cx = np.clip(np.floor((px + 180) / 360 * nx), 0,
+                     nx - 1).astype(np.int64)
+        cy = np.clip(np.floor((90 - py) / 180 * nx), 0,
+                     nx - 1).astype(np.int64)
+        key = (cx << 32) | cy
+        pos = np.clip(np.searchsorted(cells, key), 0, len(cells) - 1)
+        sel = np.flatnonzero(cells[pos] == key)
+        if len(sel):
+            order = np.argsort(pos[sel], kind="stable")
+            sel_s = sel[order]
+            uniq, starts = np.unique(pos[sel][order], return_index=True)
+            bounds = np.append(starts, len(sel_s))
+            for i, shard_i in enumerate(uniq):
+                shard = ray.get(man["shards"][int(shard_i)])
+                hp, hg = _query_shard(shard, sel_s[bounds[i]:bounds[i + 1]],
+                                      px, py)
+                pt_parts.append(hp)
+                poly_parts.append(hg)
+    if man.get("oversize_shard") is not None and n:
+        shard = ray.get(man["oversize_shard"])
+        hp, hg = _query_shard(shard, np.arange(n, dtype=np.int64), px, py)
+        pt_parts.append(hp)
+        poly_parts.append(hg)
+    hit_pt = np.concatenate(pt_parts) if pt_parts else \
+        np.empty(0, dtype=np.int64)
+    hit_poly = np.concatenate(poly_parts) if poly_parts else \
+        np.empty(0, dtype=np.int64)
+    order = np.lexsort((hit_poly, hit_pt))  # deterministic output order
+    hit_pt, hit_poly = hit_pt[order], hit_poly[order]
     if how == "inner":
         out = batch.take(pa.array(hit_pt))
         out = out.append_column("polygon_id",
@@ -447,7 +610,7 @@ def pip_join_batch(batch: pa.Table, *, index_ref, how: str = "inner",
                                   pa.array(poly_col, pa.int64()))
     return out.append_column(
         "polygon_layer",
-        pa.array([index["layer"]] * len(out), pa.string()))
+        pa.array([man["layer"]] * len(out), pa.string()))
 
 
 class PipJoiner:
@@ -483,34 +646,58 @@ def pip_join(pages_ds, polygons_ds=None, how: str = "inner",
 # kNN join (nearest POIs)
 # ---------------------------------------------------------------------------
 
+def _pack_point_batch(batch: pa.Table, id_col: str, lon_col: str,
+                      lat_col: str) -> pa.Table:
+    """Distributed point pack: WKB decode runs in the tasks; ONE row per
+    batch carries the packed id/lon/lat buffers so the driver concatenates
+    a handful of large buffers instead of decoding serially."""
+    if lon_col in batch.column_names:
+        lon = np.asarray(batch[lon_col].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        lat = np.asarray(batch[lat_col].to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+    else:
+        # vectorised Point-WKB decode: the 21-byte little-endian layout
+        # is fixed, so one frombuffer view parses the whole batch
+        bufs = batch["geometry"].to_pylist()
+        raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+        if len(bufs) and len(raw) == 21 * len(bufs):
+            m = raw.reshape(-1, 21)
+            pts = np.column_stack([
+                m[:, 5:13].copy().view("<f8").ravel(),
+                m[:, 13:21].copy().view("<f8").ravel()])
+        else:  # mixed geometry fallback
+            pts = np.array([wkb.decode_wkb(g)[1] for g in bufs])
+        lon, lat = (pts[:, 0], pts[:, 1]) if len(pts) else \
+            (np.empty(0), np.empty(0))
+    ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    return pa.table({
+        "ids": pa.array([ids.astype("<i8").tobytes()], pa.binary()),
+        "lon": pa.array([np.ascontiguousarray(lon, "<f8").tobytes()],
+                        pa.binary()),
+        "lat": pa.array([np.ascontiguousarray(lat, "<f8").tobytes()],
+                        pa.binary()),
+    })
+
+
 def pack_point_index(points_ds, id_col: str = "id",
                      lon_col: str = "lon", lat_col: str = "lat"):
-    ids, lons, lats = [], [], []
-    for batch in points_ds.iter_batches(batch_size=1 << 18,
-                                        batch_format="pyarrow"):
-        if lon_col in batch.column_names:
-            lon = np.asarray(batch[lon_col].to_numpy(zero_copy_only=False))
-            lat = np.asarray(batch[lat_col].to_numpy(zero_copy_only=False))
-        else:
-            # vectorised Point-WKB decode: the 21-byte little-endian layout
-            # is fixed, so one frombuffer view parses the whole batch
-            bufs = batch["geometry"].to_pylist()
-            raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
-            if len(bufs) and len(raw) == 21 * len(bufs):
-                m = raw.reshape(-1, 21)
-                pts = np.column_stack([
-                    m[:, 5:13].copy().view("<f8").ravel(),
-                    m[:, 13:21].copy().view("<f8").ravel()])
-            else:  # mixed geometry fallback
-                pts = np.array([wkb.decode_wkb(g)[1] for g in bufs])
-            lon, lat = (pts[:, 0], pts[:, 1]) if len(pts) else \
-                (np.empty(0), np.empty(0))
-        ids.append(np.asarray(batch[id_col].to_numpy(zero_copy_only=False)))
-        lons.append(lon)
-        lats.append(lat)
-    ids = np.concatenate(ids) if ids else np.empty(0, np.int64)
-    lon = np.concatenate(lons) if lons else np.empty(0)
-    lat = np.concatenate(lats) if lats else np.empty(0)
+    id_bufs, lon_bufs, lat_bufs = [], [], []
+    packed = points_ds.map_batches(
+        functools.partial(_pack_point_batch, id_col=id_col,
+                          lon_col=lon_col, lat_col=lat_col),
+        batch_format="pyarrow", batch_size=1 << 18)
+    for b in packed.iter_batches(batch_size=64, batch_format="pyarrow"):
+        id_bufs.extend(b["ids"].to_pylist())
+        lon_bufs.extend(b["lon"].to_pylist())
+        lat_bufs.extend(b["lat"].to_pylist())
+    ids = np.frombuffer(b"".join(id_bufs), dtype="<i8") if id_bufs else \
+        np.empty(0, np.int64)
+    lon = np.frombuffer(b"".join(lon_bufs), dtype="<f8") if lon_bufs else \
+        np.empty(0)
+    lat = np.frombuffer(b"".join(lat_bufs), dtype="<f8") if lat_bufs else \
+        np.empty(0)
     # uniform-grid bins over the points (≈2 points per cell): the kNN
     # candidate search is then two searchsorteds per query round
     if len(lon) > 1:
