@@ -118,8 +118,18 @@ def largest_scc_edges(edges_df: pd.DataFrame) -> pd.DataFrame:
 
 def to_networkx(nodes_df: pd.DataFrame, edges_df: pd.DataFrame,
                 retain_all: bool = False):
-    """MultiDiGraph with OSMnx-compatible attributes (M28)."""
+    """MultiDiGraph with OSMnx-compatible attributes (M28).
+
+    Edges whose u/v endpoint has no node row (and hence no coordinate)
+    are skipped rather than auto-created, matching the reference graph
+    exporters (pyrosm/graph_export.pyx:74-102 skips edges with missing
+    endpoint nodes) — a coordinate-less node would poison downstream
+    routing/plotting (J9)."""
     import networkx as nx
+    known = pd.Index(nodes_df["id"].astype("int64"))
+    present = edges_df["u"].astype("int64").isin(known) & \
+        edges_df["v"].astype("int64").isin(known)
+    edges_df = edges_df[present].reset_index(drop=True)
     if not retain_all:
         edges_df = largest_scc_edges(edges_df)
     g = nx.MultiDiGraph(crs="epsg:4326")

@@ -264,35 +264,51 @@ def _build_edges(coords: np.ndarray, ring_offsets: np.ndarray,
     return e, poly_edge_offsets
 
 
+GRID_DEGRADE_REPLICATION = 8.0  # mean bins/polygon above which uniform
+#                                 grid bins waste memory+scan (elongated
+#                                 bboxes) and the shard packs an STR tree
+
+
 def _assemble_shard_index(ids: np.ndarray, bboxes: np.ndarray,
                           coords: np.ndarray, rlens: np.ndarray,
                           rings_per_poly: np.ndarray, layer: str) -> dict:
-    """Packed per-polygon arrays -> one queryable sub-index (grid candidate
-    bins + flat edge CSR — the working set of _cell_candidates +
-    _confirm_pip)."""
+    """Packed per-polygon arrays -> one queryable sub-index (candidate
+    structure + flat edge CSR — the working set of _cell_candidates +
+    _confirm_pip).
+
+    Candidate structure is adaptive: uniform-grid bins when bboxes are
+    compact (two searchsorteds per batch), a packed STR tree when the
+    grid degrades — elongated/high-aspect bboxes replicate into many
+    cells or overflow to the brute-force oversize list, while the tree
+    stores each polygon exactly once."""
     ring_offsets = np.zeros(len(rlens) + 1, dtype=np.int64)
     np.cumsum(rlens, out=ring_offsets[1:])
     poly_ring_offsets = np.zeros(len(ids) + 1, dtype=np.int64)
     np.cumsum(rings_per_poly, out=poly_ring_offsets[1:])
-    cell_res, cell_keys, cell_offsets, cell_polys, oversize = \
-        _build_cell_bins(bboxes.astype(np.float64))
+    bboxes = bboxes.astype(np.float64)
     edges, poly_edge_offsets = _build_edges(coords, ring_offsets,
                                             poly_ring_offsets)
-    return {
+    out = {
         "ids": ids.astype(np.int64),
-        "bboxes": bboxes.astype(np.float64),
+        "bboxes": bboxes,
         "coords": coords,
         "ring_offsets": ring_offsets,
         "poly_ring_offsets": poly_ring_offsets,
         "layer": layer,
-        "cell_res": cell_res,
-        "cell_keys": cell_keys,
-        "cell_offsets": cell_offsets,
-        "cell_polys": cell_polys,
-        "oversize": oversize,
         "edges": edges,
         "poly_edge_offsets": poly_edge_offsets,
     }
+    cell_res, cell_keys, cell_offsets, cell_polys, oversize = \
+        _build_cell_bins(bboxes)
+    replication = (len(cell_polys) + 64.0 * len(oversize)) / max(len(ids), 1)
+    if replication > GRID_DEGRADE_REPLICATION and len(ids) >= 8:
+        from pyrosm_ray.geom.strtree import STRtree
+        out["tree"] = STRtree(bboxes).to_state()
+    else:
+        out.update(cell_res=cell_res, cell_keys=cell_keys,
+                   cell_offsets=cell_offsets, cell_polys=cell_polys,
+                   oversize=oversize)
+    return out
 
 
 def _shard_from_packed(parts: list[pa.Table], layer: str) -> dict:
@@ -501,8 +517,14 @@ def _confirm_pip(index, cand_pt: np.ndarray, cand_poly: np.ndarray,
 
 
 def _cell_candidates(index, px: np.ndarray, py: np.ndarray):
-    """Candidate (point, polygon) pairs via the uniform-grid bins + bbox
-    prefilter (replaces a tree walk with two searchsorteds)."""
+    """Candidate (point, polygon) pairs via the shard's candidate
+    structure: uniform-grid bins + bbox prefilter (two searchsorteds)
+    for compact layers, packed-STR-tree descent for degraded/elongated
+    layers (see _assemble_shard_index)."""
+    if "tree" in index:
+        from pyrosm_ray.geom.strtree import STRtree
+        tree = STRtree.from_state(index["tree"])
+        return tree.query_points(px, py)  # bbox-exact; no prefilter needed
     res = index["cell_res"]
     nx = np.int64(1) << res
     cx = np.clip(np.floor((px + 180) / 360 * nx), 0, nx - 1).astype(np.int64)

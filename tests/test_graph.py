@@ -80,6 +80,21 @@ def test_to_networkx_osmnx_compat():
     assert data[0]["osmid"] == 10
 
 
+def test_to_networkx_skips_dangling_edges():
+    """J9: an edge whose endpoint has no node row is skipped, not
+    auto-created as a coordinate-less node (reference
+    graph_export.pyx:74-102 semantics)."""
+    nodes = pd.DataFrame({"id": [1, 2, 3], "lon": [0.0, 1.0, 2.0],
+                          "lat": [0.0, 0.0, 0.0]})
+    edges = pd.DataFrame({"u": [1, 2, 3, 3], "v": [2, 3, 1, 99],
+                          "id": [10, 11, 12, 13],
+                          "length": [1.0, 1.0, 1.0, 1.0]})
+    g = to_networkx(nodes, edges, retain_all=True)
+    assert 99 not in g.nodes
+    assert g.number_of_edges() == 3
+    assert all("x" in d for _, d in g.nodes(data=True))
+
+
 def test_raster_zonal_stats(ray_session):
     """Rasterize points per tile, zonal-reduce under a polygon covering
     half the tile -> the mask sum equals the points that fell inside."""

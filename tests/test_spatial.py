@@ -174,3 +174,54 @@ def test_knn_join_exact(pages, src):
         want = pdf.id.values[np.argsort(d, kind="stable")[:3]]
         assert list(rows.poi_id) == list(want)
         assert (np.diff(rows.distance_m.values) >= 0).all()
+
+
+def test_strtree_shard_path_parity():
+    """Elongated bboxes degrade the uniform grid (high replication), so
+    _assemble_shard_index packs an STR tree instead; candidate+PIP results
+    must match the grid path exactly on the same polygons."""
+    rng = np.random.default_rng(7)
+    n = 64
+    # mixed sizes: mostly tiny boxes (drive the adaptive grid res high)
+    # plus long strips that then overflow to the oversize list -> the
+    # replication metric blows past GRID_DEGRADE_REPLICATION
+    x0 = rng.uniform(-30, 30, n)
+    y0 = rng.uniform(-30, 30, n)
+    w = np.where(np.arange(n) % 8 == 0, rng.uniform(15.0, 25.0, n),
+                 rng.uniform(0.005, 0.02, n))
+    h = rng.uniform(0.005, 0.02, n)    # thin
+    ids, bboxes, coords, rlens, rpp = [], [], [], [], []
+    for i in range(n):
+        ring = np.array([[x0[i], y0[i]], [x0[i] + w[i], y0[i]],
+                         [x0[i] + w[i], y0[i] + h[i]], [x0[i], y0[i] + h[i]],
+                         [x0[i], y0[i]]])
+        ids.append(i + 1)
+        bboxes.append([x0[i], y0[i], x0[i] + w[i], y0[i] + h[i]])
+        coords.append(ring)
+        rlens.append(len(ring))
+        rpp.append(1)
+    ids = np.array(ids, np.int64)
+    bboxes = np.array(bboxes)
+    coords = np.concatenate(coords)
+    rlens = np.array(rlens, np.int64)
+    rpp = np.array(rpp, np.int64)
+    idx = spatial._assemble_shard_index(ids, bboxes, coords, rlens, rpp, "t")
+    assert "tree" in idx, "elongated fixture should trigger the STR tree"
+    # grid-forced variant for parity
+    old = spatial.GRID_DEGRADE_REPLICATION
+    spatial.GRID_DEGRADE_REPLICATION = 1e18
+    try:
+        gidx = spatial._assemble_shard_index(ids, bboxes, coords, rlens,
+                                             rpp, "t")
+    finally:
+        spatial.GRID_DEGRADE_REPLICATION = old
+    assert "tree" not in gidx
+    px = rng.uniform(-35, 55, 5000)
+    py = rng.uniform(-35, 35, 5000)
+    cp_t, cl_t = spatial._cell_candidates(idx, px, py)
+    keep_t = spatial._confirm_pip(idx, cp_t, cl_t, px, py)
+    cp_g, cl_g = spatial._cell_candidates(gidx, px, py)
+    keep_g = spatial._confirm_pip(gidx, cp_g, cl_g, px, py)
+    got = set(zip(cp_t[keep_t].tolist(), idx["ids"][cl_t[keep_t]].tolist()))
+    want = set(zip(cp_g[keep_g].tolist(), gidx["ids"][cl_g[keep_g]].tolist()))
+    assert got == want and len(want) > 0
