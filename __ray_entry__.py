@@ -29,9 +29,12 @@ def _fixture_dir(sf_dir: str):
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
-    return rd.read_parquet(f"{sf_dir.rstrip('/')}/{table}.parquet",
-                           columns=columns)
+    # row-group-splitting reader: single-file tables otherwise decode in
+    # ONE Ray task (ray.data.read_parquet plans per-file) and serialise
+    # the whole downstream pipeline
+    from pyrosm_ray.sources.parquet import read_parquet_split
+    return read_parquet_split(f"{sf_dir.rstrip('/')}/{table}.parquet",
+                              columns=columns)
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +245,7 @@ def q_tile_assignment(sf_dir: str):
     import ray.data as rd
     from pyrosm_ray.stages.spatial import assign_tiles
     fx = _fixture_dir(sf_dir)
-    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    pages = _read(str(fx), "pages", columns=["url"])
     df = assign_tiles(pages).to_pandas()[
         ["url", "h3_r5", "h3_r7", "h3_r9"]]
     return df.sort_values("url").reset_index(drop=True)
@@ -252,7 +255,7 @@ def q_tile_counts(sf_dir: str):
     import ray.data as rd
     from pyrosm_ray.stages.spatial import assign_tiles
     fx = _fixture_dir(sf_dir)
-    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    pages = _read(str(fx), "pages", columns=["url"])
     out = assign_tiles(pages).groupby("h3_r7").count().to_pandas()
     out = out.rename(columns={"count()": "n_pages"})
     out["n_pages"] = out["n_pages"].astype("int64")
@@ -264,7 +267,7 @@ def q_pages_in_bbox(sf_dir: str):
     from pyrosm_ray.fixtures import TEST_BBOX
     from pyrosm_ray.stages.spatial import geocode_pages
     fx = _fixture_dir(sf_dir)
-    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url", "lang"])
+    pages = _read(str(fx), "pages", columns=["url", "lang"])
     x0, y0, x1, y1 = TEST_BBOX
 
     def inbox(b: pa.Table) -> pa.Table:
@@ -284,7 +287,7 @@ def q_pip_join(sf_dir: str):
     from pyrosm_ray.pipelines.layers import OSM
     from pyrosm_ray.stages.spatial import assign_tiles, pip_join
     fx = _fixture_dir(sf_dir)
-    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    pages = _read(str(fx), "pages", columns=["url"])
     polys = OSM(str(fx)).get_buildings().materialize()
     out = pip_join(assign_tiles(pages), polys, layer="buildings")
     df = out.to_pandas()[["url", "polygon_id", "polygon_layer"]]
@@ -300,7 +303,7 @@ def q_pip_join_ways(sf_dir: str):
     from pyrosm_ray.stages.spatial import assign_tiles, pip_join
 
     fx = _fixture_dir(sf_dir)
-    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    pages = _read(str(fx), "pages", columns=["url"])
     polys = OSM(str(fx)).get_buildings()
     polys = polys.map_batches(
         lambda b: b.filter(pc.equal(b["osm_type"], "way")),
@@ -316,7 +319,7 @@ def q_knn_join(sf_dir: str):
     from pyrosm_ray.pipelines.layers import OSM
     from pyrosm_ray.stages.spatial import assign_tiles, knn_join
     fx = _fixture_dir(sf_dir)
-    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["url"])
+    pages = _read(str(fx), "pages", columns=["url"])
     pois = OSM(str(fx)).get_pois().materialize()
     out = knn_join(assign_tiles(pages), pois, k=2)
     df = out.to_pandas()[["url", "poi_id", "knn_rank"]]
@@ -352,7 +355,7 @@ def q_history_latest(sf_dir: str):
     import ray.data as rd
     from pyrosm_ray.stages.history import latest_versions
     fx = _fixture_dir(sf_dir)
-    ds = rd.read_parquet(f"{fx}/osm_history.parquet",
+    ds = _read(str(fx), "osm_history",
                          columns=["id", "version", "visible", "lon"])
     df = latest_versions(ds).to_pandas()[["id", "version", "lon"]]
     df["id"] = df["id"].astype("int64")
@@ -397,7 +400,7 @@ def q_street_counts(sf_dir: str):
 def q_pages_by_lang(sf_dir: str):
     import ray.data as rd
     fx = _fixture_dir(sf_dir)
-    pages = rd.read_parquet(f"{fx}/pages.parquet", columns=["lang"])
+    pages = _read(str(fx), "pages", columns=["lang"])
     df = pages.groupby("lang").count().to_pandas()
     df = df.rename(columns={"count()": "n"})
     df["n"] = df["n"].astype("int64")
@@ -583,6 +586,106 @@ def _minhash_dedup_sql(threshold: float = 0.5, num_perm: int = 64,
         SELECT d.doc_id, COALESCE(c.dup_of, d.doc_id) AS dup_of
         FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
         ORDER BY d.doc_id"""
+
+
+def _relation_ring_edges_parquet(fx: str) -> str:
+    """Side table for the q_pip_join SQL oracle: building-RELATION ring
+    edges (relation_id, x1, y1, x2, y2) as parquet.
+
+    The relation multipolygon assembly (member stitching, unclosable-ring
+    drop, hole nesting) is not SQL-expressible, so the rings are assembled
+    here driver-side with the shared geometry library — the pytest suite
+    pins those semantics against the reference independently — and the
+    PIP containment itself is then verified end-to-end by the even-odd
+    crossing SQL, exactly as the way-ring oracle does. Cache keyed on the
+    source tables' size+mtime (stale-index lesson from round 2)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyrosm_ray.filters.semantics import TagBatchEvaluator
+    from pyrosm_ray.geom import assembly, ops
+
+    fp = hashlib.md5()
+    for t in ("osm_relations", "osm_ways", "osm_nodes"):
+        st = os.stat(f"{fx}/{t}.parquet")
+        fp.update(f"{t}:{st.st_size}:{st.st_mtime_ns};".encode())
+    out_dir = "/tmp/geograft_oracle"
+    os.makedirs(out_dir, exist_ok=True)
+    out = f"{out_dir}/relrings_{fp.hexdigest()[:16]}.parquet"
+    if os.path.exists(out):
+        return out
+
+    rels = pq.read_table(f"{fx}/osm_relations.parquet",
+                         columns=["id", "members", "tags"])
+    mask = TagBatchEvaluator(rels["tags"]).keep_mask(
+        ["building"], {"building": [True]}, "keep", keep_all=False)
+    kept = rels.filter(pa.array(mask))
+
+    nodes = pq.read_table(f"{fx}/osm_nodes.parquet",
+                          columns=["id", "lon", "lat"])
+    nid = np.asarray(nodes["id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.argsort(nid, kind="stable")
+    nid = nid[order]
+    nlon = np.asarray(nodes["lon"].to_numpy(zero_copy_only=False))[order]
+    nlat = np.asarray(nodes["lat"].to_numpy(zero_copy_only=False))[order]
+
+    def way_chain(refs: np.ndarray):
+        pos = np.clip(np.searchsorted(nid, refs), 0, max(len(nid) - 1, 0))
+        found = nid[pos] == refs if len(nid) else np.zeros(len(refs), bool)
+        lo, la = nlon[pos], nlat[pos]
+        valid = (found & (lo >= -180.0) & (lo <= 180.0)
+                 & (la >= -90.0) & (la <= 90.0))
+        return np.column_stack([lo[valid], la[valid]])
+
+    ways = pq.read_table(f"{fx}/osm_ways.parquet", columns=["id", "refs"])
+    wid = np.asarray(ways["id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    wrefs = ways["refs"].combine_chunks()
+    wpos = {int(w): i for i, w in enumerate(wid)}
+
+    rel_col, x1c, y1c, x2c, y2c = [], [], [], [], []
+    tags_py = kept["tags"].to_pylist()
+    members_py = kept["members"].to_pylist()
+    rids = np.asarray(kept["id"].to_numpy(zero_copy_only=False),
+                      dtype=np.int64)
+    for rid, tags, members in zip(rids, tags_py, members_py):
+        lines = []
+        for m in members:
+            if m["member_type"] != "way" or m["member_id"] not in wpos:
+                continue
+            refs = np.asarray(wrefs[wpos[m["member_id"]]].as_py(),
+                              dtype=np.int64)
+            chain = way_chain(refs)
+            if len(chain) >= 2:
+                lines.append(chain)
+        if not lines or ops.relation_is_linestring(dict(tags)):
+            continue
+        merged = assembly.merge_lines(lines)
+        rings = [m for m in merged if ops.is_closed_ring(m)]
+        polys = assembly.polygons_from_rings(rings)
+        if not polys:
+            continue
+        for shell, holes in polys:
+            for ring in [shell] + holes:
+                rel_col.extend([int(rid)] * (len(ring) - 1))
+                x1c.append(ring[:-1, 0])
+                y1c.append(ring[:-1, 1])
+                x2c.append(ring[1:, 0])
+                y2c.append(ring[1:, 1])
+    table = pa.table({
+        "id": pa.array(rel_col, pa.int64()),
+        "x1": pa.array(np.concatenate(x1c) if x1c else [], pa.float64()),
+        "y1": pa.array(np.concatenate(y1c) if y1c else [], pa.float64()),
+        "x2": pa.array(np.concatenate(x2c) if x2c else [], pa.float64()),
+        "y2": pa.array(np.concatenate(y2c) if y2c else [], pa.float64()),
+    })
+    tmp = f"{out}.tmp-{os.getpid()}"
+    pq.write_table(table, tmp)
+    os.replace(tmp, out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -802,6 +905,55 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT v FROM seg)
             SELECT node_id, COUNT(*) AS street_count FROM ex
             GROUP BY node_id ORDER BY node_id""",
+        # full buildings-layer PIP (ways + relation multipolygons): way
+        # ring edges straight from refs; relation ring edges from the
+        # assembled side table (see _relation_ring_edges_parquet); even-odd
+        # crossing parity over the union
+        "q_pip_join": f"""
+            WITH pg AS (
+              SELECT url, {lon_sql} AS qx, {lat_sql} AS qy FROM {pages}
+            ), bw AS (
+              SELECT w.id, w.refs FROM {ways_p} w
+              WHERE len(map_extract(w.tags, 'building')) > 0
+                AND w.id NOT IN ({member_ways_b})
+                AND w.refs[1] = w.refs[len(w.refs)]
+                AND COALESCE(map_extract(w.tags, 'area')[1], '') <> 'no'
+            ), refs AS (
+              SELECT b.id, unnest(b.refs) AS r,
+                     generate_subscripts(b.refs, 1) AS ord FROM bw b
+            ), pts AS (
+              SELECT refs.id, refs.ord, n.lon AS x1, n.lat AS y1,
+                     LEAD(n.lon) OVER w AS x2, LEAD(n.lat) OVER w AS y2,
+                     COUNT(*) OVER (PARTITION BY refs.id) AS npts
+              FROM refs JOIN {nodes_p} n ON n.id = refs.r
+              WINDOW w AS (PARTITION BY refs.id ORDER BY refs.ord)
+            ), edges AS (
+              SELECT id, x1, y1, x2, y2 FROM pts
+              WHERE x2 IS NOT NULL AND npts > 2
+              UNION ALL
+              SELECT id, x1, y1, x2, y2
+              FROM read_parquet('{_relation_ring_edges_parquet(fx)}')
+            ), bbox AS (
+              SELECT id, LEAST(MIN(x1), MIN(x2)) AS bx0,
+                     GREATEST(MAX(x1), MAX(x2)) AS bx1,
+                     LEAST(MIN(y1), MIN(y2)) AS by0,
+                     GREATEST(MAX(y1), MAX(y2)) AS by1
+              FROM edges GROUP BY id
+            ), cand AS (
+              SELECT pg.url, pg.qx, pg.qy, b.id FROM pg JOIN bbox b
+              ON pg.qx >= b.bx0 AND pg.qx <= b.bx1
+                 AND pg.qy >= b.by0 AND pg.qy <= b.by1
+            ), crossings AS (
+              SELECT c.url, c.id,
+                     SUM(CASE WHEN ((e.y1 > c.qy) <> (e.y2 > c.qy))
+                          AND c.qx < e.x1 + (c.qy - e.y1)
+                              * (e.x2 - e.x1) / (e.y2 - e.y1)
+                          THEN 1 ELSE 0 END) AS k
+              FROM cand c JOIN edges e ON e.id = c.id
+              GROUP BY c.url, c.id)
+            SELECT url, id AS polygon_id, 'buildings' AS polygon_layer
+            FROM crossings WHERE k % 2 = 1
+            ORDER BY url, polygon_id""",
         # even-odd crossing parity over way-building ring edges, the same
         # per-edge arithmetic as spatial._confirm_pip (candidate bbox
         # prefilter is safe: an out-of-bbox point has even parity anyway)
@@ -911,7 +1063,7 @@ def entry() -> Any:
     from pyrosm_ray.pipelines.layers import OSM
     from pyrosm_ray.stages.spatial import assign_tiles, pip_join
     fx = _fixture_dir("/root/testdata/sf0.001")
-    pages = rd.read_parquet(f"{fx}/pages.parquet")
+    pages = _read(str(fx), "pages")
     polys = OSM(str(fx)).get_buildings().materialize()
     return pip_join(assign_tiles(pages, salt_threshold=500), polys,
                     layer="buildings")

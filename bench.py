@@ -84,8 +84,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # parallelism level, so scaling runs vary only the worker count
     pages_path = f"{fx}/pages.parquet"
     pages_blocks = max(8, os.path.getsize(pages_path) // (8 << 20))
-    pages = rd.read_parquet(pages_path,
-                            override_num_blocks=int(pages_blocks))
+    from pyrosm_ray.sources.parquet import read_parquet_split
+    pages = read_parquet_split(pages_path,
+                               num_blocks=int(pages_blocks))
     # hot-cell detection on a 2% systematic sample (mega-cells are visible
     # in any fixed-rate sample; the full-histogram pass would double the
     # geocode+tile work)
@@ -127,7 +128,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         # synthetic-scale runs (e.g. sf0.3) have no documents table;
         # the dedup pipeline benches against the largest provided one
         docs_path = "/root/testdata/sf0.1/documents.parquet"
-    docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    docs = read_parquet_split(docs_path, columns=["doc_id", "text"])
     from pyrosm_ray.stages.dedup import minhash_dedup
     timed("minhash_dedup", lambda: minhash_dedup(docs,
                                                  threshold=0.5).count())

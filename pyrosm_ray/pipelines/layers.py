@@ -159,9 +159,14 @@ class OSM:
         return int(np.clip(size // self.BLOCK_TARGET_BYTES, 1, 4096))
 
     def _read(self, table: str, columns=None) -> rd.Dataset:
+        # row-group-splitting reader: ray.data.read_parquet plans one task
+        # per FILE, so a single-file element table would decode serially
+        # and cap the whole layer pipeline's parallelism (the round-2
+        # anti-scaling root cause)
+        from pyrosm_ray.sources.parquet import read_parquet_split
         blocks = self.num_partitions or self._auto_blocks(table)
-        return rd.read_parquet(self._path(table), columns=columns,
-                               override_num_blocks=blocks)
+        return read_parquet_split(self._path(table), columns=columns,
+                                  num_blocks=blocks)
 
     def nodes(self, columns=None) -> rd.Dataset:
         return self._read("osm_nodes", columns)
@@ -173,15 +178,17 @@ class OSM:
         return self._read("osm_relations", columns)
 
     # -- shared broadcast state ------------------------------------------
-    COORDS_DRIVER_MAX_BYTES = 2 << 30
-
-    def _coords_fit_broadcast(self) -> bool:
-        return self._table_bytes("osm_nodes") <= self.COORDS_DRIVER_MAX_BYTES
+    # below this on-disk size one driver pyarrow read beats the task
+    # round-trips of the sharded build; above it the build runs fully
+    # distributed (route by id range, per-shard parallel sort) so the
+    # driver never serialises a node-count-proportional pass
+    COORDS_DRIVER_FAST_MAX_BYTES = 64 << 20
 
     def coord_ref(self):
         if self._coord_ref is None:
             path = self._path("osm_nodes")
-            if self._coords_fit_broadcast():
+            if self._table_bytes("osm_nodes") <= \
+                    self.COORDS_DRIVER_FAST_MAX_BYTES:
                 # local-file fast path: one pyarrow read beats a Ray round
                 # trip; the object-store broadcast is identical either way
                 t = pq.read_table(path, columns=["id", "lon", "lat"])
@@ -194,7 +201,7 @@ class OSM:
                     np.asarray(t["lat"].to_numpy(
                         zero_copy_only=False))[order]))
             else:
-                self._coord_ref = topology.build_coord_index(
+                self._coord_ref = topology.build_coord_index_sharded(
                     self.nodes(columns=["id", "lon", "lat"]))
         return self._coord_ref
 
@@ -524,6 +531,14 @@ class OSM:
             zero_copy_only=False), dtype=np.int64)
         member_ids = np.unique(mid[mtype == "way"])
         return kept_t, member_ids
+
+    # beyond this node-table size even the sharded broadcast index stops
+    # fitting the object-store contract; route to the shuffle join
+    COORDS_BROADCAST_MAX_BYTES = 8 << 30
+
+    def _coords_fit_broadcast(self) -> bool:
+        return self._table_bytes("osm_nodes") <= \
+            self.COORDS_BROADCAST_MAX_BYTES
 
     def _assemble(self, ways_ds, mode):
         strategy = self.strategy

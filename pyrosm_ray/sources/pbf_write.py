@@ -1,0 +1,431 @@
+"""PBF encoder: element tables -> ``.osm.pbf`` blobs (S10/S11 inverse of
+``sources/pbf.py``).
+
+Counterpart of the reference's crop/export surface
+(pyrosm/pbf_export.pyx:551-852 crop_pbf, pyrosm/pbf_writer.py write path)
+re-expressed over the engine's Arrow element schema: vectorised zigzag +
+packed-varint encoding (numpy lane loop, max 10 rounds — no per-value
+Python), per-block string tables, DenseNodes with optional DenseInfo,
+zlib-compressed blobs with correct raw_size framing. Round-trip parity is
+pinned by tests against the engine's own wire decoder, which itself holds
+golden parity with the reference's bundled extracts.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+NANO_PER_UNIT = 100          # granularity (nanodegrees per coordinate unit)
+DATE_GRAN = 1000             # millis per timestamp unit
+_MEMBER_TYPE_CODE = {"node": 0, "way": 1, "relation": 2}
+
+
+# ---------------------------------------------------------------------------
+# varint / zigzag primitives (vectorised)
+# ---------------------------------------------------------------------------
+
+def zigzag(v: np.ndarray) -> np.ndarray:
+    v = v.astype(np.int64)
+    return ((v << 1) ^ (v >> 63)).view(np.uint64)
+
+
+def encode_packed_varints(v: np.ndarray) -> bytes:
+    """Packed base-128 varints for a uint64 array — lane loop over byte
+    position (<=10 rounds), no per-value Python."""
+    v = np.ascontiguousarray(v, dtype=np.uint64)
+    n = len(v)
+    if n == 0:
+        return b""
+    nb = np.ones(n, np.int64)
+    x = v >> np.uint64(7)
+    while x.any():
+        nb += (x > 0)
+        x >>= np.uint64(7)
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(nb, out=off[1:])
+    out = np.zeros(off[-1], np.uint8)
+    pos = off[:-1].copy()
+    cur = v.copy()
+    last = off[1:] - 1
+    for _ in range(10):
+        active = pos <= last
+        if not active.any():
+            break
+        byte = (cur & np.uint64(0x7F)).astype(np.uint8)
+        cont = (pos < last).astype(np.uint8) << 7
+        out[pos[active]] = byte[active] | cont[active]
+        pos = pos + 1
+        cur = cur >> np.uint64(7)
+    return out.tobytes()
+
+
+def _varint1(value: int) -> bytes:
+    out = bytearray()
+    v = value & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        out.append(b | (0x80 if v else 0))
+        if not v:
+            return bytes(out)
+
+
+def _vi(field: int, value: int) -> bytes:
+    return _varint1((field << 3) | 0) + _varint1(value)
+
+
+def _ld(field: int, payload: bytes) -> bytes:
+    return _varint1((field << 3) | 2) + _varint1(len(payload)) + payload
+
+
+def _packed(field: int, arr: np.ndarray) -> bytes:
+    return _ld(field, encode_packed_varints(arr))
+
+
+def _delta_sint(field: int, arr: np.ndarray) -> bytes:
+    arr = np.asarray(arr, dtype=np.int64)
+    return _packed(field, zigzag(np.diff(arr, prepend=np.int64(0))))
+
+
+# ---------------------------------------------------------------------------
+# string table + tag indexing
+# ---------------------------------------------------------------------------
+
+class _StringTable:
+    """Per-block string table; index 0 is the empty string (DenseNodes
+    keys_vals terminator convention)."""
+
+    def __init__(self):
+        self._idx = {"": 0}
+        self._strings = [""]
+
+    def index(self, values) -> np.ndarray:
+        out = np.empty(len(values), np.int64)
+        idx = self._idx
+        strings = self._strings
+        for i, s in enumerate(values):
+            s = s if s is not None else ""
+            j = idx.get(s)
+            if j is None:
+                j = len(strings)
+                idx[s] = j
+                strings.append(s)
+            out[i] = j
+        return out
+
+    def encode(self) -> bytes:
+        return b"".join(_ld(1, s.encode("utf-8")) for s in self._strings)
+
+
+def _tags_csr(tags_col: pa.ChunkedArray):
+    """Map column -> (flat keys, flat values, offsets int64)."""
+    col = tags_col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):  # zero-chunk edge
+        col = pa.concat_arrays(col.chunks) if col.num_chunks else \
+            pa.array([], col.type)
+    off = np.asarray(col.offsets.to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    base = off[0]
+    keys = col.keys.slice(base).to_pylist()
+    vals = col.items.slice(base).to_pylist()
+    return keys, vals, off - base
+
+
+def _meta_arrays(t: pa.Table, n: int):
+    """(version, ts_units, changeset, visible) with defaults when the
+    table carries no metadata columns."""
+    names = set(t.column_names)
+    version = np.asarray(t["version"].to_numpy(zero_copy_only=False),
+                         np.int64) if "version" in names else \
+        np.zeros(n, np.int64)
+    if "timestamp" in names:
+        ts = t["timestamp"].cast(pa.timestamp("ms")).cast(pa.int64())
+        ts = np.asarray(ts.to_numpy(zero_copy_only=False), np.int64)
+        ts = np.where(np.isnan(ts.astype(np.float64)), 0, ts) // DATE_GRAN
+    else:
+        ts = np.zeros(n, np.int64)
+    changeset = np.asarray(t["changeset"].to_numpy(zero_copy_only=False),
+                           np.int64) if "changeset" in names else \
+        np.zeros(n, np.int64)
+    visible = np.asarray(t["visible"].to_numpy(zero_copy_only=False),
+                         bool) if "visible" in names else np.ones(n, bool)
+    return version, ts, changeset, visible
+
+
+# ---------------------------------------------------------------------------
+# PrimitiveGroup encoders
+# ---------------------------------------------------------------------------
+
+def _encode_dense_nodes(t: pa.Table, st: _StringTable) -> bytes:
+    n = t.num_rows
+    ids = np.asarray(t["id"].to_numpy(zero_copy_only=False), np.int64)
+    lat_u = np.round(np.asarray(t["lat"].to_numpy(zero_copy_only=False))
+                     * 1e9 / NANO_PER_UNIT).astype(np.int64)
+    lon_u = np.round(np.asarray(t["lon"].to_numpy(zero_copy_only=False))
+                     * 1e9 / NANO_PER_UNIT).astype(np.int64)
+    keys, vals, off = _tags_csr(t["tags"])
+    kidx = st.index(keys)
+    vidx = st.index(vals)
+    counts = off[1:] - off[:-1]
+    # keys_vals: [k,v,...,0] per node, vectorised scatter
+    seg_len = 2 * counts + 1
+    out_off = np.zeros(n + 1, np.int64)
+    np.cumsum(seg_len, out=out_off[1:])
+    kv = np.zeros(out_off[-1], np.int64)
+    if len(kidx):
+        tag_node = np.repeat(np.arange(n), counts)
+        tag_pos = np.arange(len(kidx)) - np.repeat(off[:-1], counts)
+        kpos = out_off[:-1][tag_node] + 2 * tag_pos
+        kv[kpos] = kidx
+        kv[kpos + 1] = vidx
+    version, ts, changeset, visible = _meta_arrays(t, n)
+    info = (_packed(1, version.astype(np.uint64))
+            + _packed(2, zigzag(np.diff(ts, prepend=np.int64(0))))
+            + _packed(3, zigzag(np.diff(changeset, prepend=np.int64(0))))
+            + _packed(6, visible.astype(np.uint64)))
+    dense = (_delta_sint(1, ids)
+             + _ld(5, info)
+             + _delta_sint(8, lat_u)
+             + _delta_sint(9, lon_u)
+             + _packed(10, kv.astype(np.uint64)))
+    return _ld(2, _ld(2, dense))  # group{2: DenseNodes}
+
+
+def _encode_ways(t: pa.Table, st: _StringTable) -> bytes:
+    n = t.num_rows
+    ids = np.asarray(t["id"].to_numpy(zero_copy_only=False), np.int64)
+    keys, vals, off = _tags_csr(t["tags"])
+    kidx = st.index(keys)
+    vidx = st.index(vals)
+    refs_col = t["refs"].combine_chunks()
+    version, ts, changeset, visible = _meta_arrays(t, n)
+    msgs = []
+    for i in range(n):
+        refs = np.asarray(refs_col[i].as_py(), dtype=np.int64)
+        info = (_vi(1, int(version[i])) + _vi(2, int(ts[i]))
+                + _vi(6, int(visible[i])))
+        msgs.append(_ld(3, (
+            _vi(1, int(ids[i]))
+            + _packed(2, kidx[off[i]:off[i + 1]].astype(np.uint64))
+            + _packed(3, vidx[off[i]:off[i + 1]].astype(np.uint64))
+            + _ld(4, info)
+            + _delta_sint(8, refs))))
+    return _ld(2, b"".join(msgs))
+
+
+def _encode_relations(t: pa.Table, st: _StringTable) -> bytes:
+    n = t.num_rows
+    ids = np.asarray(t["id"].to_numpy(zero_copy_only=False), np.int64)
+    keys, vals, off = _tags_csr(t["tags"])
+    kidx = st.index(keys)
+    vidx = st.index(vals)
+    members = t["members"].to_pylist()
+    version, ts, changeset, visible = _meta_arrays(t, n)
+    msgs = []
+    for i in range(n):
+        mem = members[i] or []
+        mids = np.array([m["member_id"] for m in mem], np.int64)
+        mtypes = np.array([_MEMBER_TYPE_CODE[m["member_type"]]
+                           for m in mem], np.uint64)
+        roles = st.index([m["member_role"] for m in mem]).astype(np.uint64)
+        info = (_vi(1, int(version[i])) + _vi(2, int(ts[i]))
+                + _vi(6, int(visible[i])))
+        msgs.append(_ld(4, (
+            _vi(1, int(ids[i]))
+            + _packed(2, kidx[off[i]:off[i + 1]].astype(np.uint64))
+            + _packed(3, vidx[off[i]:off[i + 1]].astype(np.uint64))
+            + _ld(4, info)
+            + _packed(8, roles)
+            + _delta_sint(9, mids)
+            + _packed(10, mtypes))))
+    return _ld(2, b"".join(msgs))
+
+
+# ---------------------------------------------------------------------------
+# block + blob framing
+# ---------------------------------------------------------------------------
+
+def encode_primitive_block(nodes: pa.Table | None, ways: pa.Table | None,
+                           relations: pa.Table | None) -> bytes:
+    st = _StringTable()
+    groups = []
+    if nodes is not None and nodes.num_rows:
+        groups.append(_encode_dense_nodes(nodes, st))
+    if ways is not None and ways.num_rows:
+        groups.append(_encode_ways(ways, st))
+    if relations is not None and relations.num_rows:
+        groups.append(_encode_relations(relations, st))
+    return (_ld(1, st.encode()) + b"".join(groups)
+            + _vi(17, NANO_PER_UNIT) + _vi(18, DATE_GRAN)
+            + _vi(19, 0) + _vi(20, 0))
+
+
+def _blob(btype: str, payload: bytes) -> bytes:
+    blob = _vi(2, len(payload)) + _ld(3, zlib.compress(payload))
+    header = _ld(1, btype.encode()) + _vi(3, len(blob))
+    return struct.pack(">I", len(header)) + header + blob
+
+
+def encode_header_block(bbox=None,
+                        features=("OsmSchema-V0.6", "DenseNodes")) -> bytes:
+    out = b""
+    if bbox is not None:
+        x0, y0, x1, y1 = bbox
+        def sz(field, deg):
+            return _varint1((field << 3) | 0) + _varint1(
+                int(zigzag(np.array([round(deg * 1e9)], np.int64))[0]))
+        out += _ld(1, sz(1, x0) + sz(2, x1) + sz(3, y1) + sz(4, y0))
+    for f in features:
+        out += _ld(4, f.encode())
+    return out
+
+
+def write_pbf(path: str, nodes: pa.Table | None = None,
+              ways: pa.Table | None = None,
+              relations: pa.Table | None = None,
+              bbox=None, block_rows: int = 8000) -> int:
+    """Write element tables as a valid ``.osm.pbf``; returns blob count.
+
+    One PrimitiveGroup kind per blob (spec requirement), ``block_rows``
+    elements per blob — bounded blocks keep the file streamable by
+    row-range exactly like the read side expects."""
+    n_blobs = 0
+    with open(path, "wb") as f:
+        f.write(_blob("OSMHeader", encode_header_block(bbox)))
+        n_blobs += 1
+        for t, kind in ((nodes, "n"), (ways, "w"), (relations, "r")):
+            if t is None:
+                continue
+            for s in range(0, t.num_rows, block_rows):
+                chunk = t.slice(s, block_rows)
+                block = encode_primitive_block(
+                    chunk if kind == "n" else None,
+                    chunk if kind == "w" else None,
+                    chunk if kind == "r" else None)
+                f.write(_blob("OSMData", block))
+                n_blobs += 1
+    return n_blobs
+
+
+# ---------------------------------------------------------------------------
+# bbox crop (S10)
+# ---------------------------------------------------------------------------
+
+def crop_pbf(src_path: str, out_path: str, bbox,
+             complete_ways: bool = True) -> dict:
+    """Crop ``src_path`` to ``bbox`` and re-emit valid blobs (reference
+    crop semantics, pyrosm/pbf_export.pyx:551-638): keep in-box nodes;
+    ways referencing any kept node (``complete_ways`` additionally pulls
+    their out-of-box nodes so geometries stay whole); relations with a
+    kept way/node member. Decode runs distributed over the blob index
+    (read_pbf); the kept set is collected and re-encoded (a crop output
+    is small by contract — it is the reference's driver-side contract
+    too)."""
+    import pyarrow.compute as pc
+
+    from pyrosm_ray.sources.pbf import read_pbf
+    x0, y0, x1, y1 = bbox
+
+    nodes_ds = read_pbf(src_path, "nodes")
+
+    def inbox(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
+        m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        return b.filter(pa.array(m))
+
+    kept_nodes = pa.concat_tables(
+        [pa.table(b) for b in nodes_ds.map_batches(
+            inbox, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow")])
+    inbox_ids = np.sort(np.asarray(
+        kept_nodes["id"].to_numpy(zero_copy_only=False), np.int64))
+
+    ways_ds = read_pbf(src_path, "ways")
+
+    def way_touch(b: pa.Table) -> pa.Table:
+        refs = b["refs"].combine_chunks()
+        flat = np.asarray(refs.flatten().to_numpy(zero_copy_only=False),
+                          np.int64)
+        off = np.asarray(refs.offsets.to_numpy(zero_copy_only=False),
+                         np.int64)
+        pos = np.clip(np.searchsorted(inbox_ids, flat), 0,
+                      max(len(inbox_ids) - 1, 0))
+        hit = (inbox_ids[pos] == flat) if len(inbox_ids) else \
+            np.zeros(len(flat), bool)
+        cnt = np.add.reduceat(hit, off[:-1]) if len(flat) else \
+            np.zeros(b.num_rows, bool)
+        cnt = np.asarray(cnt, dtype=np.int64)
+        cnt[off[:-1] == off[1:]] = 0
+        return b.filter(pa.array(cnt > 0))
+
+    kept_ways = pa.concat_tables(
+        [pa.table(b) for b in ways_ds.map_batches(
+            way_touch, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow")])
+
+    if complete_ways and kept_ways.num_rows:
+        need = np.unique(np.asarray(
+            kept_ways["refs"].combine_chunks().flatten()
+            .to_numpy(zero_copy_only=False), np.int64))
+        pos = np.clip(np.searchsorted(inbox_ids, need), 0,
+                      max(len(inbox_ids) - 1, 0))
+        missing = need[(inbox_ids[pos] != need)] if len(inbox_ids) \
+            else need
+
+        def pull_missing(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["id"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            p = np.clip(np.searchsorted(missing, ids), 0,
+                        max(len(missing) - 1, 0))
+            m = (missing[p] == ids) if len(missing) else \
+                np.zeros(len(ids), bool)
+            return b.filter(pa.array(m))
+
+        extra = pa.concat_tables(
+            [pa.table(b) for b in read_pbf(src_path, "nodes").map_batches(
+                pull_missing, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow")])
+        if extra.num_rows:
+            kept_nodes = pa.concat_tables([kept_nodes, extra])
+            order = pa.compute.sort_indices(kept_nodes,
+                                            sort_keys=[("id", "ascending")])
+            kept_nodes = kept_nodes.take(order)
+
+    kept_way_ids = np.sort(np.asarray(
+        kept_ways["id"].to_numpy(zero_copy_only=False), np.int64))
+    node_ids = np.sort(np.asarray(
+        kept_nodes["id"].to_numpy(zero_copy_only=False), np.int64))
+
+    rels_ds = read_pbf(src_path, "relations")
+
+    def rel_touch(b: pa.Table) -> pa.Table:
+        keep = np.zeros(b.num_rows, bool)
+        for i, mem in enumerate(b["members"].to_pylist()):
+            for m in (mem or []):
+                mid = m["member_id"]
+                if m["member_type"] == "way":
+                    j = np.searchsorted(kept_way_ids, mid)
+                    if j < len(kept_way_ids) and kept_way_ids[j] == mid:
+                        keep[i] = True
+                        break
+                elif m["member_type"] == "node":
+                    j = np.searchsorted(node_ids, mid)
+                    if j < len(node_ids) and node_ids[j] == mid:
+                        keep[i] = True
+                        break
+        return b.filter(pa.array(keep))
+
+    kept_rels = pa.concat_tables(
+        [pa.table(b) for b in rels_ds.map_batches(
+            rel_touch, batch_format="pyarrow").iter_batches(
+            batch_size=1 << 16, batch_format="pyarrow")])
+
+    n_blobs = write_pbf(out_path, kept_nodes, kept_ways, kept_rels,
+                        bbox=bbox)
+    return {"nodes": kept_nodes.num_rows, "ways": kept_ways.num_rows,
+            "relations": kept_rels.num_rows, "blobs": n_blobs}

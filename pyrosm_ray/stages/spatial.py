@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 
-from pyrosm_ray.stages.blocks import shuffle_join_args
+from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
 
 import functools
 
@@ -987,5 +987,254 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                                   pa.array([lay] * len(b), pa.string())),
         batch_format="pyarrow")
     # re-attach the full payload by url (payload bytes never shuffled by cell)
+    return pages_ds.join(hits, "inner", on=("url",),
+                         **shuffle_join_args(num_partitions))
+
+
+# ---------------------------------------------------------------------------
+# co-partitioned (shuffle) kNN join — the beyond-broadcast scale path
+# ---------------------------------------------------------------------------
+
+_DEG_M_CONSERVATIVE = 110_000.0  # < min meters/degree — safe-radius bound
+
+_KNN_RANKED_EMPTY = pa.table({
+    "url": pa.array([], pa.string()), "lon": pa.array([], pa.float64()),
+    "lat": pa.array([], pa.float64()), "poi_id": pa.array([], pa.int64()),
+    "distance_m": pa.array([], pa.float64()),
+    "knn_rank": pa.array([], pa.int64())})
+_KNN_HITS_EMPTY = _KNN_RANKED_EMPTY.drop_columns(["lon", "lat"])
+
+
+def _ring_explode(batch: pa.Table, gres: int, radius: int,
+                  col: str) -> pa.Table:
+    """Replicate each page row to every cell within Chebyshev ``radius``
+    of its own cell (the page side is the small one after round 1 — the
+    POI table never replicates)."""
+    n = len(batch)
+    if n == 0:
+        return pa.table({"url": pa.array([], pa.string()),
+                         "lon": pa.array([], pa.float64()),
+                         "lat": pa.array([], pa.float64()),
+                         col: pa.array([], pa.int64())})
+    lon = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
+    lat = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
+    nx = np.int64(1) << gres
+    cx = np.clip(np.floor((lon + 180.0) / 360.0 * nx), 0,
+                 nx - 1).astype(np.int64)
+    cy = np.clip(np.floor((90.0 - lat) / 180.0 * nx), 0,
+                 nx - 1).astype(np.int64)
+    side = 2 * radius + 1
+    reps = side * side
+    rows = np.repeat(np.arange(n, dtype=np.int64), reps)
+    local = np.tile(np.arange(reps, dtype=np.int64), n)
+    ox = local % side - radius
+    oy = local // side - radius
+    ncx = cx[rows] + ox
+    ncy = cy[rows] + oy
+    ok = (ncx >= 0) & (ncx < nx) & (ncy >= 0) & (ncy < nx)
+    rows, ncx, ncy = rows[ok], ncx[ok], ncy[ok]
+    cell = (np.int64(gres) << 58) | (ncx << 29) | ncy
+    urls = pc.take(batch["url"], pa.array(rows, pa.int64()))
+    return pa.table({"url": urls,
+                     "lon": pa.array(lon[rows], pa.float64()),
+                     "lat": pa.array(lat[rows], pa.float64()),
+                     col: pa.array(cell, pa.int64())})
+
+
+def _knn_round_topk(group: pa.Table, k: int, gres: int, radius: int,
+                    col: str) -> pa.Table:
+    """One hash bucket of (page x candidate-POI) rows -> per page either
+    its final top-k (done) or one undone marker row (poi_id null).
+
+    Done test mirrors the broadcast KnnJoiner: the kth distance must lie
+    within the conservative inscribed radius of the ring-``radius`` cell
+    block around the page's own cell — a POI outside the block could
+    otherwise be closer."""
+    if len(group) == 0:
+        return group
+    urls = np.asarray(group["url"].to_numpy(zero_copy_only=False),
+                      dtype=object)
+    lon = np.asarray(group["lon"].to_numpy(zero_copy_only=False))
+    lat = np.asarray(group["lat"].to_numpy(zero_copy_only=False))
+    poi = group["poi_id"]
+    has = np.asarray(pc.is_valid(poi).to_numpy(zero_copy_only=False))
+    poi_np = np.asarray(poi.to_numpy(zero_copy_only=False), dtype=np.float64)
+    plon = np.asarray(group["plon"].to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    plat = np.asarray(group["plat"].to_numpy(zero_copy_only=False),
+                      dtype=np.float64)
+    d = np.full(len(group), np.inf)
+    if has.any():
+        d[has] = ops.haversine_m(lat[has], lon[has], plat[has], plon[has])
+    order = np.lexsort((np.where(has, poi_np, np.inf), d, urls))
+    u_s = urls[order]
+    new = np.ones(len(u_s), dtype=bool)
+    new[1:] = u_s[1:] != u_s[:-1]
+    grp_start = np.flatnonzero(new)
+    counts = np.diff(np.append(grp_start, len(u_s)))
+    rank = np.arange(len(u_s)) - np.repeat(grp_start, counts)
+    valid_counts = np.add.reduceat(has[order], grp_start)
+    # conservative distance from the page to the edge of the covered block
+    glon = lon[order[grp_start]]
+    glat = lat[order[grp_start]]
+    nx = np.int64(1) << gres
+    cw_lon = 360.0 / float(nx)
+    cw_lat = 180.0 / float(nx)
+    cx = np.clip(np.floor((glon + 180.0) / 360.0 * nx), 0,
+                 nx - 1).astype(np.int64)
+    cy = np.clip(np.floor((90.0 - glat) / 180.0 * nx), 0,
+                 nx - 1).astype(np.int64)
+    lon0 = -180.0 + (cx - radius) * cw_lon
+    lon1 = -180.0 + (cx + radius + 1) * cw_lon
+    lat1 = 90.0 - (cy - radius) * cw_lat
+    lat0 = 90.0 - (cy + radius + 1) * cw_lat
+    dlat = np.minimum(glat - lat0, lat1 - glat)
+    dlon = np.minimum(glon - lon0, lon1 - glon)
+    coslat = np.cos(np.deg2rad(np.maximum(np.abs(lat0), np.abs(lat1))))
+    safe_m = _DEG_M_CONSERVATIVE * np.minimum(dlat, dlon * coslat)
+    kk = k
+    kth_idx = np.minimum(grp_start + kk - 1, len(u_s) - 1)
+    kth_d = d[order][kth_idx]
+    done_grp = (valid_counts >= kk) & (kth_d <= safe_m)
+    take = np.repeat(done_grp, counts) & (rank < kk) & has[order]
+    undone_grp = ~done_grp
+    out_url = np.concatenate([u_s[take], u_s[grp_start[undone_grp]]])
+    out_lon = np.concatenate([lon[order][take], glon[undone_grp]])
+    out_lat = np.concatenate([lat[order][take], glat[undone_grp]])
+    out_poi = np.concatenate([
+        poi_np[order][take],
+        np.full(int(undone_grp.sum()), np.nan)])
+    out_d = np.concatenate([np.round(d[order][take], 3),
+                            np.full(int(undone_grp.sum()), np.nan)])
+    out_rank = np.concatenate([rank[take] + 1,
+                               np.zeros(int(undone_grp.sum()), np.int64)])
+    poi_arr = pa.array(
+        [None if np.isnan(v) else int(v) for v in out_poi], pa.int64())
+    dist_arr = pa.array(
+        [None if np.isnan(v) else float(v) for v in out_d], pa.float64())
+    return pa.table({
+        "url": pa.array(list(out_url), pa.string()),
+        "lon": pa.array(out_lon, pa.float64()),
+        "lat": pa.array(out_lat, pa.float64()),
+        "poi_id": poi_arr,
+        "distance_m": dist_arr,
+        "knn_rank": pa.array(out_rank, pa.int64()),
+    })
+
+
+def knn_join_partitioned(pages_ds, pois_ds, k: int = 1, cell_res: int = 7,
+                         num_partitions: int = 32, id_col: str = "id",
+                         num_buckets: int = 64, max_rounds: int = 3):
+    """Cell-co-partitioned kNN join — the path for a POI side that outgrows
+    the object-store broadcast contract (mirror of
+    :func:`pip_join_partitioned`).
+
+    POIs are keyed ONCE by their own cell and never replicated. Each round
+    the still-unresolved pages replicate to the cells within Chebyshev
+    radius R of their own cell (R = 1, 3, 9, ...), LEFT-outer join the POI
+    table by cell (pages with an empty ring survive as unresolved), and a
+    bucketed vectorised group pass ranks candidates: a page is DONE when
+    its kth distance fits inside the conservative inscribed radius of the
+    covered block. Stragglers after ``max_rounds`` run one exact sweep of
+    the POI table against the (tiny, broadcast) leftover page set. Only
+    the (url, lon, lat) projection ever shuffles; the full page payload
+    re-joins by url at the end."""
+    import ray
+    import ray.data as rd
+    col = f"__knn_cell_r{cell_res}"
+    gres = grid.h3_equiv_res(cell_res)
+
+    def poi_cells(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        if "lon" in batch.column_names and not \
+                pc.any(pc.is_null(batch["lon"])).as_py():
+            lo = np.asarray(batch["lon"].to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+            la = np.asarray(batch["lat"].to_numpy(zero_copy_only=False),
+                            dtype=np.float64)
+        else:  # same fallback as _pack_point_batch: decode geometry
+            pts = np.array([wkb.decode_wkb(g)[1]
+                            for g in batch["geometry"].to_pylist()])
+            lo, la = (pts[:, 0], pts[:, 1]) if len(pts) else \
+                (np.empty(0), np.empty(0))
+        return pa.table({
+            "poi_id": pa.array(ids, pa.int64()),
+            "plon": pa.array(lo, pa.float64()),
+            "plat": pa.array(la, pa.float64()),
+            col: pa.array(grid.cell_id(lo, la, gres), pa.int64()),
+        })
+
+    pois = pois_ds.map_batches(poi_cells,
+                               batch_format="pyarrow").materialize()
+    pages_t = pages_ds if "lon" in pages_ds.schema().names else \
+        assign_tiles(pages_ds, resolutions=(cell_res,))
+    unresolved = pages_t.select_columns(["url", "lon", "lat"])
+    done_parts = []
+    radius = 1
+    for _ in range(max_rounds):
+        exploded = unresolved.map_batches(
+            functools.partial(_ring_explode, gres=gres, radius=radius,
+                              col=col), batch_format="pyarrow")
+        joined = exploded.join(pois, "left_outer", on=(col,),
+                               **shuffle_join_args(num_partitions))
+        joined = joined.add_column(
+            "__bucket",
+            lambda df: (df["url"].map(hash) % num_buckets).astype("int64"),
+            batch_format="pandas")
+        ranked = joined.groupby("__bucket").map_groups(
+            functools.partial(_knn_round_topk, k=k, gres=gres,
+                              radius=radius, col=col),
+            batch_format="pyarrow")
+        ranked = nonempty(ranked, _KNN_RANKED_EMPTY)
+        done = ranked.filter(expr="knn_rank > 0")
+        undone = ranked.filter(expr="knn_rank == 0") \
+            .select_columns(["url", "lon", "lat"])
+        done_parts.append(
+            done.select_columns(["url", "poi_id", "distance_m",
+                                 "knn_rank"]).materialize())
+        unresolved = undone.materialize()
+        if unresolved.count() == 0:
+            break
+        radius *= 3
+    leftover = unresolved.to_pandas() if unresolved.count() else None
+    if leftover is not None and len(leftover):
+        # exact sweep: broadcast the leftover pages, partial top-k per POI
+        # batch, tiny driver merge (pages here are the hard tail — pages
+        # whose kth neighbour is far — typically a vanishing fraction)
+        pages_ref = ray.put((leftover["url"].to_numpy(dtype=object),
+                             leftover["lon"].to_numpy(),
+                             leftover["lat"].to_numpy()))
+
+        def partial_topk(batch: pa.Table) -> pa.Table:
+            urls, lo, la = ray.get(pages_ref)
+            pids = np.asarray(batch["poi_id"].to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            d = ops.haversine_m(la[:, None], lo[:, None],
+                                np.asarray(batch["plat"].to_numpy(
+                                    zero_copy_only=False))[None, :],
+                                np.asarray(batch["plon"].to_numpy(
+                                    zero_copy_only=False))[None, :])
+            kk = min(k, d.shape[1])
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            rows = np.repeat(np.arange(len(urls)), kk)
+            cols_ = part.ravel()
+            return pa.table({
+                "url": pa.array(list(urls[rows]), pa.string()),
+                "poi_id": pa.array(pids[cols_], pa.int64()),
+                "distance_m": pa.array(d[rows, cols_], pa.float64()),
+            })
+
+        part_df = pois.map_batches(partial_topk,
+                                   batch_format="pyarrow").to_pandas()
+        part_df = part_df.sort_values(["url", "distance_m", "poi_id"])
+        part_df["knn_rank"] = part_df.groupby("url").cumcount() + 1
+        part_df = part_df[part_df.knn_rank <= k]
+        part_df["distance_m"] = part_df["distance_m"].round(3)
+        done_parts.append(rd.from_pandas(part_df.reset_index(drop=True)))
+    hits = done_parts[0]
+    for d_ in done_parts[1:]:
+        hits = hits.union(d_)
+    hits = nonempty(hits, _KNN_HITS_EMPTY)
     return pages_ds.join(hits, "inner", on=("url",),
                          **shuffle_join_args(num_partitions))

@@ -77,9 +77,161 @@ def build_coord_index(nodes_ds) -> "ray.ObjectRef":
     return ray.put((ids[order], lons[order], lats[order]))
 
 
+# -- sharded (distributed-build) coordinate index --------------------------
+#
+# The single-array broadcast index above is built by a serial driver pass
+# (read + argsort + one ray.put) — fine at small node counts, an Amdahl
+# wall at scale (sf3: 14 M nodes cost 5-8 s of pure driver time before any
+# worker moves). The sharded form builds in parallel: blocks are routed by
+# id range into K shards (boundaries from a per-block id sample), each
+# shard concatenates + sorts in its own task, and only a tiny manifest
+# {bounds, shard refs} is ray.put by the driver. Lookups are two-level:
+# searchsorted over the K-1 boundaries, then searchsorted inside the
+# (plasma-resident, zero-copy) shard.
+
+_COORD_SAMPLE_PER_BLOCK = 64
+
+
+@ray.remote
+def _coord_sample_task(block: pa.Table):
+    ids = np.asarray(block["id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    if len(ids) == 0:
+        return np.empty(0, np.int64), 0
+    step = max(1, len(ids) // _COORD_SAMPLE_PER_BLOCK)
+    return np.sort(ids[::step]), len(ids)
+
+
+@ray.remote
+def _coord_route_task(block: pa.Table, bounds: np.ndarray) -> dict:
+    """One node block -> {shard: ObjectRef((ids, lon, lat))} routed by id
+    range; sub-arrays go straight back into the object store."""
+    if block.num_rows == 0:
+        return {}
+    ids = np.asarray(block["id"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    lon = np.asarray(block["lon"].to_numpy(zero_copy_only=False),
+                     dtype=np.float64)
+    lat = np.asarray(block["lat"].to_numpy(zero_copy_only=False),
+                     dtype=np.float64)
+    sid = np.searchsorted(bounds, ids, side="right") if len(bounds) \
+        else np.zeros(len(ids), np.int64)
+    order = np.argsort(sid, kind="stable")
+    uniq, starts = np.unique(sid[order], return_index=True)
+    ends = np.append(starts[1:], len(ids))
+    out: dict[int, "ray.ObjectRef"] = {}
+    for s, a, b in zip(uniq, starts, ends):
+        rows = order[a:b]
+        out[int(s)] = ray.put((ids[rows], lon[rows], lat[rows]))
+    return out
+
+
+@ray.remote
+def _coord_shard_task(*parts):
+    ids = np.concatenate([p[0] for p in parts])
+    lon = np.concatenate([p[1] for p in parts])
+    lat = np.concatenate([p[2] for p in parts])
+    order = np.argsort(ids, kind="stable")
+    return ids[order], lon[order], lat[order]
+
+
+_EMPTY_SHARD = (np.empty(0, np.int64), np.empty(0, np.float64),
+                np.empty(0, np.float64))
+
+
+def build_coord_index_sharded(nodes_ds,
+                              num_shards: int | None = None
+                              ) -> "ray.ObjectRef":
+    """Distributed sharded coordinate index (see module comment above).
+
+    Returns a broadcastable manifest ``{"sharded": True, "bounds": arr,
+    "shards": [ObjectRef((ids, lon, lat)), ...]}`` that
+    :func:`gather_coords` consumes transparently."""
+    ds = nodes_ds.select_columns(["id", "lon", "lat"]).materialize()
+    block_refs = [r for r in ds.to_arrow_refs()]
+    if not block_refs:
+        return ray.put({"sharded": True, "bounds": np.empty(0, np.int64),
+                        "shards": []})
+    samples = ray.get([_coord_sample_task.remote(r) for r in block_refs])
+    total = sum(n for _, n in samples)
+    if total == 0:
+        return ray.put({"sharded": True, "bounds": np.empty(0, np.int64),
+                        "shards": []})
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    k = num_shards or int(np.clip(4 * cpus, 1, 256))
+    k = int(np.clip(total // 65536, 1, k))  # don't over-shard small tables
+    alls = np.sort(np.concatenate([s for s, _ in samples if len(s)]))
+    bounds = np.unique(
+        alls[np.linspace(0, len(alls) - 1, k + 1).astype(np.int64)][1:-1])
+    routed = ray.get([_coord_route_task.remote(r, bounds)
+                      for r in block_refs])
+    from collections import defaultdict
+    parts: dict[int, list] = defaultdict(list)
+    for d in routed:
+        for s, ref in d.items():
+            parts[s].append(ref)
+    shard_refs = [
+        _coord_shard_task.remote(*parts[s]) if parts.get(s)
+        else ray.put(_EMPTY_SHARD)
+        for s in range(len(bounds) + 1)]
+    # index is ready when this returns (honest build timing)
+    ray.wait(shard_refs, num_returns=len(shard_refs), fetch_local=False)
+    return ray.put({"sharded": True, "bounds": bounds,
+                    "shards": shard_refs})
+
+
+# worker-process-level cache of resolved shard lists: the assemble stage
+# runs as plain tasks (no actor state), so without this every task would
+# re-issue one ray.get per shard — thousands of plasma round-trips per
+# stage. Keyed by the first shard ref's hex; workers are reused across
+# tasks so the zero-copy arrays resolve once per process.
+_SHARD_CACHE: dict[str, list] = {}
+
+
+def _gather_sharded(manifest: dict, flat_refs: np.ndarray):
+    n = len(flat_refs)
+    lon = np.zeros(n, np.float64)
+    lat = np.zeros(n, np.float64)
+    valid = np.zeros(n, bool)
+    shards = manifest["shards"]
+    if n == 0 or not shards:
+        return lon, lat, valid
+    key = shards[0].hex()
+    resolved = _SHARD_CACHE.get(key)
+    if resolved is None:
+        resolved = ray.get(list(shards))
+        _SHARD_CACHE.clear()  # one live index per worker is the norm
+        _SHARD_CACHE[key] = resolved
+    bounds = manifest["bounds"]
+    sid = np.searchsorted(bounds, flat_refs, side="right") if len(bounds) \
+        else np.zeros(n, np.int64)
+    order = np.argsort(sid, kind="stable")
+    uniq, starts = np.unique(sid[order], return_index=True)
+    ends = np.append(starts[1:], n)
+    for s, a, b in zip(uniq, starts, ends):
+        rows = order[a:b]
+        ids_s, lon_s, lat_s = resolved[int(s)]
+        if len(ids_s) == 0:
+            continue
+        q = flat_refs[rows]
+        pos = np.clip(np.searchsorted(ids_s, q), 0, len(ids_s) - 1)
+        found = ids_s[pos] == q
+        lo, la = lon_s[pos], lat_s[pos]
+        lon[rows] = lo
+        lat[rows] = la
+        valid[rows] = (found & (lo >= -180.0) & (lo <= 180.0)
+                       & (la >= -90.0) & (la <= 90.0))
+    return lon, lat, valid
+
+
 def gather_coords(coord_index, flat_refs: np.ndarray):
     """Vectorised id->coordinate gather with miss tolerance (reference
     NodeLocations.gather, -1 sentinel for misses)."""
+    if isinstance(coord_index, dict) and coord_index.get("sharded"):
+        return _gather_sharded(coord_index, flat_refs)
     ids, lons, lats = coord_index
     if len(ids) == 0:
         n = len(flat_refs)

@@ -244,3 +244,49 @@ def test_embedding_near_dup_blockpairs(ray_session):
     ai, bi = np.nonzero(np.triu(sim >= 0.9, k=1))
     assert got == set(zip(ai.tolist(), bi.tolist()))
     assert (3, 10) in got and (14, 25) in got
+
+
+def test_gate_block_pairs_sound_and_pruning():
+    """Cone-bound gate: never drops a pair that can reach threshold; on
+    well-separated clusters it prunes most of the grid."""
+    rng = np.random.default_rng(5)
+    d, per = 16, 32
+    centers = np.eye(d)[:6]  # 6 orthogonal cluster directions
+    blocks = []
+    for c in centers:
+        v = c + 0.05 * rng.normal(size=(per, d))
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        cm = v.mean(axis=0)
+        cm /= np.linalg.norm(cm)
+        blocks.append((v, cm, float(np.min(v @ cm))))
+    summaries = [(cm, cap) for _, cm, cap in blocks]
+    kept = set(dedup._gate_block_pairs(summaries, threshold=0.8))
+    # soundness: every block pair with an actual hit survives the gate
+    for i in range(len(blocks)):
+        for j in range(i, len(blocks)):
+            if (blocks[i][0] @ blocks[j][0].T >= 0.8).any():
+                assert (i, j) in kept
+    # pruning: orthogonal clusters -> only the 6 diagonal self-pairs
+    assert kept == {(i, i) for i in range(6)}
+
+
+def test_embedding_near_dup_lsh_gate_parity(ray_session):
+    """LSH-sorted + cone-gated path returns exactly the ungated pair set
+    (threshold join exactness is preserved by the sound bound)."""
+    rng = np.random.default_rng(17)
+    n, d = 120, 16
+    centers = rng.normal(size=(4, d))
+    emb = np.vstack([c + 0.15 * rng.normal(size=(n // 4, d))
+                     for c in centers])
+    perm = rng.permutation(n)
+    emb = emb[perm]
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(emb))})
+    for lsh in (False, True):
+        out = dedup.embedding_near_dup(rd.from_arrow(t), threshold=0.85,
+                                       block_rows=16,
+                                       lsh_sort=lsh).to_pandas()
+        got = {(a, b) for a, b in zip(out.a, out.b)}
+        m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+        ai, bi = np.nonzero(np.triu(m @ m.T >= 0.85, k=1))
+        assert got == set(zip(ai.tolist(), bi.tolist())) and len(got) > 0

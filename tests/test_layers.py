@@ -311,3 +311,35 @@ def test_strategy_parity(src, buildings_df, tmp_path):
     assert list(a.id) == list(b.id)
     assert list(a.osm_type) == list(b.osm_type)
     assert all(x == y for x, y in zip(a.geometry, b.geometry))
+
+
+def test_sharded_coord_index_parity(src, buildings_df, ray_session):
+    """Distributed sharded coordinate index gathers identically to the
+    single-array driver index (hits + misses), and a buildings layer built
+    through it is byte-identical to the driver-path layer."""
+    import ray
+
+    from pyrosm_ray.stages import topology
+    nodes = OSM(src).nodes(columns=["id", "lon", "lat"])
+    legacy = ray.get(topology.build_coord_index(nodes))
+    manifest = ray.get(topology.build_coord_index_sharded(
+        OSM(src).nodes(columns=["id", "lon", "lat"]), num_shards=5))
+    assert manifest["sharded"] and len(manifest["shards"]) >= 1
+    rng = np.random.default_rng(3)
+    hits = rng.choice(legacy[0], size=200)
+    misses = np.array([-5, 0, 10**15], dtype=np.int64)
+    q = np.concatenate([hits, misses])
+    lon_a, lat_a, ok_a = topology.gather_coords(legacy, q)
+    lon_b, lat_b, ok_b = topology.gather_coords(manifest, q)
+    np.testing.assert_array_equal(ok_a, ok_b)
+    np.testing.assert_array_equal(lon_a[ok_a], lon_b[ok_b])
+    np.testing.assert_array_equal(lat_a[ok_a], lat_b[ok_b])
+    assert not ok_a[-3:].any()
+    # layer-level parity through the sharded index
+    o = OSM(src)
+    o.COORDS_DRIVER_FAST_MAX_BYTES = 0  # force the sharded build
+    b = o.get_buildings().to_pandas()
+    a = buildings_df.sort_values(["osm_type", "id"]).reset_index(drop=True)
+    b = b.sort_values(["osm_type", "id"]).reset_index(drop=True)
+    assert list(a.id) == list(b.id)
+    assert all(x == y for x, y in zip(a.geometry, b.geometry))

@@ -1,0 +1,111 @@
+"""PBF encoder round-trip tests (S10/S11): write with pbf_write, re-read
+with the engine's own wire decoder (which holds golden parity with the
+reference's bundled extracts — test_pbf.py), and compare element tables.
+Crop semantics mirror the reference crop (complete-ways pulls out-of-box
+member nodes)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pyrosm_ray.sources import pbf, pbf_write
+
+TEST_PBF = "/root/reference/pyrosm/data/test.osm.pbf"
+
+
+def _full_tables(path):
+    parts = [pbf.parse_primitive_block(
+        pbf.read_blob_data(path, b["offset"], b["size"]))
+        for b in pbf.scan_blob_index(path) if b["type"] == "OSMData"]
+    nodes = pa.concat_tables([p[0] for p in parts])
+    ways = pa.concat_tables([p[1] for p in parts])
+    rels = pa.concat_tables([p[2] for p in parts])
+    return nodes, ways, rels
+
+
+def test_varint_roundtrip():
+    rng = np.random.default_rng(2)
+    v = rng.integers(0, 2**63 - 1, 5000, dtype=np.int64).view(np.uint64)
+    v[:10] = [0, 1, 127, 128, 300, 2**32, 2**56, 2**63, 2**64 - 1, 7]
+    enc = pbf_write.encode_packed_varints(v)
+    got = pbf.decode_packed_varints(enc)
+    np.testing.assert_array_equal(got.view(np.uint64), v)
+
+
+def test_zigzag_roundtrip():
+    rng = np.random.default_rng(3)
+    v = rng.integers(-2**62, 2**62, 2000, dtype=np.int64)
+    np.testing.assert_array_equal(pbf.unzigzag(pbf_write.zigzag(v)), v)
+
+
+def _assert_tables_equal(a: pa.Table, b: pa.Table, kind: str):
+    assert a.num_rows == b.num_rows, kind
+    ai = np.argsort(np.asarray(a["id"].to_numpy(zero_copy_only=False)))
+    bi = np.argsort(np.asarray(b["id"].to_numpy(zero_copy_only=False)))
+    a = a.take(pa.array(ai))
+    b = b.take(pa.array(bi))
+    for col in a.column_names:
+        av, bv = a[col].to_pylist(), b[col].to_pylist()
+        if col in ("lon", "lat"):
+            np.testing.assert_allclose(av, bv, atol=5e-8, err_msg=kind)
+        else:
+            assert av == bv, f"{kind}.{col}"
+
+
+def test_write_read_roundtrip(tmp_path):
+    nodes, ways, rels = _full_tables(TEST_PBF)
+    out = str(tmp_path / "rt.osm.pbf")
+    n_blobs = pbf_write.write_pbf(out, nodes, ways, rels,
+                                  bbox=(24.0, 60.0, 25.5, 60.5),
+                                  block_rows=500)
+    assert n_blobs > 3  # header + several bounded data blobs
+    hdr = pbf.read_pbf_header(out)
+    assert hdr["bbox"] is not None
+    np.testing.assert_allclose(hdr["bbox"], (24.0, 60.0, 25.5, 60.5),
+                               atol=1e-9)
+    n2, w2, r2 = _full_tables(out)
+    _assert_tables_equal(nodes, n2, "nodes")
+    _assert_tables_equal(ways, w2, "ways")
+    _assert_tables_equal(rels, r2, "relations")
+
+
+def test_crop_pbf_complete_ways(ray_session, tmp_path):
+    nodes, ways, rels = _full_tables(TEST_PBF)
+    lon = np.asarray(nodes["lon"].to_numpy(zero_copy_only=False))
+    lat = np.asarray(nodes["lat"].to_numpy(zero_copy_only=False))
+    # bbox around the median point so the crop is a strict subset
+    bbox = (float(np.quantile(lon, 0.3)), float(np.quantile(lat, 0.3)),
+            float(np.quantile(lon, 0.7)), float(np.quantile(lat, 0.7)))
+    out = str(tmp_path / "crop.osm.pbf")
+    counts = pbf_write.crop_pbf(TEST_PBF, out, bbox, complete_ways=True)
+    assert 0 < counts["nodes"] < nodes.num_rows
+    n2, w2, r2 = _full_tables(out)
+    assert n2.num_rows == counts["nodes"]
+    ids2 = set(np.asarray(n2["id"].to_numpy(zero_copy_only=False)).tolist())
+    x0, y0, x1, y1 = bbox
+    inbox = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+    nid = np.asarray(nodes["id"].to_numpy(zero_copy_only=False))
+    # every in-box node kept
+    assert set(nid[inbox].tolist()) <= ids2
+    # exactly the ways touching an in-box node
+    inbox_set = set(nid[inbox].tolist())
+    want_ways = {int(i) for i, refs in zip(
+        ways["id"].to_pylist(), ways["refs"].to_pylist())
+        if any(r in inbox_set for r in refs)}
+    got_ways = set(w2["id"].to_pylist())
+    assert got_ways == want_ways
+    # complete-ways: every ref of a kept way that exists in the SOURCE
+    # resolves in the crop (real extracts carry dangling refs to nodes
+    # outside the extract — those cannot be completed)
+    src_ids = set(nid.tolist())
+    for refs in w2["refs"].to_pylist():
+        assert all(r in ids2 for r in refs if r in src_ids)
+    assert any(r not in inbox_set and r in src_ids
+               for refs in w2["refs"].to_pylist()
+               for r in refs), "fixture should exercise node completion"
+    # relations: every kept relation has a kept way/node member
+    for mem in r2["members"].to_pylist():
+        assert any(
+            (m["member_type"] == "way" and m["member_id"] in got_ways)
+            or (m["member_type"] == "node" and m["member_id"] in ids2)
+            for m in mem)

@@ -225,3 +225,26 @@ def test_strtree_shard_path_parity():
     got = set(zip(cp_t[keep_t].tolist(), idx["ids"][cl_t[keep_t]].tolist()))
     want = set(zip(cp_g[keep_g].tolist(), gidx["ids"][cl_g[keep_g]].tolist()))
     assert got == want and len(want) > 0
+
+
+def test_knn_join_partitioned_parity(pages, src):
+    """Co-partitioned kNN (POI side never broadcast) matches the broadcast
+    path exactly, including ranks; forcing a tiny first ring exercises the
+    multi-round ring expansion and the exact straggler sweep."""
+    pois = OSM(src).get_pois().materialize()
+    tiled = spatial.assign_tiles(pages)
+    bc = spatial.knn_join(tiled, pois, k=2).to_pandas()
+    sh = spatial.knn_join_partitioned(pages, pois, k=2, cell_res=7,
+                                      num_partitions=4).to_pandas()
+    want = set(zip(bc.url, bc.poi_id, bc.knn_rank))
+    got = set(zip(sh.url, sh.poi_id, sh.knn_rank))
+    assert got == want and len(got) == 2 * pages.count()
+    # payload re-joined byte-identically
+    orig = pages.to_pandas().set_index("url")["text"]
+    assert all(orig[u] == t for u, t in zip(sh.url, sh.text))
+    # force the straggler sweep: one round with a coarse-res ring that
+    # cannot certify safety -> exact sweep handles everything
+    sw = spatial.knn_join_partitioned(pages, pois, k=2, cell_res=3,
+                                      num_partitions=4,
+                                      max_rounds=1).to_pandas()
+    assert set(zip(sw.url, sw.poi_id, sw.knn_rank)) == want
