@@ -379,6 +379,12 @@ def _decode_plain_node(val, granularity, lat_off, lon_off, date_gran,
     n_meta.append(meta)
 
 
+def _signed64(v: int) -> int:
+    """protobuf int64 varints are two's-complement (negative ids — e.g.
+    synthesized elements — arrive as 10-byte varints near 2^64)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _decode_way(val, date_gran):
     wid = 0
     keys = vals = np.empty(0, dtype=np.int64)
@@ -386,7 +392,7 @@ def _decode_way(val, date_gran):
     meta = (0, 0, 0, True)
     for f2, v2 in _fields(val):
         if f2 == 1:
-            wid = v2
+            wid = _signed64(v2)
         elif f2 == 2:
             keys = decode_packed_varints(bytes(v2)).astype(np.int64)
         elif f2 == 3:
@@ -405,7 +411,7 @@ def _decode_relation(val, date_gran):
     meta = (0, 0, 0, True)
     for f2, v2 in _fields(val):
         if f2 == 1:
-            rid = v2
+            rid = _signed64(v2)
         elif f2 == 2:
             keys = decode_packed_varints(bytes(v2)).astype(np.int64)
         elif f2 == 3:

@@ -109,3 +109,56 @@ def test_crop_pbf_complete_ways(ray_session, tmp_path):
             (m["member_type"] == "way" and m["member_id"] in got_ways)
             or (m["member_type"] == "node" and m["member_id"] in ids2)
             for m in mem)
+
+
+def test_write_layer_to_pbf_roundtrip(tmp_path):
+    """S11: synthesize elements from a layer frame, re-read with the own
+    decoder: negative ids, shared vertices, tags, roles all survive."""
+    import pandas as pd
+
+    from pyrosm_ray.geom import wkb as wkbm
+    sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0],
+                   [0.0, 0.0]])
+    hole = np.array([[0.4, 0.4], [0.6, 0.4], [0.6, 0.6], [0.4, 0.6],
+                     [0.4, 0.4]])
+    line = np.array([[0.0, 0.0], [2.0, 2.0], [3.0, 2.0]])  # shares (0,0)
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "geometry": [wkbm.point_wkb(5.0, 5.0),
+                     wkbm.linestring_wkb(line),
+                     wkbm.polygon_wkb([sq + 10.0]),
+                     wkbm.polygon_wkb([sq, hole])],
+        "amenity": ["cafe", None, None, None],
+        "highway": [None, "path", None, None],
+        "building": [None, None, "yes", "yes"],
+    })
+    out = str(tmp_path / "layer.osm.pbf")
+    counts = pbf_write.write_layer_to_pbf(df, out,
+                                          tag_columns=["amenity", "highway",
+                                                       "building"])
+    assert counts["relations"] == 1  # hole polygon -> multipolygon relation
+    nodes, ways, rels = _full_tables(out)
+    assert (np.asarray(nodes["id"].to_numpy(zero_copy_only=False)) < 0).all()
+    # tagged point survives
+    tag_nodes = [dict(t) for t in nodes["tags"].to_pylist() if t]
+    assert {"amenity": "cafe"} in tag_nodes
+    # shared vertex (0,0) synthesized once
+    lon = np.asarray(nodes["lon"].to_numpy(zero_copy_only=False))
+    lat = np.asarray(nodes["lat"].to_numpy(zero_copy_only=False))
+    assert int(((np.abs(lon) < 1e-9) & (np.abs(lat) < 1e-9)).sum()) == 1
+    # ways: line + plain square + 2 relation member rings
+    assert ways.num_rows == 4
+    wtags = [dict(t) for t in ways["tags"].to_pylist()]
+    assert {"highway": "path"} in wtags and {"building": "yes"} in wtags
+    # relation roles: one outer (square), one inner (hole)
+    mem = rels["members"].to_pylist()[0]
+    roles = sorted(m["member_role"] for m in mem)
+    assert roles == ["inner", "outer"]
+    assert dict(rels["tags"].to_pylist()[0])["type"] == "multipolygon"
+    # ring coords survive through ref resolution
+    nid = np.asarray(nodes["id"].to_numpy(zero_copy_only=False))
+    pos = {int(i): j for j, i in enumerate(nid)}
+    for refs, t in zip(ways["refs"].to_pylist(), wtags):
+        pts = np.array([[lon[pos[r]], lat[pos[r]]] for r in refs])
+        if t == {"building": "yes"}:
+            np.testing.assert_allclose(pts, sq + 10.0, atol=5e-8)
