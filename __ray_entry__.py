@@ -326,6 +326,19 @@ def q_knn_join(sf_dir: str):
     return df.sort_values(["url", "knn_rank"]).reset_index(drop=True)
 
 
+def q_knn_join_partitioned(sf_dir: str):
+    """Co-partitioned kNN (POI side never broadcast — the beyond-object-
+    store scale path); exact, so it shares q_knn_join's SQL oracle."""
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.stages.spatial import knn_join_partitioned
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url"])
+    pois = OSM(str(fx)).get_pois().materialize()
+    out = knn_join_partitioned(pages, pois, k=2, num_partitions=8)
+    df = out.to_pandas()[["url", "poi_id", "knn_rank"]]
+    return df.sort_values(["url", "knn_rank"]).reset_index(drop=True)
+
+
 def q_osm_buildings_ways(sf_dir: str):
     from pyrosm_ray.pipelines.layers import OSM
     fx = _fixture_dir(sf_dir)
@@ -736,7 +749,7 @@ def oracle_sql() -> dict[str, str]:
            " * SIN((RADIANS(nlon) - RADIANS(lon)) * 0.5)"
            " * SIN((RADIANS(nlon) - RADIANS(lon)) * 0.5)))) AS BIGINT)")
 
-    return {
+    out = {
         "q_agg_pricing": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(CAST(SUM(l_quantity) AS DOUBLE), 2) AS sum_qty,
@@ -1020,6 +1033,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, poi_id, knn_rank FROM ranked WHERE knn_rank <= 2
             ORDER BY url, knn_rank""",
     }
+    # exact partitioned variant shares the broadcast kNN oracle
+    out["q_knn_join_partitioned"] = out["q_knn_join"]
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -1046,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_join": q_pip_join,
         "q_pip_join_ways": q_pip_join_ways,
         "q_knn_join": q_knn_join,
+        "q_knn_join_partitioned": q_knn_join_partitioned,
         "q_osm_buildings_ways": q_osm_buildings_ways,
         "q_network_walking_lengths": q_network_walking_lengths,
         "q_graph_simplified": q_graph_simplified,

@@ -109,6 +109,7 @@ class OSM:
         self._coord_ref = None
         self._inbox_node_ids = None
         self._schemas: dict[str, pa.Schema] = {}
+        self._kept_rel_cache: dict = {}
 
     # -- element tables ---------------------------------------------------
     def _path(self, table: str) -> str:
@@ -498,11 +499,18 @@ class OSM:
 
     def _kept_relations(self, osm_keys, data_filter, filter_type, keep_all):
         """Filter relations; return (kept relations as an in-memory Arrow
-        table, sorted way-member id array). Relations are the small side by
+        table, sorted way-member id array). Memoised per filter signature
+        (ST2 parse-once contract — the relation table is the small side
+        and several getters share the same filter). Relations are the small side by
         construction (~0.1%% of elements): under 256 MB on disk they are
         filtered driver-side with the same vectorised evaluator (saves
         serialized Ray executions per layer); above that, a distributed
         filter collects only the (already-filtered) kept set."""
+        df_key = repr(sorted(data_filter.items())) \
+            if isinstance(data_filter, dict) else repr(data_filter)
+        sig = (tuple(sorted(osm_keys or [])), df_key, filter_type, keep_all)
+        if sig in self._kept_rel_cache:
+            return self._kept_rel_cache[sig]
         path = self._path("osm_relations")
         if self._table_bytes("osm_relations") <= \
                 self.RELATIONS_DRIVER_MAX_BYTES:
@@ -530,6 +538,7 @@ class OSM:
         mid = np.asarray(flat.field("member_id").to_numpy(
             zero_copy_only=False), dtype=np.int64)
         member_ids = np.unique(mid[mtype == "way"])
+        self._kept_rel_cache[sig] = (kept_t, member_ids)
         return kept_t, member_ids
 
     # beyond this node-table size even the sharded broadcast index stops

@@ -1178,10 +1178,17 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1, cell_res: int = 7,
                               col=col), batch_format="pyarrow")
         joined = exploded.join(pois, "left_outer", on=(col,),
                                **shuffle_join_args(num_partitions))
-        joined = joined.add_column(
-            "__bucket",
-            lambda df: (df["url"].map(hash) % num_buckets).astype("int64"),
-            batch_format="pandas")
+        def add_bucket(b: pa.Table) -> pa.Table:
+            # deterministic url hash: Python hash() is per-process salted,
+            # which would scatter one url's ring replicas across buckets
+            # and emit duplicate per-bucket top-k rows
+            import pandas as pd
+            h = pd.util.hash_array(
+                np.asarray(b["url"].to_numpy(zero_copy_only=False),
+                           dtype=object))
+            return b.append_column(
+                "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+        joined = joined.map_batches(add_bucket, batch_format="pyarrow")
         ranked = joined.groupby("__bucket").map_groups(
             functools.partial(_knn_round_topk, k=k, gres=gres,
                               radius=radius, col=col),

@@ -431,11 +431,19 @@ class WayAssembler:
 
 def _assemble_ways_impl(batch: pa.Table, coords_idx, mode: str,
                         drop_refs: bool) -> pa.Table:
+        import os as _os
+        import time as _time
+        _dbg = _os.environ.get("PYROSM_RAY_DEBUG_TIMERS")
+        _t0 = _time.time()
         n = len(batch)
         if n == 0:
             return batch
         flat, off = _refs_csr(batch["refs"])
+        _t1 = _time.time()
         lon, lat, valid = gather_coords(coords_idx, flat)
+        if _dbg:
+            print(f"[asm] n={n} refs={len(flat)} csr={_t1-_t0:.2f}s "
+                  f"gather={_time.time()-_t1:.2f}s", flush=True)
         coords = np.column_stack([lon, lat])
         vcoords = coords[valid]
         cs = np.zeros(len(flat) + 1, dtype=np.int64)
@@ -483,8 +491,12 @@ def _assemble_ways_impl(batch: pa.Table, coords_idx, mode: str,
             linear |= np.array([v is not None
                                 for v in _string_col(batch, key, n)])
 
+        _t2 = _time.time()
         geoms, lengths = way_geometry_columns(
             vcoords, voff, n_refs, closed, area_vals, linear, mode)
+        if _dbg:
+            print(f"[asm2] n={n} prep={_t2-_t1:.2f}s "
+                  f"geom={_time.time()-_t2:.2f}s", flush=True)
 
         cols = dict(zip(batch.column_names, batch.columns))
         if drop_refs:

@@ -343,3 +343,26 @@ def test_sharded_coord_index_parity(src, buildings_df, ray_session):
     b = b.sort_values(["osm_type", "id"]).reset_index(drop=True)
     assert list(a.id) == list(b.id)
     assert all(x == y for x, y in zip(a.geometry, b.geometry))
+
+
+def test_parse_once_caches(src, ray_session):
+    """ST2 parse-once contract: coord index, schemas and the kept-relation
+    set are computed once per OSM instance and reused across getters."""
+    from unittest import mock
+    o = OSM(src)
+    r1 = o.coord_ref()
+    assert o.coord_ref() is r1
+    o._schema("osm_ways")
+    with mock.patch("pyrosm_ray.pipelines.layers.pq.read_schema",
+                    side_effect=AssertionError("re-read")) as m:
+        o._schema("osm_ways")
+        assert not m.called
+    k1 = o._kept_relations(["building"], {"building": [True]}, "keep", False)
+    with mock.patch("pyrosm_ray.pipelines.layers.pq.read_table",
+                    side_effect=AssertionError("re-read")):
+        k2 = o._kept_relations(["building"], {"building": [True]},
+                               "keep", False)
+    assert k2[0] is k1[0]
+    # different filter signature -> distinct entry (no false sharing)
+    k3 = o._kept_relations(["landuse"], {"landuse": [True]}, "keep", False)
+    assert k3[0] is not k1[0]

@@ -239,6 +239,7 @@ def test_knn_join_partitioned_parity(pages, src):
     want = set(zip(bc.url, bc.poi_id, bc.knn_rank))
     got = set(zip(sh.url, sh.poi_id, sh.knn_rank))
     assert got == want and len(got) == 2 * pages.count()
+    assert len(sh) == 2 * pages.count()  # no duplicate rows either
     # payload re-joined byte-identically
     orig = pages.to_pandas().set_index("url")["text"]
     assert all(orig[u] == t for u, t in zip(sh.url, sh.text))
@@ -248,3 +249,4 @@ def test_knn_join_partitioned_parity(pages, src):
                                       num_partitions=4,
                                       max_rounds=1).to_pandas()
     assert set(zip(sw.url, sw.poi_id, sw.knn_rank)) == want
+    assert len(sw) == 2 * pages.count()
