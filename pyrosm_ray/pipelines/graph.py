@@ -156,3 +156,81 @@ def to_networkx(nodes_df: pd.DataFrame, edges_df: pd.DataFrame,
         attrs["key"] = 0
         g.add_edge(int(r["u"]), int(r["v"]), **attrs)
     return g
+
+
+# ---------------------------------------------------------------------------
+# igraph / pandana exporters (reference graph_export.pyx:29-236)
+# ---------------------------------------------------------------------------
+
+def igraph_payload(nodes_df: pd.DataFrame, edges_df: pd.DataFrame,
+                   from_id_col: str = "u", to_id_col: str = "v",
+                   node_id_col: str = "id"):
+    """The exact structures the reference feeds ``igraph.Graph``
+    (pyrosm/graph_export.pyx:29-108): sequential vertex ids, an edge list
+    of seq-id pairs, vertex/edge attribute dicts. Edges whose endpoint has
+    no node row are SKIPPED (J9, :29-94 KeyError path). Separated from the
+    igraph import so the mapping is testable without the library."""
+    nodes = nodes_df.reset_index(drop=True).copy()
+    nodes["node_id"] = nodes.index
+    seq = pd.Series(nodes["node_id"].values,
+                    index=nodes[node_id_col].values)
+    u = edges_df[from_id_col].map(seq)
+    v = edges_df[to_id_col].map(seq)
+    present = u.notna() & v.notna()
+    kept = edges_df[present].reset_index(drop=True).copy()
+    kept[from_id_col + "_seq"] = u[present].astype("int64").values
+    kept[to_id_col + "_seq"] = v[present].astype("int64").values
+    edge_list = list(zip(kept[from_id_col + "_seq"].tolist(),
+                         kept[to_id_col + "_seq"].tolist()))
+    return (len(nodes), edge_list, nodes.to_dict(orient="list"),
+            kept.to_dict(orient="list"))
+
+
+def to_igraph(nodes_df: pd.DataFrame, edges_df: pd.DataFrame,
+              from_id_col: str = "u", to_id_col: str = "v",
+              node_id_col: str = "id"):
+    """Directed ``igraph.Graph`` (reference _create_igraph)."""
+    try:
+        import igraph
+    except ImportError as e:
+        raise ImportError("'python-igraph' needs to be installed "
+                          "in order to export the network for igraph."
+                          ) from e
+    n, edge_list, vertex_attrs, edge_attrs = igraph_payload(
+        nodes_df, edges_df, from_id_col, to_id_col, node_id_col)
+    return igraph.Graph(n=n, directed=True, edges=edge_list,
+                        vertex_attrs=vertex_attrs, edge_attrs=edge_attrs)
+
+
+def pandana_payload(nodes_df: pd.DataFrame, edges_df: pd.DataFrame,
+                    from_id_col: str = "u", to_id_col: str = "v",
+                    weight_cols=("length",), node_id_col: str = "id"):
+    """The kwargs the reference feeds ``pandana.Network``
+    (graph_export.pyx:195-221): node x/y series indexed by osm id,
+    directed edge endpoint series, weight frame, ``twoway=False``.
+    Edges with missing endpoints are dropped (J9)."""
+    nodes = nodes_df.set_index(node_id_col)
+    known = nodes.index
+    present = edges_df[from_id_col].isin(known) & \
+        edges_df[to_id_col].isin(known)
+    kept = edges_df[present].reset_index(drop=True)
+    return {
+        "node_x": nodes["lon"],
+        "node_y": nodes["lat"],
+        "edge_from": kept[from_id_col],
+        "edge_to": kept[to_id_col],
+        "edge_weights": kept[list(weight_cols)],
+        "twoway": False,
+    }
+
+
+def to_pandana(nodes_df: pd.DataFrame, edges_df: pd.DataFrame,
+               weight_cols=("length",)):
+    """Directed ``pandana.Network`` (reference _create_pdgraph)."""
+    try:
+        from pandana import Network
+    except ImportError as e:
+        raise ImportError("'pandana' needs to be installed "
+                          "in order to export the network for it.") from e
+    return Network(**pandana_payload(nodes_df, edges_df,
+                                     weight_cols=weight_cols))

@@ -597,19 +597,24 @@ class OSM:
         optional topological simplification -> largest-SCC restriction ->
         OSMnx-compatible MultiDiGraph (M28). Input is the
         ``get_network(..., nodes=True)`` pair."""
-        from pyrosm_ray.pipelines.graph import directed_edges, to_networkx
+        from pyrosm_ray.pipelines.graph import (directed_edges, to_igraph,
+                                                to_networkx, to_pandana)
         from pyrosm_ray.pipelines.simplify import simplify_graph
-        if graph_type != "networkx":
-            raise ValueError("graph_type='networkx' is the supported "
-                             "exporter (igraph/pandana need libs absent "
-                             "from this environment)")
+        exporters = {"networkx": None, "igraph": to_igraph,
+                     "pandana": to_pandana}
+        if graph_type not in exporters:
+            raise ValueError(f"graph_type must be one of {set(exporters)}")
         d = directed_edges(edges_ds, direction=direction,
                            force_bidirectional=force_bidirectional)
         edges_df = d.to_pandas()
         nodes_df = nodes_ds.to_pandas()
         if simplify:
             nodes_df, edges_df = simplify_graph(nodes_df, edges_df)
-        return to_networkx(nodes_df, edges_df, retain_all=retain_all)
+        if graph_type == "networkx":
+            return to_networkx(nodes_df, edges_df, retain_all=retain_all)
+        # igraph/pandana raise a clear ImportError when the lib is absent
+        # (reference graph_export.pyx HAS_IGRAPH/HAS_PANDANA guards)
+        return exporters[graph_type](nodes_df, edges_df)
 
     def count_straddling_relations(self, osm_keys, data_filter,
                                    filter_type: str = "keep") -> int:

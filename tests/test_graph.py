@@ -146,3 +146,43 @@ def test_osm_to_graph_export(ray_session):
                       osm.get_network("walking", nodes=True)[1],
                       force_bidirectional=True, simplify=False)
     assert g2.number_of_edges() >= g.number_of_edges()
+
+
+def test_igraph_payload_mapping():
+    """Adapter layer (graph_export.pyx:29-108 contract): sequential vertex
+    ids, seq edge list, attrs aligned, dangling edges skipped — testable
+    without the igraph library."""
+    from pyrosm_ray.pipelines.graph import igraph_payload, to_igraph
+    nodes = pd.DataFrame({"id": [100, 200, 300],
+                          "lon": [0.0, 1.0, 2.0], "lat": [0.0, 0.0, 1.0]})
+    edges = pd.DataFrame({"u": [100, 300, 200, 999], "v": [200, 100, 300, 100],
+                          "id": [1, 2, 3, 4],
+                          "length": [5.0, 6.0, 7.0, 8.0]})
+    n, edge_list, vattrs, eattrs = igraph_payload(nodes, edges)
+    assert n == 3
+    assert edge_list == [(0, 1), (2, 0), (1, 2)]  # dangling (999) skipped
+    assert vattrs["id"] == [100, 200, 300]
+    assert vattrs["node_id"] == [0, 1, 2]
+    assert eattrs["length"] == [5.0, 6.0, 7.0]
+    assert eattrs["u_seq"] == [0, 2, 1] and eattrs["v_seq"] == [1, 0, 2]
+    # the lib itself is absent in this container -> clean ImportError
+    import pytest as _pytest
+    with _pytest.raises(ImportError, match="igraph"):
+        to_igraph(nodes, edges)
+
+
+def test_pandana_payload_mapping():
+    from pyrosm_ray.pipelines.graph import pandana_payload, to_pandana
+    nodes = pd.DataFrame({"id": [10, 20], "lon": [1.0, 2.0],
+                          "lat": [3.0, 4.0]})
+    edges = pd.DataFrame({"u": [10, 20, 10], "v": [20, 10, 77],
+                          "length": [9.0, 8.0, 7.0]})
+    kw = pandana_payload(nodes, edges)
+    assert list(kw["node_x"]) == [1.0, 2.0]
+    assert list(kw["node_x"].index) == [10, 20]
+    assert list(kw["edge_from"]) == [10, 20]  # dangling (77) dropped
+    assert list(kw["edge_weights"]["length"]) == [9.0, 8.0]
+    assert kw["twoway"] is False
+    import pytest as _pytest
+    with _pytest.raises(ImportError, match="pandana"):
+        to_pandana(nodes, edges)
