@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = 3  # bump when generated content changes
+GENERATOR_VERSION = 4  # bump when generated content changes
 
 # fixture world (lon_min, lat_min, lon_max, lat_max) — Helsinki-ish
 WORLD = (24.80, 60.10, 25.20, 60.30)
@@ -446,6 +446,13 @@ def _gen_osm(sf: float):
         "tags": pa.array(b.w_tags, TAGS_T),
         **{k: v for k, v in meta(n_ways).items() if k != "changeset"},
     })
+    # interleave way kinds across the file: catalogue order would pack
+    # every highway way into one parquet row group, so at scale a single
+    # read task carries the whole walking network (real OSM interleaves
+    # element kinds throughout the id space). Deterministic permutation.
+    perm = np.random.default_rng(
+        np.random.SeedSequence([SEED, 6])).permutation(n_ways)
+    ways = ways.take(pa.array(perm, pa.int64()))
     relations = pa.table({
         "id": pa.array(b.r_id, pa.int64()),
         "members": pa.array(

@@ -650,7 +650,7 @@ class OSM:
             for wid, t in zip(b["way_id"].to_pylist(),
                               b["touch"].to_pylist()):
                 touch[wid] = t
-        way_of, rel_of = self._member_pairs(rel_kept)
+        way_of, rel_of, _ = self._member_pairs(rel_kept)
         n = 0
         for rid in np.unique(rel_of):
             flags = [touch[w] for w in way_of[rel_of == rid] if w in touch]
@@ -660,13 +660,19 @@ class OSM:
 
     # -- relation assembly -------------------------------------------------
     def _member_pairs(self, rel_kept):
-        """(sorted way-member ids, their relation ids) from the kept set."""
+        """(sorted way-member ids, their relation ids, member positions)
+        from the kept set. Positions preserve the relation's member ORDER
+        through the unordered distributed gather (the reference assembles
+        member chains in member order, relations.pyx get_ways_for_relation
+        — output geometry ring order depends on it)."""
         members = rel_kept["members"].combine_chunks()
         off = np.asarray(members.offsets, dtype=np.int64)
         rel_ids_np = np.asarray(rel_kept["id"].to_numpy(
             zero_copy_only=False), dtype=np.int64)
-        rep = np.repeat(np.arange(len(rel_kept), dtype=np.int64),
-                        off[1:] - off[:-1])
+        counts = off[1:] - off[:-1]
+        rep = np.repeat(np.arange(len(rel_kept), dtype=np.int64), counts)
+        pos_in_rel = np.arange(int(counts.sum()), dtype=np.int64) - \
+            np.repeat(off[:-1], counts)
         flat = members.flatten()
         mtype = np.asarray(flat.field("member_type").to_numpy(
             zero_copy_only=False), dtype=object)
@@ -675,8 +681,9 @@ class OSM:
         w = mtype == "way"
         rel_of = rel_ids_np[rep[w]]
         way_of = mid[w]
+        pos_of = pos_in_rel[w]
         order = np.argsort(way_of, kind="stable")
-        return way_of[order], rel_of[order]
+        return way_of[order], rel_of[order], pos_of[order]
 
     def _member_chains(self, rel_kept, member_ways_ds):
         """Member-way coordinate chains tagged with their relation id:
@@ -698,15 +705,18 @@ class OSM:
             raw = coords_v.tobytes()
             ids = np.asarray(batch["id"].to_numpy(zero_copy_only=False),
                              dtype=np.int64)
-            wsort, rsort = ray.get(pair_ref)
+            wsort, rsort, psort = ray.get(pair_ref)
             lo = np.searchsorted(wsort, ids, side="left")
             hi = np.searchsorted(wsort, ids, side="right")
             counts = hi - lo
             rep = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
-            rel_ids = rsort[topology.concat_ranges(lo, counts)]
+            take = topology.concat_ranges(lo, counts)
+            rel_ids = rsort[take]
+            mpos = psort[take]
             blobs = [raw[16 * voff[i]:16 * voff[i + 1]] for i in rep]
             return pa.table({
                 "relation_id": pa.array(rel_ids, pa.int64()),
+                "member_pos": pa.array(mpos, pa.int64()),
                 "chain": pa.array(blobs, pa.binary()),
             })
 
@@ -743,16 +753,18 @@ class OSM:
     def _assemble_relations_driver(self, rel_kept, member_ways_ds,
                                    tag_columns):
         from collections import defaultdict
-        per_rel: dict[int, list[np.ndarray]] = defaultdict(list)
+        per_rel: dict[int, list] = defaultdict(list)
         chains = self._member_chains(rel_kept, member_ways_ds)
         for b in chains.iter_batches(batch_size=1 << 16,
                                      batch_format="pyarrow"):
             rids = np.asarray(b["relation_id"].to_numpy(
                 zero_copy_only=False))
-            for rid, blob in zip(rids, b["chain"].to_pylist()):
+            mpos = np.asarray(b["member_pos"].to_numpy(
+                zero_copy_only=False))
+            for rid, pos, blob in zip(rids, mpos, b["chain"].to_pylist()):
                 arr = np.frombuffer(blob, dtype="<f8").reshape(-1, 2)
                 if len(arr) >= 2:
-                    per_rel[int(rid)].append(arr)
+                    per_rel[int(rid)].append((int(pos), arr))
         payload = self._rel_payload(rel_kept, tag_columns)
         force = np.asarray(payload["__force_line"].to_numpy(
             zero_copy_only=False))
@@ -763,6 +775,9 @@ class OSM:
             lines = per_rel.get(int(rid))
             if not lines:
                 continue
+            # member ORDER determines ring/polygon output order (the
+            # gather arrives in arbitrary block order)
+            lines = [a for _, a in sorted(lines, key=lambda t: t[0])]
             g = relation_geometry(lines, bool(force[i]))
             if g is None:
                 continue
@@ -790,7 +805,12 @@ class OSM:
 
         def assemble(group: pa.Table) -> pa.Table:
             rel_id = group["relation_id"][0].as_py()
-            blobs = [b for b in group["chain"].to_pylist() if b]
+            pos = np.asarray(group["member_pos"].to_numpy(
+                zero_copy_only=False))
+            blobs_all = group["chain"].to_pylist()
+            # member ORDER determines ring/polygon output order
+            blobs = [blobs_all[j] for j in np.argsort(pos, kind="stable")
+                     if blobs_all[j]]
             lens = np.array([len(b) // 16 for b in blobs], dtype="<i8")
             flat = (np.frombuffer(b"".join(blobs), dtype="<f8")
                     .reshape(-1, 2) if blobs else np.empty((0, 2)))
