@@ -119,24 +119,39 @@ def geocode_sql(url_expr: str = "url") -> tuple[str, str]:
 # ---------------------------------------------------------------------------
 
 def _gen_pages(sf: float) -> pa.Table:
+    # chunked: the html column tops the 2 GiB int32-offset array limit
+    # around sf5, and chunks keep peak memory flat at any sf
     n = max(200, int(2_000_000 * sf))
-    pid = np.arange(n, dtype=np.int64)
-    urls = page_url(pid)
+    step = 2_000_000
+    return pa.concat_tables(
+        _gen_pages_chunk(np.arange(lo, min(lo + step, n), dtype=np.int64))
+        for lo in range(0, n, step))
+
+
+def _gen_pages_chunk(pid: np.ndarray) -> pa.Table:
+    import pyarrow.compute as pc
+    pid_s = pc.cast(pa.array(pid), pa.string())
+    site_s = pc.cast(pa.array(pid % 97), pa.string())
+    urls = pc.binary_join_element_wise(
+        "https://site", site_s, ".example/p/", pid_s, "")
     ts = _TS0 + (pid * 7919 % 31_536_000).astype("timedelta64[s]")
     lang_idx = np.searchsorted(_LANG_CUM, (pid * 2654435761 >> 8) % 100,
                                side="right")
-    langs = [_LANGS[i] for i in lang_idx]
-    texts = [f"Page {p} from site{p % 97} in {l}. "
-             f"Synthetic sentence {p * 31 % 1009} about place {p % 353}."
-             for p, l in zip(pid, langs)]
-    htmls = [f"<html><head><title>p{p}</title></head><body><p>{t}</p></body></html>"
-             .encode() for p, t in zip(pid, texts)]
+    langs = pa.array(np.array(_LANGS, dtype=object)[lang_idx], pa.string())
+    s1_s = pc.cast(pa.array(pid * 31 % 1009), pa.string())
+    s2_s = pc.cast(pa.array(pid % 353), pa.string())
+    texts = pc.binary_join_element_wise(
+        "Page ", pid_s, " from site", site_s, " in ", langs,
+        ". Synthetic sentence ", s1_s, " about place ", s2_s, ".", "")
+    htmls = pc.cast(pc.binary_join_element_wise(
+        "<html><head><title>p", pid_s, "</title></head><body><p>", texts,
+        "</p></body></html>", ""), pa.binary())
     return pa.table({
-        "url": pa.array(urls, pa.string()),
+        "url": urls,
         "warc_ts": pa.array(ts, pa.timestamp("s")),
-        "html": pa.array(htmls, pa.binary()),
-        "text": pa.array(texts, pa.string()),
-        "lang": pa.array(langs, pa.string()),
+        "html": htmls,
+        "text": texts,
+        "lang": langs,
     })
 
 
@@ -144,7 +159,20 @@ def _gen_pages(sf: float) -> pa.Table:
 # OSM element builder
 # ---------------------------------------------------------------------------
 
+def _tag_maps(eoff: np.ndarray, keys, vals) -> pa.MapArray:
+    """map<string,string> column from flat entries + per-row offsets."""
+    return pa.MapArray.from_arrays(
+        pa.array(np.asarray(eoff, dtype=np.int32), pa.int32()),
+        pa.array(keys, pa.string()), pa.array(vals, pa.string()))
+
+
 class _Builder:
+    """Element accumulator with two write paths that share the id counters:
+    scalar ``node``/``way``/``relation`` (fixed catalogue) and vectorised
+    ``bulk_nodes``/``bulk_ways`` (the sf-scaled mass). Ids depend only on
+    per-kind creation ORDER, so bulk segments interleave freely with the
+    scalar path; output row order == creation order in both."""
+
     def __init__(self):
         self.n_id: list[int] = []
         self.n_lon: list[float] = []
@@ -156,6 +184,8 @@ class _Builder:
         self.r_id: list[int] = []
         self.r_members: list[list[tuple[int, str, str]]] = []
         self.r_tags: list[list[tuple[str, str]]] = []
+        self._node_segs: list[dict] = []
+        self._way_segs: list[dict] = []
         self._next_node = NODE_ID0
         self._next_way = WAY_ID0
         self._next_rel = REL_ID0
@@ -192,6 +222,95 @@ class _Builder:
         self.r_tags.append(list(tags.items()))
         return rid
 
+    # -- bulk (vectorised) path --------------------------------------------
+    def _flush_nodes(self):
+        if not self.n_id:
+            return
+        self._node_segs.append({
+            "id": np.asarray(self.n_id, dtype=np.int64),
+            "lon": np.asarray(self.n_lon, dtype=np.float64),
+            "lat": np.asarray(self.n_lat, dtype=np.float64),
+            "tags": pa.array(self.n_tags, TAGS_T)})
+        self.n_id, self.n_lon, self.n_lat, self.n_tags = [], [], [], []
+
+    def _flush_ways(self):
+        if not self.w_id:
+            return
+        self._way_segs.append({
+            "id": np.asarray(self.w_id, dtype=np.int64),
+            "refs": pa.array(self.w_refs, pa.list_(pa.int64())),
+            "tags": pa.array(self.w_tags, TAGS_T)})
+        self.w_id, self.w_refs, self.w_tags = [], [], []
+
+    def bulk_nodes(self, lon, lat, tags: pa.Array | None = None) -> np.ndarray:
+        self._flush_nodes()
+        n = len(lon)
+        ids = self._next_node + 3 * np.arange(n, dtype=np.int64)
+        self._next_node += 3 * n
+        if tags is None:
+            tags = _tag_maps(np.zeros(n + 1, dtype=np.int32), [], [])
+        self._node_segs.append({
+            "id": ids, "lon": np.asarray(lon, dtype=np.float64),
+            "lat": np.asarray(lat, dtype=np.float64), "tags": tags})
+        return ids
+
+    def bulk_ways(self, refs_values, refs_offsets, tags: pa.Array) -> np.ndarray:
+        self._flush_ways()
+        n = len(refs_offsets) - 1
+        ids = self._next_way + 7 * np.arange(n, dtype=np.int64)
+        self._next_way += 7 * n
+        refs = pa.ListArray.from_arrays(
+            pa.array(np.asarray(refs_offsets, dtype=np.int32), pa.int32()),
+            pa.array(np.asarray(refs_values, dtype=np.int64), pa.int64()))
+        self._way_segs.append({"id": ids, "refs": refs, "tags": tags})
+        return ids
+
+    def bulk_rings(self, cx, cy, rr, k, phase) -> tuple[np.ndarray, np.ndarray]:
+        """Vectorised ``ring_way(_ring(...))`` over n rings: creates the ring
+        nodes and returns ``(refs_values, refs_offsets)`` of the CLOSED ways
+        (first node repeated) for a following :meth:`bulk_ways` call.
+        Bit-identical to the scalar path: angles are ``phase + arange(k) *
+        (2*pi/k)`` exactly as ``np.linspace(0, 2*pi, k, endpoint=False)``
+        computes them."""
+        n = len(cx)
+        counts = np.asarray(k, dtype=np.int64)
+        off = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        total = int(off[-1])
+        ridx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        pos = np.arange(total, dtype=np.int64) - off[ridx]
+        ang = np.asarray(phase, dtype=np.float64)[ridx] + \
+            pos * ((2 * np.pi) / counts[ridx])
+        lon = cx[ridx] + rr[ridx] * np.cos(ang)
+        lat = cy[ridx] + rr[ridx] * np.sin(ang)
+        nid = self.bulk_nodes(lon, lat)
+        woff = off + np.arange(n + 1, dtype=np.int64)
+        close_pos = woff[1:] - 1
+        take = np.empty(total + n, dtype=np.int64)
+        mask = np.ones(total + n, dtype=bool)
+        mask[close_pos] = False
+        take[mask] = np.arange(total, dtype=np.int64)
+        take[close_pos] = off[:n]
+        return nid[take], woff
+
+    def finalize(self) -> tuple[dict, dict]:
+        """(node columns, way columns) concatenated in creation order."""
+        self._flush_nodes()
+        self._flush_ways()
+        nodes = {
+            "id": np.concatenate([s["id"] for s in self._node_segs]),
+            "lon": np.concatenate([s["lon"] for s in self._node_segs]),
+            "lat": np.concatenate([s["lat"] for s in self._node_segs]),
+            "tags": pa.chunked_array(
+                [s["tags"] for s in self._node_segs], TAGS_T)}
+        ways = {
+            "id": np.concatenate([s["id"] for s in self._way_segs]),
+            "refs": pa.chunked_array(
+                [s["refs"] for s in self._way_segs], pa.list_(pa.int64())),
+            "tags": pa.chunked_array(
+                [s["tags"] for s in self._way_segs], TAGS_T)}
+        return nodes, ways
+
 
 def _ring(cx, cy, r, k=6, phase=0.0):
     ang = phase + np.linspace(0, 2 * np.pi, k, endpoint=False)
@@ -203,15 +322,13 @@ def _grid_roads(b: _Builder, rng, sf_scale: float):
     g = int(round(16 * np.sqrt(sf_scale)))
     xs = np.linspace(WORLD[0] + 0.01, WORLD[2] - 0.01, g)
     ys = np.linspace(WORLD[1] + 0.005, WORLD[3] - 0.005, g)
-    ids = np.empty((g, g), dtype=np.int64)
-    for i in range(g):
-        for j in range(g):
-            ids[i, j] = b.node(xs[i], ys[j])
+    ids = b.bulk_nodes(np.repeat(xs, g), np.tile(ys, g)).reshape(g, g)
     hw_cycle = ["residential", "tertiary", "footway", "cycleway", "service",
                 "motorway", "path", "secondary", "track", "steps",
                 "primary", "pedestrian", "unclassified", "construction"]
     oneway_cycle = [None, "yes", None, "no", None, "-1", None, "T", "F",
                     None, "true", None, "1", None]
+    h_tags = []
     for j in range(g):  # horizontal streets
         tags = {"highway": hw_cycle[j % len(hw_cycle)],
                 "name": f"H Street {j}"}
@@ -228,7 +345,11 @@ def _grid_roads(b: _Builder, rng, sf_scale: float):
             tags["junction"] = "roundabout"
         if j % 11 == 4 and tags.get("oneway") == "yes":
             tags["oneway:bicycle"] = "no"
-        b.way(ids[:, j], tags)
+        h_tags.append(list(tags.items()))
+    # horizontal street j's refs are grid column j -> ids.T rows
+    b.bulk_ways(ids.T.ravel(), g * np.arange(g + 1, dtype=np.int64),
+                pa.array(h_tags, TAGS_T))
+    v_tags = []
     for i in range(g):  # vertical streets
         tags = {"highway": hw_cycle[(i + 5) % len(hw_cycle)],
                 "name": f"V Street {i}", "maxspeed": str(30 + 10 * (i % 5))}
@@ -236,7 +357,9 @@ def _grid_roads(b: _Builder, rng, sf_scale: float):
             tags["motor_vehicle"] = "no"
         if i % 29 == 11:
             tags["area"] = "yes"  # area-tagged street stays out of networks
-        b.way(ids[i, :], tags)
+        v_tags.append(list(tags.items()))
+    b.bulk_ways(ids.ravel(), g * np.arange(g + 1, dtype=np.int64),
+                pa.array(v_tags, TAGS_T))
 
 
 _BUILDING_VALUES = ["yes", "residential", "retail", "commercial",
@@ -252,25 +375,53 @@ def _bulk_areas(b: _Builder, rng, sf_scale: float):
     cx = rng.uniform(WORLD[0] + 0.002, WORLD[2] - 0.002, n_b)
     cy = rng.uniform(WORLD[1] + 0.002, WORLD[3] - 0.002, n_b)
     rr = rng.uniform(0.00005, 0.0004, n_b)
-    for i in range(n_b):
-        tags = {"building": _BUILDING_VALUES[i % len(_BUILDING_VALUES)]}
-        if i % 4 == 0:
-            tags["addr:street"] = f"Street {i % 50}"
-            tags["addr:housenumber"] = str(i % 200)
-        if i % 9 == 0:
-            tags["name"] = f"Building {i}"
-        b.ring_way(_ring(cx[i], cy[i], rr[i], k=4 + i % 5,
-                         phase=float(rng.uniform(0, 1.5))), tags)
+    i = np.arange(n_b, dtype=np.int64)
+    phases = rng.uniform(0, 1.5, n_b)
+    refs_v, refs_off = b.bulk_rings(cx, cy, rr, 4 + i % 5, phases)
+    # tags: building (always), addr:street/housenumber (i%4==0), name (i%9==0)
+    has_addr = (i % 4) == 0
+    has_name = (i % 9) == 0
+    ec = 1 + 2 * has_addr.astype(np.int64) + has_name
+    eoff = np.zeros(n_b + 1, dtype=np.int64)
+    np.cumsum(ec, out=eoff[1:])
+    tot = int(eoff[-1])
+    ridx = np.repeat(i, ec)
+    epos = np.arange(tot, dtype=np.int64) - eoff[ridx]
+    keys = np.empty(tot, dtype=object)
+    vals = np.empty(tot, dtype=object)
+    m0 = epos == 0
+    keys[m0] = "building"
+    vals[m0] = np.array(_BUILDING_VALUES, dtype=object)[
+        i % len(_BUILDING_VALUES)]
+    a1 = (epos == 1) & has_addr[ridx]
+    keys[a1] = "addr:street"
+    vals[a1] = np.array([f"Street {v}" for v in range(50)],
+                        dtype=object)[ridx[a1] % 50]
+    a2 = (epos == 2) & has_addr[ridx]
+    keys[a2] = "addr:housenumber"
+    vals[a2] = np.array([str(v) for v in range(200)],
+                        dtype=object)[ridx[a2] % 200]
+    nm = has_name[ridx] & (epos == 1 + 2 * has_addr[ridx])
+    keys[nm] = "name"
+    vals[nm] = np.char.add("Building ", ridx[nm].astype("U"))
+    b.bulk_ways(refs_v, refs_off, _tag_maps(eoff, keys, vals))
+
     n_l = int(150 * sf_scale)
     cx = rng.uniform(WORLD[0], WORLD[2], n_l)
     cy = rng.uniform(WORLD[1], WORLD[3], n_l)
     rr = rng.uniform(0.0005, 0.004, n_l)
-    for i in range(n_l):
-        if i % 3 == 2:
-            tags = {"natural": _NATURAL_VALUES[i % len(_NATURAL_VALUES)]}
-        else:
-            tags = {"landuse": _LANDUSE_VALUES[i % len(_LANDUSE_VALUES)]}
-        b.ring_way(_ring(cx[i], cy[i], rr[i], k=8), tags)
+    j = np.arange(n_l, dtype=np.int64)
+    refs_v, refs_off = b.bulk_rings(cx, cy, rr, np.full(n_l, 8, np.int64),
+                                    np.zeros(n_l))
+    nat = (j % 3) == 2
+    keys = np.where(nat, "natural", "landuse").astype(object)
+    vals = np.where(nat,
+                    np.array(_NATURAL_VALUES, dtype=object)[
+                        j % len(_NATURAL_VALUES)],
+                    np.array(_LANDUSE_VALUES, dtype=object)[
+                        j % len(_LANDUSE_VALUES)])
+    b.bulk_ways(refs_v, refs_off,
+                _tag_maps(np.arange(n_l + 1, dtype=np.int64), keys, vals))
 
 
 def _poi_nodes(b: _Builder, rng, sf_scale: float):
@@ -279,17 +430,37 @@ def _poi_nodes(b: _Builder, rng, sf_scale: float):
     n = int(200 * sf_scale)
     lon = rng.uniform(WORLD[0], WORLD[2], n)
     lat = rng.uniform(WORLD[1], WORLD[3], n)
-    for i in range(n):
-        if i % 3 == 0:
-            tags = {"shop": ["supermarket", "bakery", "clothes"][i % 3],
-                    "name": f"Shop {i}"}
-        elif i % 3 == 1:
-            tags = {"amenity": amen[i % len(amen)], "name": f"POI {i}"}
-        else:
-            tags = {"tourism": ["hotel", "museum", "viewpoint"][i % 3]}
-        if i % 10 == 0:
-            tags["opening_hours"] = "Mo-Fr 09:00-17:00"
-        b.node(lon[i], lat[i], tags)
+    i = np.arange(n, dtype=np.int64)
+    br = i % 3  # 0: shop+name, 1: amenity+name, 2: tourism only
+    oh = (i % 10) == 0
+    base = np.where(br == 2, 1, 2)
+    ec = base + oh
+    eoff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(ec, out=eoff[1:])
+    tot = int(eoff[-1])
+    ridx = np.repeat(i, ec)
+    epos = np.arange(tot, dtype=np.int64) - eoff[ridx]
+    keys = np.empty(tot, dtype=object)
+    vals = np.empty(tot, dtype=object)
+    m0 = epos == 0
+    keys[m0] = np.where(br == 0, "shop",
+                        np.where(br == 1, "amenity", "tourism")).astype(object)
+    # i%3 inside each branch is constant: shop->"supermarket",
+    # tourism->"viewpoint" (mirrors the scalar catalogue exactly)
+    vals[m0] = np.where(br == 0, "supermarket",
+                        np.where(br == 1,
+                                 np.array(amen, dtype=object)[i % len(amen)],
+                                 "viewpoint")).astype(object)
+    nm = (epos == 1) & (br[ridx] != 2)
+    keys[nm] = "name"
+    i_str = i.astype("U")
+    name_all = np.where(br == 0, np.char.add("Shop ", i_str),
+                        np.char.add("POI ", i_str))
+    vals[nm] = name_all[ridx[nm]].astype(object)
+    mo = oh[ridx] & (epos == base[ridx])
+    keys[mo] = "opening_hours"
+    vals[mo] = "Mo-Fr 09:00-17:00"
+    b.bulk_nodes(lon, lat, _tag_maps(eoff, keys, vals))
 
 
 def _fixed_catalogue(b: _Builder):
@@ -418,8 +589,9 @@ def _gen_osm(sf: float):
     _poi_nodes(b, rng, sf_scale)
     _fixed_catalogue(b)
 
-    n_nodes = len(b.n_id)
-    n_ways = len(b.w_id)
+    ncols, wcols = b.finalize()
+    n_nodes = len(ncols["id"])
+    n_ways = len(wcols["id"])
     n_rels = len(b.r_id)
     rngm = np.random.default_rng(np.random.SeedSequence([SEED, 4]))
 
@@ -434,16 +606,16 @@ def _gen_osm(sf: float):
         }
 
     nodes = pa.table({
-        "id": pa.array(b.n_id, pa.int64()),
-        "lon": pa.array(b.n_lon, pa.float64()),
-        "lat": pa.array(b.n_lat, pa.float64()),
-        "tags": pa.array(b.n_tags, TAGS_T),
+        "id": pa.array(ncols["id"], pa.int64()),
+        "lon": pa.array(ncols["lon"], pa.float64()),
+        "lat": pa.array(ncols["lat"], pa.float64()),
+        "tags": ncols["tags"],
         **meta(n_nodes),
     })
     ways = pa.table({
-        "id": pa.array(b.w_id, pa.int64()),
-        "refs": pa.array(b.w_refs, pa.list_(pa.int64())),
-        "tags": pa.array(b.w_tags, TAGS_T),
+        "id": pa.array(wcols["id"], pa.int64()),
+        "refs": wcols["refs"],
+        "tags": wcols["tags"],
         **{k: v for k, v in meta(n_ways).items() if k != "changeset"},
     })
     # interleave way kinds across the file: catalogue order would pack
@@ -465,16 +637,17 @@ def _gen_osm(sf: float):
     # history: repeated node ids, increasing versions, last sometimes invisible
     h_n = min(500, n_nodes)
     rngh = np.random.default_rng(np.random.SeedSequence([SEED, 5]))
+    h_tags = nodes["tags"].slice(0, h_n).to_pylist()
     rows = {"id": [], "lon": [], "lat": [], "tags": [], "version": [],
             "timestamp": [], "visible": []}
     for i in range(h_n):
-        nid = b.n_id[i]
+        nid = int(ncols["id"][i])
         n_ver = int(rngh.integers(1, 4))
         for v in range(1, n_ver + 1):
             rows["id"].append(nid)
-            rows["lon"].append(b.n_lon[i] + 0.0001 * v)
-            rows["lat"].append(b.n_lat[i])
-            rows["tags"].append(b.n_tags[i])
+            rows["lon"].append(float(ncols["lon"][i]) + 0.0001 * v)
+            rows["lat"].append(float(ncols["lat"][i]))
+            rows["tags"].append(h_tags[i])
             rows["version"].append(v)
             rows["timestamp"].append(_TS0 + np.timedelta64(v * 86400, "s"))
             rows["visible"].append(not (v == n_ver and i % 11 == 0))

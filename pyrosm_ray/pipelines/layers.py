@@ -743,8 +743,14 @@ class OSM:
         contract as :meth:`_kept_relations`): chains are collected and the
         per-relation assembly loop runs driver-side, zero shuffles.
         ``strategy='shuffle'``: groupby(relation_id) + acero join, fully
-        distributed (the beyond-memory escape hatch)."""
-        if self.strategy == "broadcast":
+        distributed. Auto-routes to the distributed path when the kept
+        relation set outgrows the driver contract (mirrors
+        :meth:`_assemble`'s node-table auto-route), so a planet-scale
+        relation layer never funnels its member-chain payload through the
+        driver even under the default broadcast strategy."""
+        if self.strategy == "broadcast" and \
+                self._table_bytes("osm_relations") <= \
+                self.RELATIONS_DRIVER_MAX_BYTES:
             return self._assemble_relations_driver(
                 rel_kept, member_ways_ds, tag_columns)
         return self._assemble_relations_distributed(

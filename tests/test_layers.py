@@ -313,6 +313,19 @@ def test_strategy_parity(src, buildings_df, tmp_path):
     assert all(x == y for x, y in zip(a.geometry, b.geometry))
 
 
+def test_relation_assembly_autoroutes_distributed(src, buildings_df,
+                                                  ray_session, monkeypatch):
+    """Under the default broadcast strategy, a relations table that
+    outgrows the driver contract auto-routes relation assembly to the
+    distributed groupby path — output identical to the driver path."""
+    monkeypatch.setattr(OSM, "RELATIONS_DRIVER_MAX_BYTES", 0)
+    b = OSM(src).get_buildings().to_pandas() \
+        .sort_values(["osm_type", "id"]).reset_index(drop=True)
+    a = buildings_df.sort_values(["osm_type", "id"]).reset_index(drop=True)
+    assert list(a.id) == list(b.id)
+    assert all(x == y for x, y in zip(a.geometry, b.geometry))
+
+
 def test_sharded_coord_index_parity(src, buildings_df, ray_session):
     """Distributed sharded coordinate index gathers identically to the
     single-array driver index (hits + misses), and a buildings layer built
