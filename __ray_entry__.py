@@ -155,6 +155,53 @@ def q_exact_dedup(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_media_image(sf_dir: str):
+    """REAL image decode pipeline: synthesize closed-form PNGs per doc,
+    run the actor-pool extractor (stdlib PNG decode), emit exact integer
+    pixel sums — the SQL oracle recomputes them from the pixel law."""
+    from pyrosm_ray.stages.multimodal import (extract_image_features,
+                                              synth_image_media)
+    media = synth_image_media(_read(sf_dir, "documents", ["doc_id"]))
+    feats = extract_image_features(media, resize_to=None, batch_size=64)
+
+    def pxsum(batch: pa.Table) -> pa.Table:
+        sums = [int(np.frombuffer(d, np.uint8).sum())
+                for d in batch["decoded"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["id"], "height": batch["height"],
+            "width": batch["width"],
+            "px_sum": pa.array(sums, pa.int64())})
+
+    df = feats.map_batches(pxsum, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_media_audio(sf_dir: str):
+    """REAL audio decode pipeline: closed-form 16-bit PCM WAVs per doc,
+    stdlib decode inside the extractor; exact integer PCM energy checked
+    against the SQL-recomputed sample law."""
+    from pyrosm_ray.stages.multimodal import (extract_audio_features,
+                                              synth_audio_media)
+    media = synth_audio_media(_read(sf_dir, "documents", ["doc_id"]))
+    feats = extract_audio_features(media, batch_size=128)
+
+    def pcmstats(batch: pa.Table) -> pa.Table:
+        from pyrosm_ray.stages import codecs
+        ns, ss = [], []
+        for p in batch["payload"].to_pylist():
+            wav, _rate = codecs.decode_wav(p)
+            pcm = np.rint(wav.astype(np.float64) * 32768.0).astype(np.int64)
+            ns.append(len(pcm))
+            ss.append(int(np.dot(pcm, pcm)))
+        return pa.table({
+            "doc_id": batch["id"], "duration_s": batch["duration_s"],
+            "n_samples": pa.array(ns, pa.int64()),
+            "pcm_sumsq": pa.array(ss, pa.int64())})
+
+    df = feats.map_batches(pcmstats, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_minhash_dedup(sf_dir: str):
     from pyrosm_ray.stages.dedup import minhash_dedup
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -800,6 +847,33 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(list_aggregate(regexp_extract_all(lower(text),
                 '\\S+'), 'string_agg', ' '))
             ORDER BY doc_id""",
+        # the pixel/PCM laws of pyrosm_ray.stages.multimodal.synth_*_media,
+        # recomputed sample-by-sample: a decode bug anywhere in the
+        # encode->PNG/WAV->decode chain breaks the integer sums
+        # (constant-bound series + CASE filter: duckdb's generate_series
+        # takes no lateral parameters; max pixels = 32*28*3 = 2688,
+        # max samples = 1440)
+        "q_media_image": """
+            SELECT d.doc_id,
+                   16 + d.doc_id % 17 AS height,
+                   16 + (d.doc_id * 7) % 13 AS width,
+                   SUM(CASE WHEN t.k < (16 + d.doc_id % 17)
+                                     * (16 + (d.doc_id * 7) % 13) * 3
+                            THEN (d.doc_id * 31 + t.k * 7919) % 256
+                            ELSE 0 END)::BIGINT AS px_sum
+            FROM documents d, generate_series(0, 2687) AS t(k)
+            GROUP BY d.doc_id ORDER BY d.doc_id""",
+        "q_media_audio": """
+            SELECT d.doc_id,
+                   ROUND((800 + (d.doc_id % 5) * 160) / 8000.0, 4)
+                       AS duration_s,
+                   800 + (d.doc_id % 5) * 160 AS n_samples,
+                   SUM(CASE WHEN t.k < 800 + (d.doc_id % 5) * 160
+                            THEN ((d.doc_id * 13 + t.k * 31) % 4096 - 2048)
+                               * ((d.doc_id * 13 + t.k * 31) % 4096 - 2048)
+                            ELSE 0 END)::BIGINT AS pcm_sumsq
+            FROM documents d, generate_series(0, 1439) AS t(k)
+            GROUP BY d.doc_id ORDER BY d.doc_id""",
         "q_tile_assignment": f"""
             SELECT url, {r5} AS h3_r5, {r7} AS h3_r7, {r9} AS h3_r9
             FROM {pages} ORDER BY url""",
@@ -1050,6 +1124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,
         "q_exact_dedup": q_exact_dedup,
+        "q_media_image": q_media_image,
+        "q_media_audio": q_media_audio,
         "q_minhash_dedup": q_minhash_dedup,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,

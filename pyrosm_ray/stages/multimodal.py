@@ -1,10 +1,13 @@
 """Multimodal (image/audio/video) columns: opaque binary + typed metadata.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are not in this container, so
-the *decode kernels* are stubbed behind an import-try with a deterministic
-fake (clearly marked); everything Ray-side is real and tested: schema
-contract, actor-pool stage shape (decoder state built once per actor),
-small-batch sizing for wide binary rows, and the output layout.
+Decode is REAL for the stdlib-decodable containers — PNG / BMP / PPM
+images and integer-PCM WAV audio (:mod:`pyrosm_ray.stages.codecs`,
+pure zlib/wave/numpy) — dispatched by payload magic bytes. Formats that
+need an external codec (JPEG, MP3, video) fall through to PIL/soundfile
+when importable, else to a deterministic fake (clearly marked) so the
+Ray-side plumbing stays exercised: schema contract, actor-pool stage
+shape (decoder state built once per actor), small-batch sizing for wide
+binary rows, and the output layout.
 
 Contract: a media table is ``(id:int64, payload:binary, media_type:string,
 meta: map<string,string>)``. Stages append typed feature columns and never
@@ -17,6 +20,8 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+
+from pyrosm_ray.stages import codecs
 
 MEDIA_SCHEMA = pa.schema([
     ("id", pa.int64()),
@@ -53,6 +58,15 @@ class ImageFeatureExtractor:
             self._backend = "fake"
 
     def _decode(self, payload: bytes) -> np.ndarray:
+        if codecs.sniff_media(payload) in ("png", "bmp", "ppm"):
+            img = codecs.decode_image(payload)  # REAL stdlib decode
+            if img.shape[2] == 1:               # gray -> RGB
+                img = np.repeat(img, 3, axis=2)
+            elif img.shape[2] == 2:             # gray+alpha -> RGB
+                img = np.repeat(img[:, :, :1], 3, axis=2)
+            elif img.shape[2] == 4:             # drop alpha
+                img = img[:, :, :3]
+            return img
         if self._backend == "pillow":  # pragma: no cover
             import io
 
@@ -168,6 +182,8 @@ class AudioFeatureExtractor:
             self._backend = "fake"
 
     def _decode(self, payload: bytes):
+        if codecs.sniff_media(payload) == "wav":
+            return codecs.decode_wav(payload)  # REAL stdlib decode
         if self._backend == "soundfile":  # pragma: no cover
             import io
 
@@ -207,3 +223,68 @@ def extract_audio_features(media_ds, batch_size: int = 128,
         AudioFeatureExtractor,
         batch_format="pyarrow", batch_size=batch_size,
         concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# deterministic media synthesis (oracle-checkable REAL decode pipelines)
+# ---------------------------------------------------------------------------
+# Pixel/sample laws are closed-form over doc_id so the whole
+# encode -> decode -> feature chain is verifiable in ANSI SQL
+# (generate_series recomputes the exact integer pixel/PCM sums).
+
+def _image_dims(doc_id: int) -> tuple[int, int]:
+    return 16 + doc_id % 17, 16 + (doc_id * 7) % 13  # (height, width)
+
+
+def synth_image_media(docs_ds, batch_size: int = 256):
+    """documents(doc_id) -> media table with REAL PNG payloads whose pixels
+    follow ``px[k] = (doc_id*31 + k*7919) % 256`` over k < h*w*3."""
+    from pyrosm_ray.stages import codecs
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        payloads = []
+        for d in ids:
+            h, w = _image_dims(int(d))
+            k = np.arange(h * w * 3, dtype=np.int64)
+            px = ((int(d) * 31 + k * 7919) % 256).astype(np.uint8)
+            payloads.append(codecs.encode_png(px.reshape(h, w, 3)))
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["image"] * len(ids), pa.string()),
+            "meta": pa.array([[]] * len(ids),
+                             pa.map_(pa.string(), pa.string())),
+        })
+
+    return docs_ds.map_batches(build, batch_format="pyarrow",
+                               batch_size=batch_size)
+
+
+def synth_audio_media(docs_ds, rate: int = 8_000, batch_size: int = 256):
+    """documents(doc_id) -> media table with REAL 16-bit PCM WAV payloads:
+    ``pcm[k] = (doc_id*13 + k*31) % 4096 - 2048`` over
+    k < 800 + (doc_id % 5) * 160."""
+    from pyrosm_ray.stages import codecs
+
+    def build(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        payloads = []
+        for d in ids:
+            n = 800 + (int(d) % 5) * 160
+            k = np.arange(n, dtype=np.int64)
+            pcm = (int(d) * 13 + k * 31) % 4096 - 2048
+            payloads.append(codecs.encode_wav_pcm16(
+                pcm.astype(np.float64) / 32768.0, rate))
+        return pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.binary()),
+            "media_type": pa.array(["audio"] * len(ids), pa.string()),
+            "meta": pa.array([[]] * len(ids),
+                             pa.map_(pa.string(), pa.string())),
+        })
+
+    return docs_ds.map_batches(build, batch_format="pyarrow",
+                               batch_size=batch_size)
