@@ -141,6 +141,14 @@ def q_lang_id(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_repetition(sf_dir: str):
+    from pyrosm_ray.stages.text import repetition_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = repetition_stats(ds).to_pandas()[
+        ["doc_id", "dup_line_frac", "top_bigram_frac"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_fingerprint_md5(sf_dir: str):
     from pyrosm_ray.stages.text import fingerprints
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -847,6 +855,32 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(list_aggregate(regexp_extract_all(lower(text),
                 '\\S+'), 'string_agg', ' '))
             ORDER BY doc_id""",
+        "q_repetition": """
+            WITH lines AS (
+              SELECT doc_id, unnest(str_split(lower(text), chr(10))) AS ln
+              FROM documents
+            ), lf AS (
+              SELECT doc_id,
+                     1.0 - COUNT(DISTINCT ln)::DOUBLE / COUNT(*)
+                         AS dup_line_frac
+              FROM lines GROUP BY doc_id
+            ), toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS l
+              FROM documents
+            ), pairs AS (
+              SELECT doc_id, unnest(list_zip(l, l[2:])) AS p FROM toks
+            ), cnt AS (
+              SELECT doc_id, p, COUNT(*) AS c FROM pairs
+              WHERE p[2] IS NOT NULL GROUP BY doc_id, p
+            ), bf AS (
+              SELECT doc_id, MAX(c)::DOUBLE / SUM(c) AS top_bigram_frac
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT d.doc_id, lf.dup_line_frac,
+                   COALESCE(bf.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM documents d
+            JOIN lf USING (doc_id) LEFT JOIN bf USING (doc_id)
+            ORDER BY d.doc_id""",
         # the pixel/PCM laws of pyrosm_ray.stages.multimodal.synth_*_media,
         # recomputed sample-by-sample: a decode bug anywhere in the
         # encode->PNG/WAV->decode chain breaks the integer sums
@@ -1123,6 +1157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,
+        "q_repetition": q_repetition,
         "q_exact_dedup": q_exact_dedup,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,

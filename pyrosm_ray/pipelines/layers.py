@@ -978,10 +978,14 @@ def _wkb_intersects_rect(buf: bytes, x0, y0, x1, y1) -> bool:
         if _coords_intersect_rect(coords, x0, y0, x1, y1,
                                   as_segments=gt not in (wkblib.MULTIPOINT,)):
             return True
-    # polygon containing the rect entirely (no vertex/edge in the box)
+    # polygon containing the rect entirely (no vertex/edge in the box);
+    # bbox guard skips the O(edges) even-odd pass for far-away polygons
     if gt in (wkblib.POLYGON, wkblib.MULTIPOLYGON):
         rings = payload if gt == wkblib.POLYGON else \
             [r for rr in payload for r in rr]
+        if not any(r[:, 0].min() <= x0 <= r[:, 0].max() and
+                   r[:, 1].min() <= y0 <= r[:, 1].max() for r in rings):
+            return False
         return bool(ops.points_in_rings_even_odd(
             rings, np.array([x0]), np.array([y0]))[0])
     return False
@@ -990,6 +994,10 @@ def _wkb_intersects_rect(buf: bytes, x0, y0, x1, y1) -> bool:
 def _coords_intersect_rect(coords: np.ndarray, x0, y0, x1, y1,
                            as_segments=True) -> bool:
     x, y = coords[:, 0], coords[:, 1]
+    # bbox fast-reject: most geometries are far from the filter rect, and
+    # the 4-segment-edge crossing tests below are the expensive path
+    if x.max() < x0 or x.min() > x1 or y.max() < y0 or y.min() > y1:
+        return False
     if bool(np.any((x >= x0) & (x <= x1) & (y >= y0) & (y <= y1))):
         return True
     if not as_segments or len(coords) < 2:

@@ -146,3 +146,85 @@ def fingerprints_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def fingerprints(ds, text_col: str = "text"):
     return ds.map_batches(lambda b: fingerprints_batch(b, text_col),
                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters; exact-SQL-reproducible)
+# ---------------------------------------------------------------------------
+
+def _per_row_top_and_total(rows: np.ndarray, keys: np.ndarray, n: int):
+    """(top count, total count) per row for (row, key) string pairs —
+    one np.unique factorize + one grouped count, no Python loop."""
+    top = np.zeros(n, dtype=np.int64)
+    tot = np.bincount(rows, minlength=n).astype(np.int64)
+    if len(rows):
+        codes, inv = np.unique(keys, return_inverse=True)
+        pair_key = rows.astype(np.int64) * len(codes) + inv
+        uk, cnt = np.unique(pair_key, return_counts=True)
+        np.maximum.at(top, uk // len(codes), cnt)
+    return top, tot
+
+
+def repetition_stats_batch(batch: pa.Table,
+                           text_col: str = "text") -> pa.Table:
+    """Per-doc repetition signals over ``lower(text)``:
+
+    * ``dup_line_frac``  — 1 - distinct_lines/total_lines ('\\n' split)
+    * ``top_bigram_frac`` — count of the most frequent word bigram /
+      total bigrams (whitespace words), 0.0 when < 2 words
+
+    Both are integer-ratio doubles, so a DuckDB oracle reproduces them
+    bit-exactly (see ``__ray_entry__.q_repetition``)."""
+    n = len(batch)
+    low = pc.utf8_lower(batch[text_col])
+
+    def _flat(list_arr):
+        la = list_arr.combine_chunks() if isinstance(
+            list_arr, pa.ChunkedArray) else list_arr
+        off = np.asarray(la.offsets, dtype=np.int64)
+        vals = np.asarray(la.values.to_numpy(zero_copy_only=False),
+                          dtype=object)
+        rows = np.repeat(np.arange(n, dtype=np.int64), off[1:] - off[:-1])
+        return rows, vals
+
+    # lines: duplicate fraction
+    l_rows, l_vals = _flat(pc.split_pattern(low, "\n"))
+    l_top = np.zeros(n, np.int64)
+    l_tot = np.bincount(l_rows, minlength=n).astype(np.int64)
+    n_distinct = np.zeros(n, np.int64)
+    if len(l_rows):
+        codes, inv = np.unique(l_vals, return_inverse=True)
+        pair = l_rows * len(codes) + inv
+        uk = np.unique(pair)
+        np.add.at(n_distinct, uk // len(codes), 1)
+    dup_line_frac = np.where(
+        l_tot > 0, 1.0 - n_distinct / np.maximum(l_tot, 1), 0.0)
+    _ = l_top  # lines only need the distinct count
+
+    # word bigrams: top-bigram fraction (split on \s+, drop empty tokens —
+    # equals regexp_extract_all('\\S+') in the oracle)
+    t_rows, t_vals = _flat(pc.split_pattern_regex(low, r"\s+"))
+    keep = t_vals != ""
+    t_rows, t_vals = t_rows[keep], t_vals[keep]
+    adj = np.zeros(0, dtype=bool) if len(t_rows) < 2 else \
+        t_rows[1:] == t_rows[:-1]
+    rows_bg = t_rows[:-1][adj] if len(t_rows) >= 2 else t_rows[:0]
+    if len(rows_bg):
+        bigrams = np.char.add(np.char.add(
+            t_vals[:-1][adj].astype("U"), "\x00"),
+            t_vals[1:][adj].astype("U")).astype(object)
+    else:
+        bigrams = t_vals[:0]
+    bg_top, bg_tot = _per_row_top_and_total(rows_bg, bigrams, n)
+    top_bigram_frac = np.where(
+        bg_tot > 0, bg_top / np.maximum(bg_tot, 1), 0.0)
+
+    batch = batch.append_column(
+        "dup_line_frac", pa.array(dup_line_frac, pa.float64()))
+    return batch.append_column(
+        "top_bigram_frac", pa.array(top_bigram_frac, pa.float64()))
+
+
+def repetition_stats(ds, text_col: str = "text"):
+    return ds.map_batches(lambda b: repetition_stats_batch(b, text_col),
+                          batch_format="pyarrow")

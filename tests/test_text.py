@@ -1,0 +1,51 @@
+"""Text repetition signals: handcrafted truth + DuckDB oracle parity."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from pyrosm_ray.stages.text import repetition_stats
+
+DOCS = [
+    "a b a b a b",            # bigrams: (a,b)x3 (b,a)x2 -> top 3/5
+    "one two three four",     # all distinct -> 1/3
+    "x",                      # <2 tokens -> 0.0
+    "",                       # empty -> 0.0
+    "l1\nl2\nl1\nl3",         # 3 distinct of 4 lines -> dup 1/4
+    "same\nsame\nsame",       # 1 distinct of 3 -> dup 2/3
+    "Mixed CASE mixed case",  # lowercased: (mixed,case)x2 of 3 -> 2/3
+]
+
+
+def _table():
+    return pa.table({
+        "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+        "text": pa.array(DOCS, pa.string()),
+    })
+
+
+def test_repetition_handcrafted(ray_session):
+    out = repetition_stats(rd.from_arrow(_table())).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # doc 5: \s+ tokenization crosses newlines -> (same,same)x2 of 2 -> 1.0
+    assert out["top_bigram_frac"].tolist() == [
+        3 / 5, 1 / 3, 0.0, 0.0, 1 / 3, 1.0, 2 / 3]
+    assert out["dup_line_frac"].tolist() == [
+        0.0, 0.0, 0.0, 0.0, 1 - 3 / 4, 1 - 1 / 3, 0.0]
+
+
+def test_repetition_matches_duckdb_oracle(ray_session):
+    import __ray_entry__ as e
+    sql = e.oracle_sql()["q_repetition"]
+    con = duckdb.connect()
+    con.register("documents", _table())
+    ora = con.execute(sql).fetch_df().sort_values("doc_id") \
+        .reset_index(drop=True)
+    got = repetition_stats(rd.from_arrow(_table())).to_pandas()[
+        ["doc_id", "dup_line_frac", "top_bigram_frac"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert np.array_equal(got["dup_line_frac"].values,
+                          ora["dup_line_frac"].values)
+    assert np.array_equal(got["top_bigram_frac"].values,
+                          ora["top_bigram_frac"].values)
