@@ -616,6 +616,116 @@ class OSM:
         # (reference graph_export.pyx HAS_IGRAPH/HAS_PANDANA guards)
         return exporters[graph_type](nodes_df, edges_df)
 
+    def to_pbf(self, output_path: str, keep_relations: bool = True) -> str:
+        """Crop the element tables by this object's ``bbox`` (complete-ways
+        semantics) and write a valid ``.osm.pbf`` (reference ``OSM.to_pbf``,
+        pyrosm/pyrosm.py:1208-1285 / crop_pbf pbf_export.pyx:551-638).
+
+        Selection runs distributed (in-box node filter, way semi-join via a
+        broadcast sorted id set, node closure); the kept set is collected
+        and encoded driver-side — a crop output is small by contract, and
+        PBF is a sequential container (the reference holds the same
+        driver-side write contract)."""
+        from pyrosm_ray.sources.pbf_write import write_pbf
+        if self.bbox is None:
+            raise ValueError(
+                "Cropping requires a bounding box. Construct the OSM "
+                "object with OSM(path, bounding_box=...) before to_pbf().")
+        x0, y0, x1, y1 = self.bbox
+
+        def inbox(b: pa.Table) -> pa.Table:
+            lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
+            lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
+            return b.select(["id"]).filter(pa.array(
+                (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)))
+
+        inbox_ids = np.sort(np.concatenate([
+            np.asarray(b["id"].to_numpy(zero_copy_only=False))
+            for b in self.nodes(columns=["id", "lon", "lat"]).map_batches(
+                inbox, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow")] or
+            [np.empty(0, np.int64)]))
+        id_ref = ray.put(inbox_ids)
+
+        def keep_ways(b: pa.Table) -> pa.Table:
+            ids = ray.get(id_ref)
+            refs = b["refs"].combine_chunks()
+            off = np.asarray(refs.offsets, dtype=np.int64)
+            flat = np.asarray(refs.values.to_numpy(zero_copy_only=False))
+            hit = np.zeros(len(flat) + 1, dtype=np.int64)
+            np.cumsum(_in_sorted(flat, ids), out=hit[1:])
+            return b.filter(pa.array(hit[off[1:]] - hit[off[:-1]] > 0))
+
+        ways_cols = ["id", "refs", "tags"] + self._meta_cols("osm_ways")
+        kept_ways = pa.concat_tables([
+            pa.table(b) for b in self.ways(columns=ways_cols).map_batches(
+                keep_ways, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow")])
+
+        # complete ways: pull every ref'd node, in-box or not
+        need = np.unique(np.concatenate([
+            np.asarray(kept_ways["refs"].combine_chunks().values
+                       .to_numpy(zero_copy_only=False)), inbox_ids])) \
+            if len(kept_ways) else inbox_ids
+        need_ref = ray.put(need)
+
+        def keep_nodes(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["id"].to_numpy(zero_copy_only=False))
+            return b.filter(pa.array(_in_sorted(ids, ray.get(need_ref))))
+
+        node_cols = ["id", "lon", "lat", "tags"] + \
+            self._meta_cols("osm_nodes")
+        kept_nodes = pa.concat_tables([
+            pa.table(b) for b in self.nodes(columns=node_cols).map_batches(
+                keep_nodes, batch_format="pyarrow").iter_batches(
+                batch_size=1 << 16, batch_format="pyarrow")])
+
+        kept_rels = None
+        if keep_relations:
+            rels = pq.read_table(self._path("osm_relations"))
+            way_set = np.sort(np.asarray(
+                kept_ways["id"].to_numpy(zero_copy_only=False)))
+            members = rels["members"].combine_chunks()
+            off = np.asarray(members.offsets, dtype=np.int64)
+            flat = members.flatten()
+            mids = np.asarray(flat.field("member_id").to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            mtyp = np.asarray(flat.field("member_type").to_numpy(
+                zero_copy_only=False), dtype=object)
+            hit_f = ((mtyp == "way") & _in_sorted(mids, way_set)) | \
+                ((mtyp == "node") & _in_sorted(mids, inbox_ids))
+            cs = np.zeros(len(hit_f) + 1, dtype=np.int64)
+            np.cumsum(hit_f, out=cs[1:])
+            kept_rels = rels.filter(pa.array(cs[off[1:]] - cs[off[:-1]] > 0))
+            if not len(kept_rels):
+                kept_rels = None
+
+        write_pbf(output_path, kept_nodes,
+                  kept_ways if len(kept_ways) else None, kept_rels,
+                  bbox=(x0, y0, x1, y1))
+        return output_path
+
+    def write_pbf(self, data, output_path: str,
+                  subset_only: bool = False) -> str:
+        """Write the element tables back to a valid PBF, applying tag
+        edits from (modified) layer frame(s) matched by ``osm_type``+``id``
+        and synthesizing unmatched rows from geometry with negative ids
+        (reference ``OSM.write_pbf``, pyrosm/pyrosm.py:1286-1355 /
+        write_geodataframe_to_pbf pbf_writer.py:459-510).
+        ``subset_only=True`` writes only the matched elements plus the
+        references they need to stay valid."""
+        from pyrosm_ray.sources.pbf_write import write_frames_to_pbf
+        node_cols = ["id", "lon", "lat", "tags"] + \
+            self._meta_cols("osm_nodes")
+        nodes_t = pq.read_table(self._path("osm_nodes"), columns=node_cols)
+        ways_t = pq.read_table(
+            self._path("osm_ways"),
+            columns=["id", "refs", "tags"] + self._meta_cols("osm_ways"))
+        rels_t = pq.read_table(self._path("osm_relations"))
+        write_frames_to_pbf(nodes_t, ways_t, rels_t, data, output_path,
+                            subset_only=subset_only)
+        return output_path
+
     def count_straddling_relations(self, osm_keys, data_filter,
                                    filter_type: str = "keep") -> int:
         """A8 (reference warn metric, pyrosm/frames.pyx:142-160): kept
@@ -947,6 +1057,15 @@ def union_aligned(datasets: list[rd.Dataset]) -> rd.Dataset:
     for d in aligned[1:]:
         out = out.union(d)
     return out
+
+
+def _in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:
+    """Membership of ``values`` in a SORTED int64 array (searchsorted)."""
+    if not len(sorted_set):
+        return np.zeros(len(values), dtype=bool)
+    pos = np.searchsorted(sorted_set, values)
+    pos[pos == len(sorted_set)] = len(sorted_set) - 1
+    return sorted_set[pos] == values
 
 
 def filter_intersects_bbox(ds: rd.Dataset, bbox) -> rd.Dataset:

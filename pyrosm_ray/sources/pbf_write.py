@@ -435,19 +435,25 @@ def crop_pbf(src_path: str, out_path: str, bbox,
 # layer/GeoDataFrame -> PBF writer (S11)
 # ---------------------------------------------------------------------------
 
-def write_layer_to_pbf(df, path: str, tag_columns: list[str] | None = None,
-                       id_col: str = "id", geometry_col: str = "geometry"):
-    """Synthesize OSM elements from a layer frame and write a valid PBF
-    (reference write_geodataframe_to_pbf semantics,
-    pyrosm/pbf_writer.py:262-349): synthesized elements take decreasing
-    NEGATIVE ids, coincident vertices (1e-7 deg quantised) share one node,
-    Point -> tagged node, LineString -> way, hole-less Polygon -> closed
-    way. Extension beyond the reference's v1: Polygons with holes and
-    MultiPolygons synthesize a ``type=multipolygon`` relation with
-    outer/inner member ways.
+def _default_tag_columns(df, id_col: str, geometry_col: str) -> list[str]:
+    return [c for c in df.columns
+            if c not in (id_col, geometry_col, "osm_type")
+            and df[c].dtype == object]
 
-    ``df``: pandas frame or Arrow table with WKB ``geometry``; tags come
-    from the non-null values of ``tag_columns`` string columns."""
+
+def synthesize_elements(df, tag_columns: list[str] | None = None,
+                        id_col: str = "id", geometry_col: str = "geometry",
+                        start: dict | None = None):
+    """Synthesize OSM element tables from a layer frame (reference
+    write_geodataframe_to_pbf synthesis, pyrosm/pbf_writer.py:262-349):
+    elements take decreasing NEGATIVE ids, coincident vertices (1e-7 deg
+    quantised) share one node, Point -> tagged node, LineString -> way,
+    hole-less Polygon -> closed way. Extension beyond the reference's v1:
+    Polygons with holes and MultiPolygons synthesize a
+    ``type=multipolygon`` relation with outer/inner member ways.
+
+    Returns ``(nodes_t, ways_t, rels_t, bbox)``; ``start`` overrides the
+    first negative id per kind (``{"node": -1, "way": -1, "rel": -1}``)."""
     import pandas as pd
 
     from pyrosm_ray.geom import wkb as _wkb
@@ -455,9 +461,7 @@ def write_layer_to_pbf(df, path: str, tag_columns: list[str] | None = None,
         df = df.to_pandas()
     tag_columns = [c for c in (tag_columns or [])
                    if c in df.columns] or \
-        [c for c in df.columns
-         if c not in (id_col, geometry_col, "osm_type")
-         and df[c].dtype == object]
+        _default_tag_columns(df, id_col, geometry_col)
 
     node_ids: list[int] = []
     lats: list[float] = []
@@ -467,7 +471,7 @@ def write_layer_to_pbf(df, path: str, tag_columns: list[str] | None = None,
     rels: list[dict] = []
     coord_to_node: dict[tuple, int] = {}
     coord_to_idx: dict[tuple, int] = {}
-    counter = {"node": -1, "way": -1, "rel": -1}
+    counter = dict(start or {"node": -1, "way": -1, "rel": -1})
 
     def node_for(x, y, tags=None) -> int:
         if not (-180.0 <= x <= 180.0 and -90.0 <= y <= 90.0):
@@ -559,7 +563,146 @@ def write_layer_to_pbf(df, path: str, tag_columns: list[str] | None = None,
         "tags": tags_arr([r["tags"] for r in rels]),
     })
     bbox = (min(lons), min(lats), max(lons), max(lats)) if lons else None
-    write_pbf(path, nodes_t, ways_t if ways else None,
-              rels_t if rels else None, bbox=bbox)
-    return {"nodes": len(node_ids), "ways": len(ways),
-            "relations": len(rels)}
+    return (nodes_t, ways_t if ways else None,
+            rels_t if rels else None, bbox)
+
+
+def write_layer_to_pbf(df, path: str, tag_columns: list[str] | None = None,
+                       id_col: str = "id", geometry_col: str = "geometry"):
+    """Synthesize elements from a layer frame (:func:`synthesize_elements`)
+    and write a valid PBF. Returns the written element counts."""
+    nodes_t, ways_t, rels_t, bbox = synthesize_elements(
+        df, tag_columns, id_col, geometry_col)
+    write_pbf(path, nodes_t, ways_t, rels_t, bbox=bbox)
+    return {"nodes": len(nodes_t),
+            "ways": len(ways_t) if ways_t is not None else 0,
+            "relations": len(rels_t) if rels_t is not None else 0}
+
+
+def write_frames_to_pbf(nodes_t: pa.Table, ways_t: pa.Table,
+                        rels_t: pa.Table | None, frames, path: str,
+                        subset_only: bool = False,
+                        geometry_col: str = "geometry") -> dict:
+    """Write the base element tables + layer-frame edits to a valid PBF
+    (reference ``write_geodataframe_to_pbf``, pyrosm/pbf_writer.py:459-510;
+    edit split ``_collect_edits`` :179-199; subset closure
+    ``_subset_keep_sets`` :202-239). Each frame row REPLACES the tags of
+    the element matched by ``(osm_type, id)``; unmatched rows are
+    synthesized with negative ids from their geometry. ``subset_only``
+    writes only matched elements plus the references they need (kept
+    relations pull member ways/nodes, kept ways pull their node refs)."""
+    import pandas as pd
+
+    from pyrosm_ray.geom import wkb as _wkb
+    if not isinstance(frames, (list, tuple)):
+        frames = [frames]
+    frames = [f.to_pandas() if isinstance(f, pa.Table) else f
+              for f in frames]
+
+    base_ids = {
+        "node": set(np.asarray(nodes_t["id"].to_numpy(
+            zero_copy_only=False)).tolist()),
+        "way": set(np.asarray(ways_t["id"].to_numpy(
+            zero_copy_only=False)).tolist()),
+        "relation": set() if rels_t is None else set(np.asarray(
+            rels_t["id"].to_numpy(zero_copy_only=False)).tolist()),
+    }
+
+    edits: dict[str, dict[int, list]] = {"node": {}, "way": {},
+                                         "relation": {}}
+    new_rows = []
+    for df in frames:
+        tag_cols = _default_tag_columns(df, "id", geometry_col)
+        for _, row in df.iterrows():
+            otype = row.get("osm_type")
+            oid = row.get("id")
+            oid = None if oid is None or pd.isna(oid) else int(oid)
+            if otype is None and row.get(geometry_col) is not None:
+                otype = "node" if _wkb.wkb_geom_type(
+                    row[geometry_col]) == _wkb.POINT else "way"
+            tags = [(c, str(row[c])) for c in tag_cols
+                    if row[c] is not None and not pd.isna(row[c])]
+            if oid is not None and otype in base_ids and \
+                    oid in base_ids[otype]:
+                edits[otype][oid] = tags
+            else:
+                new_rows.append(row)
+
+    keep: dict[str, set | None] = {"node": None, "way": None,
+                                   "relation": None}
+    if subset_only:
+        keep = {k: set(edits[k]) for k in edits}
+        members_by_rid = {}
+        if rels_t is not None:
+            for rid, mem in zip(rels_t["id"].to_pylist(),
+                                rels_t["members"].to_pylist()):
+                members_by_rid[int(rid)] = mem
+        pending = list(keep["relation"])
+        while pending:  # fixed point so super-relations resolve
+            for m in members_by_rid.get(pending.pop(), []):
+                mid, mt = int(m["member_id"]), m["member_type"]
+                if mt == "way":
+                    keep["way"].add(mid)
+                elif mt == "node":
+                    keep["node"].add(mid)
+                elif mt == "relation" and mid in members_by_rid and \
+                        mid not in keep["relation"]:
+                    keep["relation"].add(mid)
+                    pending.append(mid)
+        way_ids = np.asarray(ways_t["id"].to_numpy(zero_copy_only=False))
+        wkeep = np.isin(way_ids, np.fromiter(keep["way"], np.int64,
+                                             len(keep["way"])))
+        for refs in ways_t.filter(pa.array(wkeep))["refs"].to_pylist():
+            keep["node"].update(refs)
+
+    def apply(table: pa.Table | None, kind: str) -> pa.Table | None:
+        if table is None:
+            return None
+        ids = np.asarray(table["id"].to_numpy(zero_copy_only=False))
+        if keep[kind] is not None:
+            mask = np.isin(ids, np.fromiter(keep[kind], np.int64,
+                                            len(keep[kind])))
+            table = table.filter(pa.array(mask))
+            ids = ids[mask]
+        if edits[kind]:
+            tags = table["tags"].to_pylist()
+            for i, oid in enumerate(ids):
+                e = edits[kind].get(int(oid))
+                if e is not None:
+                    tags[i] = e
+            table = table.set_column(
+                table.column_names.index("tags"), "tags",
+                pa.array(tags, pa.map_(pa.string(), pa.string())))
+        return table if len(table) else None
+
+    out_nodes = apply(nodes_t, "node")
+    out_ways = apply(ways_t, "way")
+    out_rels = apply(rels_t, "relation")
+
+    counts = {"edited": sum(len(e) for e in edits.values()),
+              "synthesized": len(new_rows)}
+    if new_rows:
+        syn_nodes, syn_ways, syn_rels, _ = synthesize_elements(
+            pd.DataFrame(new_rows), geometry_col=geometry_col)
+
+        def cat(a, b):
+            if a is None:
+                return b
+            if b is None or not len(b):
+                return a
+            return pa.concat_tables([a.select(b.column_names), b],
+                                    promote_options="default")
+        out_nodes = cat(out_nodes, syn_nodes)
+        out_ways = cat(out_ways, syn_ways)
+        out_rels = cat(out_rels, syn_rels)
+
+    lon = np.asarray(out_nodes["lon"].to_numpy(zero_copy_only=False))
+    lat = np.asarray(out_nodes["lat"].to_numpy(zero_copy_only=False))
+    bbox = (float(lon.min()), float(lat.min()),
+            float(lon.max()), float(lat.max())) if len(lon) else None
+    write_pbf(path, out_nodes, out_ways, out_rels, bbox=bbox)
+    counts.update({
+        "nodes": len(out_nodes) if out_nodes is not None else 0,
+        "ways": len(out_ways) if out_ways is not None else 0,
+        "relations": len(out_rels) if out_rels is not None else 0})
+    return counts

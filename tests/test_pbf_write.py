@@ -162,3 +162,86 @@ def test_write_layer_to_pbf_roundtrip(tmp_path):
         pts = np.array([[lon[pos[r]], lat[pos[r]]] for r in refs])
         if t == {"building": "yes"}:
             np.testing.assert_allclose(pts, sq + 10.0, atol=5e-8)
+
+
+def test_osm_to_pbf_crop(ray_session, tmp_path):
+    """OSM.to_pbf crops the element tables with complete-ways semantics;
+    expectations computed independently with numpy over the parquet."""
+    import pyarrow.parquet as pq
+
+    from pyrosm_ray.fixtures import TEST_BBOX, ensure_fixtures
+    from pyrosm_ray.pipelines.layers import OSM
+    src = ensure_fixtures("sf0.001")
+    out = str(tmp_path / "crop.osm.pbf")
+    OSM(str(src), bounding_box=TEST_BBOX).to_pbf(out)
+
+    nodes = pq.read_table(src / "osm_nodes.parquet",
+                          columns=["id", "lon", "lat"])
+    ways = pq.read_table(src / "osm_ways.parquet", columns=["id", "refs"])
+    x0, y0, x1, y1 = TEST_BBOX
+    lon = np.asarray(nodes["lon"].to_numpy(zero_copy_only=False))
+    lat = np.asarray(nodes["lat"].to_numpy(zero_copy_only=False))
+    nid = np.asarray(nodes["id"].to_numpy(zero_copy_only=False))
+    inbox = set(nid[(lon >= x0) & (lon <= x1) &
+                    (lat >= y0) & (lat <= y1)].tolist())
+    exp_ways, exp_nodes = set(), set(inbox)
+    for wid, refs in zip(ways["id"].to_pylist(), ways["refs"].to_pylist()):
+        if any(r in inbox for r in refs):
+            exp_ways.add(wid)
+            exp_nodes.update(r for r in refs if r in set(nid.tolist()))
+
+    got_nodes = pbf.read_pbf(out, "nodes").to_pandas()
+    got_ways = pbf.read_pbf(out, "ways").to_pandas()
+    # complete ways: refs of kept ways present even when out of box
+    assert set(got_ways["id"]) == exp_ways
+    assert set(got_nodes["id"]) == exp_nodes & set(nid.tolist()) | inbox
+    got_refs = {r for refs in got_ways["refs"] for r in refs}
+    missing_src = got_refs - set(nid.tolist())  # dangling in source too
+    assert got_refs - missing_src <= set(got_nodes["id"])
+
+
+def test_osm_write_pbf_edits_and_subset(ray_session, tmp_path):
+    """OSM.write_pbf applies (osm_type,id) tag edits, synthesizes new
+    rows with negative ids, and subset_only closes over references."""
+    import pandas as pd
+
+    from pyrosm_ray.fixtures import ensure_fixtures
+    from pyrosm_ray.geom import wkb as wkblib
+    from pyrosm_ray.pipelines.layers import OSM
+    src = ensure_fixtures("sf0.001")
+    osm = OSM(str(src))
+    b = osm.get_buildings().to_pandas()
+    way_rows = b[b.osm_type == "way"].head(3).copy()
+    way_rows["building"] = "edited"
+    new_row = pd.DataFrame([{
+        "id": None, "osm_type": None,
+        "geometry": wkblib.point_wkb(24.9, 60.2),
+        "building": None, "amenity": "cafe"}])
+    data = pd.concat([way_rows[["id", "osm_type", "geometry", "building"]],
+                      new_row], ignore_index=True)
+
+    out = str(tmp_path / "subset.osm.pbf")
+    osm.write_pbf(data, out, subset_only=True)
+    got_ways = pbf.read_pbf(out, "ways").to_pandas()
+    got_nodes = pbf.read_pbf(out, "nodes").to_pandas()
+    # only the 3 edited ways, tags REPLACED
+    assert sorted(got_ways["id"]) == sorted(way_rows["id"])
+    for t in got_ways["tags"]:
+        assert dict(t) == {"building": "edited"}
+    # their refs are present (reference closure)
+    refs = {r for rr in got_ways["refs"] for r in rr}
+    assert refs <= set(got_nodes["id"])
+    # synthesized point -> negative-id tagged node
+    syn = got_nodes[got_nodes["id"] < 0]
+    assert len(syn) == 1 and dict(syn["tags"].iloc[0]) == {"amenity": "cafe"}
+
+    # full write: every base element survives, edits applied
+    out2 = str(tmp_path / "full.osm.pbf")
+    osm.write_pbf(data, out2, subset_only=False)
+    import pyarrow.parquet as pq
+    n_ways = pq.read_table(src / "osm_ways.parquet").num_rows
+    full_ways = pbf.read_pbf(out2, "ways").to_pandas()
+    assert len(full_ways) == n_ways
+    edited = full_ways[full_ways["id"].isin(way_rows["id"])]
+    for t in edited["tags"]:
+        assert dict(t) == {"building": "edited"}
