@@ -211,6 +211,40 @@ def _band_rows(batch: pa.Table, id_col: str, num_perm: int,
     })
 
 
+def _banded_pairs_np(ids: np.ndarray, sigs: np.ndarray, bands: int,
+                     cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side equivalent of the banded groupby + :func:`_bucket_pairs`
+    tail: produces the identical candidate-pair set with one numpy pass per
+    band instead of a (band, bucket) shuffle. Used when the banded row
+    count is small enough to collect (the shuffle's fixed cost dominates
+    there); the distributed path remains the 10^12-doc shape."""
+    num_perm = sigs.shape[1]
+    rows = num_perm // bands
+    out_a, out_b = [], []
+    for b_i in range(bands):
+        seg = np.ascontiguousarray(sigs[:, b_i * rows:(b_i + 1) * rows])
+        view = seg.view([("", seg.dtype)] * rows).ravel()
+        _, inv = np.unique(view, return_inverse=True)
+        order = np.lexsort((ids, inv))
+        inv_s, ids_s = inv[order], ids[order]
+        bnd = np.concatenate([[0], np.nonzero(np.diff(inv_s))[0] + 1,
+                              [len(inv_s)]])
+        sizes = np.diff(bnd)
+        for gi in np.nonzero(sizes >= 2)[0]:  # only multi-doc buckets
+            gids = ids_s[bnd[gi]:bnd[gi + 1]]  # sorted, distinct per band
+            if len(gids) > cap:
+                out_a.append(gids[:-1])
+                out_b.append(gids[1:])
+            else:
+                iu, ju = np.triu_indices(len(gids), k=1)
+                out_a.append(gids[iu])
+                out_b.append(gids[ju])
+    if not out_a:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
 def _bucket_pairs(group: pa.Table, id_col: str, cap: int) -> pa.Table:
     """Candidate pairs within one (band, bucket) group. Groups above
     ``cap`` emit only the consecutive chain over sorted ids — that
@@ -291,6 +325,7 @@ def _verify_pairs_jaccard(pairs_ds, shingles_ds, id_col: str,
 
 
 PAIRS_BROADCAST_MAX = 1 << 18  # candidate pairs small enough to broadcast
+BANDED_DRIVER_MAX = 1 << 21    # banding rows (docs*bands) the driver collects
 
 
 def _distinct_pairs_np(a: np.ndarray, b: np.ndarray):
@@ -408,6 +443,33 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         lambda b: minhash_signatures_batch(b, id_col, text_col, num_perm,
                                            k_shingle),
         batch_format="pyarrow").materialize()
+
+    # small-corpus fast path: banding rows fit the driver, so the
+    # (band, bucket) shuffle's fixed cost dominates — compute the SAME
+    # candidate pairs with one numpy pass per band, then verify broadcast
+    n_docs = sig_ds.count()
+    if n_docs * bands <= BANDED_DRIVER_MAX:
+        parts = [pa.table(b) for b in
+                 sig_ds.select_columns([id_col, "sig"]).iter_batches(
+                     batch_size=1 << 16, batch_format="pyarrow")]
+        tbl = pa.concat_tables(parts) if parts else None
+        if tbl is None or not len(tbl):
+            return attach_components(ds, None, id_col, out_col="dup_of")
+        ids_np = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        sigs = np.frombuffer(b"".join(tbl["sig"].to_pylist()),
+                             dtype="<u8").reshape(len(tbl), num_perm)
+        a, b = _banded_pairs_np(ids_np, sigs, bands, bucket_cap)
+        if not len(a):
+            return attach_components(ds, None, id_col, out_col="dup_of")
+        a, b = _distinct_pairs_np(a, b)
+        va, vb, _ = _verify_pairs_jaccard_broadcast(a, b, sig_ds, id_col,
+                                                    threshold)
+        if not len(va):
+            return attach_components(ds, None, id_col, out_col="dup_of")
+        nodes, comp = _union_find_labels(va, vb)
+        return attach_components(ds, (nodes, comp), id_col,
+                                 out_col="dup_of")
 
     banded = sig_ds.map_batches(
         lambda b: _band_rows(b.select([id_col, "sig"]), id_col, num_perm,

@@ -158,17 +158,22 @@ def test_minhash_dedup_clusters(ray_session):
     assert (m[3] == 1) == (j >= 0.5)
 
 
-def test_minhash_dedup_path_parity(ray_session):
-    """Broadcast verify + driver union-find vs the fully distributed
-    route (pairs_broadcast_max=0 forces the join/label-prop path) must
-    produce identical dup_of labels."""
+def test_minhash_dedup_path_parity(ray_session, monkeypatch):
+    """All three routes — driver banding, distributed banding + broadcast
+    verify, fully distributed (join/label-prop) — must produce identical
+    dup_of labels."""
     ds = rd.from_arrow(_corpus())
-    fast = dedup.minhash_dedup(ds, threshold=0.5).to_pandas() \
+    driver = dedup.minhash_dedup(ds, threshold=0.5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(dedup, "BANDED_DRIVER_MAX", 0)
+    shuffled = dedup.minhash_dedup(ds, threshold=0.5).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     dist = dedup.minhash_dedup(ds, threshold=0.5,
                                pairs_broadcast_max=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
-    assert fast[["doc_id", "dup_of"]].equals(dist[["doc_id", "dup_of"]])
+    assert driver[["doc_id", "dup_of"]].equals(shuffled[["doc_id",
+                                                         "dup_of"]])
+    assert driver[["doc_id", "dup_of"]].equals(dist[["doc_id", "dup_of"]])
 
 
 def _jaccard_words(i, j, k=3):
