@@ -101,7 +101,18 @@ class OSM:
                  num_partitions: int | None = None,
                  complete_relations: bool = False):
         self.src = str(src_dir).rstrip("/")
-        self.bbox = tuple(bounding_box) if bounding_box is not None else None
+        if bounding_box is not None:
+            bb = tuple(float(v) for v in bounding_box)
+            # reference regression #241 (pyrosm tests
+            # test_inverted_bbox_raises_valueerror_with_coord_order_hint):
+            # inverted/degenerate boxes fail construction, not a later read
+            if len(bb) != 4 or not (bb[0] < bb[2] and bb[1] < bb[3]):
+                raise ValueError(
+                    "Invalid bounding box: expected (minx, miny, maxx, "
+                    f"maxy) with minx < maxx and miny < maxy, got {bb}")
+            self.bbox = bb
+        else:
+            self.bbox = None
         self.strategy = strategy
         self.keep_metadata = keep_metadata
         self.num_partitions = num_partitions
@@ -227,20 +238,47 @@ class OSM:
 
     # -- layer getters (reference API surface) ----------------------------
     def get_network(self, network_type: str = "walking",
-                    extra_attributes=None, nodes: bool = False):
+                    extra_attributes=None, nodes: bool = False,
+                    custom_filter=None, filter_type: str | None = None,
+                    tags_to_keep=None):
         """Edges of the routable network (exclude-type preset filters,
         pyrosm/pyrosm.py:409-466). ``nodes=True`` returns
         ``(nodes_ds, segment_edges_ds)`` — one row per 2-point segment with
         ``u``/``v`` node ids (graph-export contract, frames.pyx:77-100),
-        node set semi-joined to referenced endpoints (J8)."""
-        data_filter = config.network_filter(network_type)
-        tag_cols = list(config.TAG_COLUMNS["highway"])
+        node set semi-joined to referenced endpoints (J8).
+
+        ``custom_filter`` REPLACES the preset's way filter (reference
+        pyrosm.py:409-466: network_type still validates, but selection is
+        the custom filter's); an advanced (regex/bracket) filter defaults
+        ``filter_type`` to 'keep' and selects by its own positive keys, a
+        plain dict defaults to 'exclude' over highway ways.
+        ``tags_to_keep`` overrides the highway tag-column set."""
+        data_filter = config.network_filter(network_type)  # validates type
+        osm_keys = ["highway"]
+        tag_cols = list(tags_to_keep) if tags_to_keep is not None \
+            else list(config.TAG_COLUMNS["highway"])
+        if custom_filter is not None:
+            cf = compile_custom_filter(custom_filter)
+            advanced = isinstance(cf, CompiledFilter)
+            if filter_type is None:
+                filter_type = "keep" if advanced else "exclude"
+            data_filter = cf
+            if advanced:
+                osm_keys = list(cf.positive_keys)
+                tag_cols += [k for k in osm_keys if k not in tag_cols]
+            else:
+                tag_cols += [k for k in cf if k not in tag_cols]
+        if filter_type is None:
+            filter_type = "exclude"
+        if filter_type not in ("keep", "exclude"):
+            raise ValueError(
+                "'filter_type' should be either 'keep' or 'exclude'.")
         if extra_attributes:
             tag_cols += [c for c in extra_attributes if c not in tag_cols]
         mode = "network_segments" if nodes else "network"
         edges = self._layer(
-            osm_keys=["highway"], data_filter=data_filter,
-            filter_type="exclude", tag_columns=tag_cols, mode=mode,
+            osm_keys=osm_keys, data_filter=data_filter,
+            filter_type=filter_type, tag_columns=tag_cols, mode=mode,
             keep_nodes=False, keep_ways=True, keep_relations=False)
         if not nodes:
             return edges

@@ -379,3 +379,57 @@ def test_parse_once_caches(src, ray_session):
     # different filter signature -> distinct entry (no false sharing)
     k3 = o._kept_relations(["landuse"], {"landuse": [True]}, "keep", False)
     assert k3[0] is not k1[0]
+
+
+def test_inverted_bbox_raises(src):
+    """Reference regression #241: inverted/degenerate bbox fails at
+    construction with a coordinate-order hint, not a later KeyError."""
+    with pytest.raises(ValueError, match="minx"):
+        OSM(src, bounding_box=(24.96, 60.16, 24.93, 60.20))
+    with pytest.raises(ValueError, match="minx"):
+        OSM(src, bounding_box=(24.93, 60.16, 24.93, 60.20))
+
+
+def test_bbox_outside_extent_returns_empty(src, ray_session):
+    """A bbox with no data yields empty layers, not a crash (reference
+    test_bbox_outside_extent_returns_empty_not_keyerror)."""
+    osm = OSM(src, bounding_box=(10.0, 50.0, 10.1, 50.1))
+    assert osm.get_buildings().count() == 0
+    assert osm.get_pois().count() == 0
+    assert osm.get_network("walking").count() == 0
+
+
+def test_get_network_custom_filter(osm):
+    """Reference regressions test_get_network_custom_filter_*: a custom
+    filter REPLACES the preset selection; dict defaults to exclude,
+    advanced filters default to keep and select by their own keys."""
+    # dict + keep: only footways remain
+    df = osm.get_network(
+        "walking", custom_filter={"highway": ["footway"]},
+        filter_type="keep").to_pandas()
+    assert set(df.highway) == {"footway"}
+    # dict default: exclude over highway ways
+    df2 = osm.get_network(
+        "walking", custom_filter={"highway": ["footway"]}).to_pandas()
+    assert "footway" not in set(df2.highway)
+    assert len(df2) > 0
+    # filter keys surface as columns
+    df3 = osm.get_network(
+        "walking", custom_filter={"highway": ["footway"],
+                                  "foot": ["no"]}).to_pandas()
+    assert "foot" in df3.columns
+    with pytest.raises(ValueError, match="filter_type"):
+        osm.get_network("walking", custom_filter={"highway": ["footway"]},
+                        filter_type="bogus")
+    # tags_to_keep overrides the highway column set
+    df4 = osm.get_network("walking",
+                          tags_to_keep=["name", "highway"]).to_pandas()
+    assert "maxspeed" not in df4.columns and "name" in df4.columns
+
+
+def test_get_network_advanced_custom_filter(osm):
+    """Advanced (bracket/regex) filter: defaults to keep, selects by its
+    own positive keys (reference pyrosm.py:446-466)."""
+    df = osm.get_network(
+        "walking", custom_filter='["highway"~"^foot"]').to_pandas()
+    assert len(df) > 0 and set(df.highway) == {"footway"}
