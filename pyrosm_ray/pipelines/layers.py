@@ -664,7 +664,7 @@ class OSM:
         and encoded driver-side — a crop output is small by contract, and
         PBF is a sequential container (the reference holds the same
         driver-side write contract)."""
-        from pyrosm_ray.sources.pbf_write import write_pbf
+        from pyrosm_ray.sources.pbf_write import write_pbf_auto
         if self.bbox is None:
             raise ValueError(
                 "Cropping requires a bounding box. Construct the OSM "
@@ -738,7 +738,7 @@ class OSM:
             if not len(kept_rels):
                 kept_rels = None
 
-        write_pbf(output_path, kept_nodes,
+        write_pbf_auto(output_path, kept_nodes,
                   kept_ways if len(kept_ways) else None, kept_rels,
                   bbox=(x0, y0, x1, y1))
         return output_path

@@ -311,6 +311,59 @@ def write_pbf(path: str, nodes: pa.Table | None = None,
     return n_blobs
 
 
+PARALLEL_WRITE_MIN_ROWS = 64_000  # ~8 blobs: below this, task overhead wins
+
+
+def write_pbf_auto(path: str, nodes: pa.Table | None = None,
+                   ways: pa.Table | None = None,
+                   relations: pa.Table | None = None, bbox=None) -> int:
+    """Route to :func:`write_pbf_parallel` for large element sets (and a
+    live Ray session), else the serial encoder. Output bytes identical."""
+    import ray as _ray
+    total = sum(t.num_rows for t in (nodes, ways, relations)
+                if t is not None)
+    if total >= PARALLEL_WRITE_MIN_ROWS and _ray.is_initialized():
+        return write_pbf_parallel(path, nodes, ways, relations, bbox=bbox)
+    return write_pbf(path, nodes, ways, relations, bbox=bbox)
+
+
+def write_pbf_parallel(path: str, nodes: pa.Table | None = None,
+                       ways: pa.Table | None = None,
+                       relations: pa.Table | None = None,
+                       bbox=None, block_rows: int = 8000,
+                       window: int = 64) -> int:
+    """Byte-identical to :func:`write_pbf`, but the CPU-heavy block encode
+    (zigzag/varint lanes + zlib) runs as Ray tasks, one per blob; the
+    driver only streams the finished blobs to the file in order. PBF is a
+    sequential container so the file WRITE is inherently serial — the
+    encode is not. ``window`` bounds in-flight blobs (backpressure)."""
+    import ray as _ray
+
+    @_ray.remote
+    def _enc(chunk: pa.Table, kind: str) -> bytes:
+        block = encode_primitive_block(
+            chunk if kind == "n" else None,
+            chunk if kind == "w" else None,
+            chunk if kind == "r" else None)
+        return _blob("OSMData", block)
+
+    pending: list = []
+    n_blobs = 1
+    with open(path, "wb") as f:
+        f.write(_blob("OSMHeader", encode_header_block(bbox)))
+        for t, kind in ((nodes, "n"), (ways, "w"), (relations, "r")):
+            if t is None:
+                continue
+            for s in range(0, t.num_rows, block_rows):
+                pending.append(_enc.remote(t.slice(s, block_rows), kind))
+                n_blobs += 1
+                while len(pending) >= window:
+                    f.write(_ray.get(pending.pop(0)))
+        for r in pending:
+            f.write(_ray.get(r))
+    return n_blobs
+
+
 # ---------------------------------------------------------------------------
 # bbox crop (S10)
 # ---------------------------------------------------------------------------
@@ -700,7 +753,7 @@ def write_frames_to_pbf(nodes_t: pa.Table, ways_t: pa.Table,
     lat = np.asarray(out_nodes["lat"].to_numpy(zero_copy_only=False))
     bbox = (float(lon.min()), float(lat.min()),
             float(lon.max()), float(lat.max())) if len(lon) else None
-    write_pbf(path, out_nodes, out_ways, out_rels, bbox=bbox)
+    write_pbf_auto(path, out_nodes, out_ways, out_rels, bbox=bbox)
     counts.update({
         "nodes": len(out_nodes) if out_nodes is not None else 0,
         "ways": len(out_ways) if out_ways is not None else 0,

@@ -245,3 +245,24 @@ def test_osm_write_pbf_edits_and_subset(ray_session, tmp_path):
     edited = full_ways[full_ways["id"].isin(way_rows["id"])]
     for t in edited["tags"]:
         assert dict(t) == {"building": "edited"}
+
+
+def test_write_pbf_parallel_byte_parity(ray_session, tmp_path):
+    """Parallel block encode produces a byte-identical file to the serial
+    writer (same chunking, Ray tasks only parallelize the encode)."""
+    import pyarrow.parquet as pq
+
+    from pyrosm_ray.fixtures import ensure_fixtures
+    src = ensure_fixtures("sf0.01")
+    nodes = pq.read_table(src / "osm_nodes.parquet")
+    ways = pq.read_table(src / "osm_ways.parquet")
+    rels = pq.read_table(src / "osm_relations.parquet")
+    a = str(tmp_path / "serial.osm.pbf")
+    b = str(tmp_path / "parallel.osm.pbf")
+    n1 = pbf_write.write_pbf(a, nodes, ways, rels, bbox=(24.8, 60.1, 25.2, 60.3))
+    n2 = pbf_write.write_pbf_parallel(b, nodes, ways, rels,
+                                      bbox=(24.8, 60.1, 25.2, 60.3),
+                                      window=4)
+    assert n1 == n2
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
