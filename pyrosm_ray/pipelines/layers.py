@@ -99,7 +99,7 @@ class OSM:
     def __init__(self, src_dir: str, bounding_box=None,
                  strategy: str = "broadcast", keep_metadata: bool = False,
                  num_partitions: int | None = None,
-                 complete_relations: bool = False):
+                 complete_relations: bool = False, timestamp=None):
         self.src = str(src_dir).rstrip("/")
         if bounding_box is not None:
             bb = tuple(float(v) for v in bounding_box)
@@ -117,6 +117,10 @@ class OSM:
         self.keep_metadata = keep_metadata
         self.num_partitions = num_partitions
         self.complete_relations = complete_relations
+        # history cutoff (reference timestamp contract,
+        # pyrosm/pyrosm.py:383-391): element reads keep the latest
+        # version per id with ts <= timestamp; invisible latest drops
+        self.timestamp = timestamp
         self._coord_ref = None
         self._inbox_node_ids = None
         self._schemas: dict[str, pa.Schema] = {}
@@ -177,8 +181,28 @@ class OSM:
         # anti-scaling root cause)
         from pyrosm_ray.sources.parquet import read_parquet_split
         blocks = self.num_partitions or self._auto_blocks(table)
-        return read_parquet_split(self._path(table), columns=columns,
-                                  num_blocks=blocks)
+        if self.timestamp is None:
+            return read_parquet_split(self._path(table), columns=columns,
+                                      num_blocks=blocks)
+        # history cutoff: the merge needs the version/timestamp/visible
+        # columns even when the caller pruned them away
+        names = set(self._schema(table).names)
+        if not {"version", "timestamp"} <= names:
+            return read_parquet_split(self._path(table), columns=columns,
+                                      num_blocks=blocks)
+        from pyrosm_ray.stages.history import latest_at_any
+        need = None if columns is None else sorted(
+            set(columns) | ({"id", "version", "timestamp", "visible"}
+                            & names))
+        ds = read_parquet_split(self._path(table), columns=need,
+                                num_blocks=blocks)
+        ds = latest_at_any(ds, self.timestamp,
+                           visible_col="visible" if "visible" in names
+                           else None)
+        if columns is not None:
+            ds = ds.map_batches(lambda b: b.select(list(columns)),
+                                batch_format="pyarrow")
+        return ds
 
     def nodes(self, columns=None) -> rd.Dataset:
         return self._read("osm_nodes", columns)
@@ -203,7 +227,15 @@ class OSM:
                     self.COORDS_DRIVER_FAST_MAX_BYTES:
                 # local-file fast path: one pyarrow read beats a Ray round
                 # trip; the object-store broadcast is identical either way
-                t = pq.read_table(path, columns=["id", "lon", "lat"])
+                names = set(self._schema("osm_nodes").names)
+                if self.timestamp is not None and \
+                        {"version", "timestamp"} <= names:
+                    cols = ["id", "lon", "lat", "version", "timestamp"] + \
+                        (["visible"] if "visible" in names else [])
+                    t = _latest_at_table(pq.read_table(path, columns=cols),
+                                         self.timestamp)
+                else:
+                    t = pq.read_table(path, columns=["id", "lon", "lat"])
                 ids = np.asarray(t["id"].to_numpy(zero_copy_only=False))
                 order = np.argsort(ids, kind="stable")
                 self._coord_ref = ray.put((
@@ -240,7 +272,24 @@ class OSM:
     def get_network(self, network_type: str = "walking",
                     extra_attributes=None, nodes: bool = False,
                     custom_filter=None, filter_type: str | None = None,
-                    tags_to_keep=None):
+                    tags_to_keep=None, timestamp=None):
+        if timestamp is not None and timestamp != self.timestamp:
+            # history read: a timestamped twin re-derives coordinate
+            # state (coordinates may differ at the cutoff)
+            return OSM(self.src, self.bbox, strategy=self.strategy,
+                       keep_metadata=self.keep_metadata,
+                       num_partitions=self.num_partitions,
+                       complete_relations=self.complete_relations,
+                       timestamp=timestamp).get_network(
+                network_type, extra_attributes, nodes, custom_filter,
+                filter_type, tags_to_keep)
+        return self._get_network(network_type, extra_attributes, nodes,
+                                 custom_filter, filter_type, tags_to_keep)
+
+    def _get_network(self, network_type: str = "walking",
+                     extra_attributes=None, nodes: bool = False,
+                     custom_filter=None, filter_type: str | None = None,
+                     tags_to_keep=None):
         """Edges of the routable network (exclude-type preset filters,
         pyrosm/pyrosm.py:409-466). ``nodes=True`` returns
         ``(nodes_ds, segment_edges_ds)`` — one row per 2-point segment with
@@ -553,6 +602,9 @@ class OSM:
         if self._table_bytes("osm_relations") <= \
                 self.RELATIONS_DRIVER_MAX_BYTES:
             t = pq.read_table(path)
+            if self.timestamp is not None and \
+                    {"version", "timestamp"} <= set(t.column_names):
+                t = _latest_at_table(t, self.timestamp)
             ev = TagBatchEvaluator(t["tags"])
             mask = ev.keep_mask(osm_keys, data_filter, filter_type,
                                 keep_all=keep_all)
@@ -1095,6 +1147,29 @@ def union_aligned(datasets: list[rd.Dataset]) -> rd.Dataset:
     for d in aligned[1:]:
         out = out.union(d)
     return out
+
+
+def _latest_at_table(t: pa.Table, timestamp) -> pa.Table:
+    """Driver-side (in-memory Arrow) twin of history.latest_at for the
+    small relation table: ts <= cutoff, max version per id, invisible
+    latest dropped."""
+    from pyrosm_ray.stages.history import normalize_timestamp
+    cut = normalize_timestamp(timestamp)
+    ts = np.asarray(pc.cast(pc.cast(t["timestamp"], pa.timestamp("s")),
+                            pa.int64()).to_numpy(zero_copy_only=False))
+    t = t.filter(pa.array(ts <= cut))
+    if not len(t):
+        return t
+    ids = np.asarray(t["id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ver = np.asarray(t["version"].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.lexsort((ver, ids))
+    last = np.ones(len(order), dtype=bool)
+    last[:-1] = ids[order][1:] != ids[order][:-1]
+    t = t.take(pa.array(order[last], pa.int64()))
+    if "visible" in t.column_names:
+        t = t.filter(pc.fill_null(t["visible"], False))
+    return t
 
 
 def _in_sorted(values: np.ndarray, sorted_set: np.ndarray) -> np.ndarray:

@@ -48,3 +48,97 @@ def latest_versions(ds, id_col: str = "id", version_col: str = "version",
         return batch.filter(pc.fill_null(batch[visible_col], False))
 
     return j.map_batches(keep_visible, batch_format="pyarrow")
+
+
+def normalize_timestamp(timestamp) -> int:
+    """-> epoch seconds. Accepts int/float epoch s, numpy datetime64,
+    datetime, or an ISO string (reference get_network(timestamp=...):
+    'the closest version of each element up to given timestamp' —
+    inclusive cutoff, pyrosm/pyrosm.py:383-391)."""
+    import datetime as _dt
+
+    import numpy as np
+    if isinstance(timestamp, (int, float)):
+        return int(timestamp)
+    if isinstance(timestamp, np.datetime64):
+        return int(timestamp.astype("datetime64[s]").astype(np.int64))
+    if isinstance(timestamp, _dt.datetime):
+        return int(timestamp.timestamp())
+    return int(np.datetime64(str(timestamp)).astype("datetime64[s]")
+               .astype(np.int64))
+
+
+def latest_at_any(ds, timestamp, id_col: str = "id",
+                  version_col: str = "version",
+                  visible_col: str | None = "visible",
+                  ts_col: str = "timestamp"):
+    """Payload-agnostic ``latest_at``: works for tables with list/map
+    columns (``refs``/``tags``), which acero joins reject as non-key
+    payload. Shape: cutoff filter -> groupby(id).max(version) on the TWO
+    scalar columns only -> broadcast the surviving (id, version) pairs as
+    one sorted combined key (id*2^16 + version; OSM ids < 2^47, versions
+    < 2^16) -> vectorised semi-filter. The broadcast holds 16 B per live
+    element — the same object-store contract as the coordinate index."""
+    import numpy as np
+    import ray
+
+    t = normalize_timestamp(timestamp)
+
+    def cutoff(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch[ts_col], pa.timestamp("s")), pa.int64())
+        return batch.filter(pc.fill_null(pc.less_equal(ts, t), False))
+
+    ds = ds.map_batches(cutoff, batch_format="pyarrow")
+    pairs = ds.map_batches(
+        lambda b: b.select([id_col, version_col]),
+        batch_format="pyarrow").groupby(id_col).max(version_col)
+    keys = []
+    for b in pairs.iter_batches(batch_size=1 << 18,
+                                batch_format="pyarrow"):
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ver = np.asarray(b[f"max({version_col})"].to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        keys.append((ids << 16) | ver)
+    key_arr = np.sort(np.concatenate(keys)) if keys else \
+        np.empty(0, dtype=np.int64)
+    key_ref = ray.put(key_arr)
+
+    def keep_latest(batch: pa.Table) -> pa.Table:
+        arr = ray.get(key_ref)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ver = np.asarray(batch[version_col].to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        k = (ids << 16) | ver
+        if len(arr):
+            pos = np.clip(np.searchsorted(arr, k), 0, len(arr) - 1)
+            m = arr[pos] == k
+        else:
+            m = np.zeros(len(k), dtype=bool)
+        if visible_col is not None and visible_col in batch.column_names:
+            m &= np.asarray(pc.fill_null(batch[visible_col], False)
+                            .to_numpy(zero_copy_only=False))
+        return batch.filter(pa.array(m))
+
+    return ds.map_batches(keep_latest, batch_format="pyarrow")
+
+
+def latest_at(ds, timestamp, id_col: str = "id",
+              version_col: str = "version", visible_col: str = "visible",
+              ts_col: str = "timestamp", num_partitions: int = 8):
+    """Element state as of ``timestamp`` (M10 + A1): rows with
+    ``ts <= timestamp`` (inclusive), then each id's maximum surviving
+    version, invisible latest dropped (reference
+    data_filter.pyx:340-343 + the timestamp contract of
+    pyrosm/pyrosm.py:383-391)."""
+    t = normalize_timestamp(timestamp)
+
+    def cutoff(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch[ts_col], pa.timestamp("s")), pa.int64())
+        return batch.filter(pc.fill_null(pc.less_equal(ts, t), False))
+
+    return latest_versions(
+        ds.map_batches(cutoff, batch_format="pyarrow"), id_col=id_col,
+        version_col=version_col, visible_col=visible_col,
+        num_partitions=num_partitions)

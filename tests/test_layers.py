@@ -433,3 +433,82 @@ def test_get_network_advanced_custom_filter(osm):
     df = osm.get_network(
         "walking", custom_filter='["highway"~"^foot"]').to_pandas()
     assert len(df) > 0 and set(df.highway) == {"footway"}
+
+
+def test_timestamp_history_reads(ray_session, tmp_path):
+    """OSM(timestamp=...) reads the element state as of the cutoff:
+    latest version per id with ts <= t, invisible latest drops the
+    element (reference timestamp contract, pyrosm.py:383-391)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    TAGS = pa.map_(pa.string(), pa.string())
+    T1 = np.datetime64("2024-01-01", "s")
+    T2 = np.datetime64("2025-01-01", "s")
+
+    def nodes_at(version, dx, t):
+        return {
+            "id": list(range(1, 5)), "version": [version] * 4,
+            "lon": [0.0 + dx, 0.001 + dx, 0.001 + dx, 0.0 + dx],
+            "lat": [0.0, 0.0, 0.001, 0.001],
+            "tags": [[]] * 4,
+            "timestamp": [t] * 4, "visible": [True] * 4}
+    n1, n2 = nodes_at(1, 0.0, T1), nodes_at(2, 0.01, T2)
+    types = {"tags": TAGS, "timestamp": pa.timestamp("s"),
+             "version": pa.int32(), "id": pa.int64()}
+    nodes = pa.table({k: pa.array(n1[k] + n2[k], types.get(k))
+                      for k in n1})
+    ways = pa.table({
+        "id": pa.array([100, 100, 200, 200], pa.int64()),
+        "version": pa.array([1, 2, 1, 2], pa.int32()),
+        "refs": pa.array([[1, 2, 3, 4, 1]] * 4, pa.list_(pa.int64())),
+        "tags": pa.array([[("building", "yes")], [("building", "retail")],
+                          [("building", "yes")], [("building", "yes")]],
+                         TAGS),
+        "timestamp": pa.array([T1, T2, T1, T2], pa.timestamp("s")),
+        "visible": pa.array([True, True, True, False]),  # 200 deleted @T2
+    })
+    rels = pa.table({
+        "id": pa.array([], pa.int64()),
+        "members": pa.array([], pa.list_(pa.struct(
+            [("member_id", pa.int64()), ("member_type", pa.string()),
+             ("member_role", pa.string())]))),
+        "tags": pa.array([], TAGS),
+        "version": pa.array([], pa.int32()),
+        "timestamp": pa.array([], pa.timestamp("s")),
+        "visible": pa.array([], pa.bool_()),
+    })
+    pq.write_table(nodes, tmp_path / "osm_nodes.parquet")
+    pq.write_table(ways, tmp_path / "osm_ways.parquet")
+    pq.write_table(rels, tmp_path / "osm_relations.parquet")
+
+    b1 = OSM(str(tmp_path), timestamp="2024-06-01") \
+        .get_buildings().to_pandas().sort_values("id")
+    assert list(b1.id) == [100, 200]
+    assert set(b1.building) == {"yes"}
+    # v1 coordinates (no +0.01 shift)
+    rings = wkb.decode_wkb(b1.iloc[0].geometry)[1]
+    assert abs(rings[0][:, 0].max() - 0.001) < 1e-9
+
+    b2 = OSM(str(tmp_path), timestamp="2025-06-01") \
+        .get_buildings().to_pandas().sort_values("id")
+    assert list(b2.id) == [100]            # way 200 invisible at T2
+    assert list(b2.building) == ["retail"]  # v2 tags win
+    rings = wkb.decode_wkb(b2.iloc[0].geometry)[1]
+    assert abs(rings[0][:, 0].max() - 0.011) < 1e-9  # v2 coords
+
+    # get_network(timestamp=...) delegates to a timestamped twin
+    hw = pa.table({
+        "id": pa.array([300], pa.int64()),
+        "version": pa.array([1], pa.int32()),
+        "refs": pa.array([[1, 2]], pa.list_(pa.int64())),
+        "tags": pa.array([[("highway", "residential")]], TAGS),
+        "timestamp": pa.array([T2], pa.timestamp("s")),
+        "visible": pa.array([True]),
+    })
+    pq.write_table(pa.concat_tables([ways, hw]),
+                   tmp_path / "osm_ways.parquet")
+    osm = OSM(str(tmp_path))
+    early = osm.get_network("driving", timestamp="2024-06-01").to_pandas()
+    assert len(early) == 0                 # highway way not yet created
+    late = osm.get_network("driving", timestamp="2025-06-01").to_pandas()
+    assert list(late.id) == [300]
