@@ -101,18 +101,40 @@ class OSM:
                  num_partitions: int | None = None,
                  complete_relations: bool = False, timestamp=None):
         self.src = str(src_dir).rstrip("/")
-        if bounding_box is not None:
-            bb = tuple(float(v) for v in bounding_box)
-            # reference regression #241 (pyrosm tests
-            # test_inverted_bbox_raises_valueerror_with_coord_order_hint):
-            # inverted/degenerate boxes fail construction, not a later read
-            if len(bb) != 4 or not (bb[0] < bb[2] and bb[1] < bb[3]):
-                raise ValueError(
-                    "Invalid bounding box: expected (minx, miny, maxx, "
-                    f"maxy) with minx < maxx and miny < maxy, got {bb}")
-            self.bbox = bb
-        else:
+        self._bbox_input = bounding_box
+        self.bbox_rings = None  # polygon bounding box: list of (N,2) rings
+        if bounding_box is None:
             self.bbox = None
+        elif isinstance(bounding_box, (bytes, bytearray)):
+            # WKB Polygon/MultiPolygon (the reference accepts shapely
+            # polygons, pyrosm/utils validate_bounding_box; holes filter
+            # with even-odd semantics)
+            self.bbox_rings = wkblib.polygon_rings(bytes(bounding_box))
+            xs = np.concatenate([r[:, 0] for r in self.bbox_rings])
+            ys = np.concatenate([r[:, 1] for r in self.bbox_rings])
+            self.bbox = (float(xs.min()), float(ys.min()),
+                         float(xs.max()), float(ys.max()))
+        else:
+            arr = np.asarray(bounding_box, dtype=np.float64)
+            if arr.ndim == 2 and arr.shape[1] == 2:
+                # coordinate ring (closed or not)
+                if len(arr) < 3 or len(np.unique(arr, axis=0)) < 3:
+                    raise ValueError(
+                        "Polygon bounding box needs >= 3 distinct vertices")
+                if not np.array_equal(arr[0], arr[-1]):
+                    arr = np.vstack([arr, arr[:1]])
+                self.bbox_rings = [arr]
+                self.bbox = (float(arr[:, 0].min()), float(arr[:, 1].min()),
+                             float(arr[:, 0].max()), float(arr[:, 1].max()))
+            else:
+                bb = tuple(float(v) for v in bounding_box)
+                # reference regression #241: inverted/degenerate boxes
+                # fail construction, not a later read
+                if len(bb) != 4 or not (bb[0] < bb[2] and bb[1] < bb[3]):
+                    raise ValueError(
+                        "Invalid bounding box: expected (minx, miny, maxx, "
+                        f"maxy) with minx < maxx and miny < maxy, got {bb}")
+                self.bbox = bb
         self.strategy = strategy
         self.keep_metadata = keep_metadata
         self.num_partitions = num_partitions
@@ -249,18 +271,26 @@ class OSM:
                     self.nodes(columns=["id", "lon", "lat"]))
         return self._coord_ref
 
+    def point_mask(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Point-in-bounding-box predicate (M9): rectangle test, or
+        even-odd over the polygon rings when the box is a polygon."""
+        x0, y0, x1, y1 = self.bbox
+        m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+        if self.bbox_rings is not None:
+            m &= ops.points_in_rings_even_odd(self.bbox_rings, lon, lat)
+        return m
+
     def inbox_node_ids(self):
         """Sorted in-box node id array (bbox semi-join side, broadcast)."""
         if self.bbox is None:
             return None
         if self._inbox_node_ids is None:
-            x0, y0, x1, y1 = self.bbox
             ids = []
             for b in self.nodes(columns=["id", "lon", "lat"]).iter_batches(
                     batch_size=1 << 20, batch_format="pyarrow"):
                 lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
                 lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
-                m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
+                m = self.point_mask(lon, lat)
                 ids.append(np.asarray(
                     b["id"].to_numpy(zero_copy_only=False))[m])
             arr = np.sort(np.concatenate(ids)) if ids else np.empty(
@@ -526,7 +556,9 @@ class OSM:
                 osm_keys, data_filter, filter_type, keep_all, tag_columns)))
 
         out = self._union_parts(parts, tag_columns, mode, keep_nodes)
-        if self.bbox is not None:
+        if self.bbox_rings is not None:
+            out = filter_intersects_poly(out, self.bbox_rings, self.bbox)
+        elif self.bbox is not None:
             out = filter_intersects_bbox(out, self.bbox)
         return out
 
@@ -660,6 +692,7 @@ class OSM:
         node_cols = ["id", "lon", "lat", "tags"] + self._meta_cols("osm_nodes")
         nodes = self.nodes(columns=node_cols)
         bbox = self.bbox
+        rings = self.bbox_rings
 
         def node_filter(batch: pa.Table) -> pa.Table:
             ev = TagBatchEvaluator(batch["tags"])
@@ -670,6 +703,8 @@ class OSM:
                 lat = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
                 mask &= ((lon >= bbox[0]) & (lon <= bbox[2])
                          & (lat >= bbox[1]) & (lat <= bbox[3]))
+                if rings is not None:
+                    mask &= ops.points_in_rings_even_odd(rings, lon, lat)
             batch = batch.filter(pa.array(mask))
             out = promote_tags(batch, tag_columns)
             xs = np.asarray(out["lon"].to_numpy(zero_copy_only=False))
@@ -1194,6 +1229,65 @@ def filter_intersects_bbox(ds: rd.Dataset, bbox) -> rd.Dataset:
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def filter_intersects_poly(ds: rd.Dataset, rings, envelope) -> rd.Dataset:
+    """Exact geometry-vs-polygon intersects filter (J7 for a polygon
+    bounding box; even-odd over ``rings``, so holes exclude)."""
+    x0, y0, x1, y1 = envelope
+
+    def f(batch: pa.Table) -> pa.Table:
+        geoms = batch["geometry"].to_pylist()
+        keep = np.fromiter(
+            (g is not None and _wkb_intersects_poly(g, rings, x0, y0,
+                                                    x1, y1)
+             for g in geoms), dtype=bool, count=len(geoms))
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _wkb_intersects_poly(buf: bytes, rings, x0, y0, x1, y1) -> bool:
+    gt, payload = wkblib.decode_wkb(buf)
+    if gt == wkblib.POINT:
+        return bool(ops.points_in_rings_even_odd(
+            rings, np.array([payload[0]]), np.array([payload[1]]))[0])
+    if gt in (wkblib.LINESTRING, wkblib.MULTIPOINT):
+        parts = [payload]
+    elif gt in (wkblib.POLYGON, wkblib.MULTILINESTRING):
+        parts = payload
+    else:
+        parts = [r for rr in payload for r in rr]
+    as_seg = gt != wkblib.MULTIPOINT
+    for coords in parts:
+        cx, cy = coords[:, 0], coords[:, 1]
+        # envelope fast-reject for this part
+        if cx.max() < x0 or cx.min() > x1 or cy.max() < y0 or cy.min() > y1:
+            continue
+        # any vertex inside the polygon (even-odd: holes exclude)
+        if bool(np.any(ops.points_in_rings_even_odd(rings, cx, cy))):
+            return True
+        if not as_seg or len(coords) < 2:
+            continue
+        # any geometry segment crossing any polygon ring edge
+        a, b = coords[:-1], coords[1:]
+        for ring in rings:
+            for j in range(len(ring) - 1):
+                if bool(np.any(_segments_cross(
+                        a, b, ring[j, 0], ring[j, 1],
+                        ring[j + 1, 0], ring[j + 1, 1]))):
+                    return True
+    # geometry polygon fully containing the bbox polygon: any ring
+    # vertex of the box inside the geometry
+    if gt in (wkblib.POLYGON, wkblib.MULTIPOLYGON):
+        grings = payload if gt == wkblib.POLYGON else \
+            [r for rr in payload for r in rr]
+        bx, by = rings[0][:, 0], rings[0][:, 1]
+        if bx.min() >= min(r[:, 0].min() for r in grings) and \
+                bx.max() <= max(r[:, 0].max() for r in grings):
+            return bool(np.any(ops.points_in_rings_even_odd(
+                grings, bx, by)))
+    return False
 
 
 def _wkb_intersects_rect(buf: bytes, x0, y0, x1, y1) -> bool:

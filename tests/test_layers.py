@@ -512,3 +512,39 @@ def test_timestamp_history_reads(ray_session, tmp_path):
     assert len(early) == 0                 # highway way not yet created
     late = osm.get_network("driving", timestamp="2025-06-01").to_pandas()
     assert list(late.id) == [300]
+
+
+def test_polygon_bbox_rect_ring_parity(src, ray_session):
+    """A polygon bounding box that IS the TEST_BBOX rectangle must produce
+    exactly the rectangle-bbox layer (differential: even-odd + crossing
+    paths vs the rect fast path)."""
+    x0, y0, x1, y1 = TEST_BBOX
+    ring = [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]
+    rect = OSM(src, bounding_box=TEST_BBOX).get_buildings().to_pandas() \
+        .sort_values(["osm_type", "id"]).reset_index(drop=True)
+    poly = OSM(src, bounding_box=ring).get_buildings().to_pandas() \
+        .sort_values(["osm_type", "id"]).reset_index(drop=True)
+    assert list(rect.id) == list(poly.id)
+    assert all(a == b for a, b in zip(rect.geometry, poly.geometry))
+
+
+def test_polygon_bbox_triangle(src, ray_session):
+    """A triangle over half the TEST_BBOX keeps a strict subset of the
+    rectangle's features, and each kept geometry really intersects it."""
+    x0, y0, x1, y1 = TEST_BBOX
+    tri = [[x0, y0], [x1, y0], [x0, y1], [x0, y0]]
+    rect_n = len(OSM(src, bounding_box=TEST_BBOX).get_buildings()
+                 .to_pandas())
+    df = OSM(src, bounding_box=tri).get_buildings().to_pandas()
+    assert 0 < len(df) < rect_n
+    import numpy as _np
+
+    from pyrosm_ray.pipelines.layers import _wkb_intersects_poly
+    ring = _np.asarray(tri, dtype=_np.float64)
+    for g in df.geometry:
+        assert _wkb_intersects_poly(g, [ring], x0, y0, x1, y1)
+    # WKB polygon input is accepted too and matches the ring input
+    from pyrosm_ray.geom import wkb as _wkb
+    df2 = OSM(src, bounding_box=_wkb.polygon_wkb([ring])) \
+        .get_buildings().to_pandas()
+    assert sorted(df2.id) == sorted(df.id)
