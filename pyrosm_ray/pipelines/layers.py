@@ -306,11 +306,7 @@ class OSM:
         if timestamp is not None and timestamp != self.timestamp:
             # history read: a timestamped twin re-derives coordinate
             # state (coordinates may differ at the cutoff)
-            return OSM(self.src, self.bbox, strategy=self.strategy,
-                       keep_metadata=self.keep_metadata,
-                       num_partitions=self.num_partitions,
-                       complete_relations=self.complete_relations,
-                       timestamp=timestamp).get_network(
+            return self._at(timestamp).get_network(
                 network_type, extra_attributes, nodes, custom_filter,
                 filter_type, tags_to_keep)
         return self._get_network(network_type, extra_attributes, nodes,
@@ -384,36 +380,76 @@ class OSM:
             node_semi, batch_format="pyarrow")
         return node_ds, edges
 
-    def get_buildings(self, custom_filter=None) -> rd.Dataset:
+    def _at(self, timestamp):
+        """Self, or a timestamped twin for history reads (getter-level
+        ``timestamp`` params, reference pyrosm.py get_* signatures)."""
+        if timestamp is None or timestamp == self.timestamp:
+            return self
+        return OSM(self.src, self._bbox_input, strategy=self.strategy,
+                   keep_metadata=self.keep_metadata,
+                   num_partitions=self.num_partitions,
+                   complete_relations=self.complete_relations,
+                   timestamp=timestamp)
+
+    @staticmethod
+    def _with_extra(tag_cols: list[str], extra_attributes) -> list[str]:
+        if extra_attributes:
+            tag_cols = tag_cols + [c for c in extra_attributes
+                                   if c not in tag_cols]
+        return tag_cols
+
+    def get_buildings(self, custom_filter=None, extra_attributes=None,
+                      timestamp=None) -> rd.Dataset:
+        if timestamp is not None and timestamp != self.timestamp:
+            return self._at(timestamp).get_buildings(
+                custom_filter, extra_attributes)
         f = compile_custom_filter(custom_filter) if custom_filter is not None \
             else {"building": [True]}
         f = _ensure_filter_key(f, "building")
         return self._layer(
             osm_keys=_filter_keys(f, None), data_filter=f, filter_type="keep",
-            tag_columns=list(config.TAG_COLUMNS["building"]), mode="area",
+            tag_columns=self._with_extra(
+                list(config.TAG_COLUMNS["building"]), extra_attributes),
+            mode="area",
             keep_nodes=False, keep_ways=True, keep_relations=True)
 
-    def get_landuse(self, custom_filter=None) -> rd.Dataset:
+    def get_landuse(self, custom_filter=None, extra_attributes=None,
+                    timestamp=None) -> rd.Dataset:
+        if timestamp is not None and timestamp != self.timestamp:
+            return self._at(timestamp).get_landuse(
+                custom_filter, extra_attributes)
         f = compile_custom_filter(custom_filter) if custom_filter is not None \
             else {"landuse": [True]}
         f = _ensure_filter_key(f, "landuse")
         return self._layer(
             osm_keys=_filter_keys(f, None), data_filter=f, filter_type="keep",
-            tag_columns=list(config.TAG_COLUMNS["landuse"]), mode="area",
+            tag_columns=self._with_extra(
+                list(config.TAG_COLUMNS["landuse"]), extra_attributes),
+            mode="area",
             keep_nodes=True, keep_ways=True, keep_relations=True)
 
-    def get_natural(self, custom_filter=None) -> rd.Dataset:
+    def get_natural(self, custom_filter=None, extra_attributes=None,
+                    timestamp=None) -> rd.Dataset:
+        if timestamp is not None and timestamp != self.timestamp:
+            return self._at(timestamp).get_natural(
+                custom_filter, extra_attributes)
         f = compile_custom_filter(custom_filter) if custom_filter is not None \
             else {"natural": [True]}
         f = _ensure_filter_key(f, "natural")
         return self._layer(
             osm_keys=_filter_keys(f, None), data_filter=f, filter_type="keep",
-            tag_columns=list(config.TAG_COLUMNS["natural"]), mode="area",
+            tag_columns=self._with_extra(
+                list(config.TAG_COLUMNS["natural"]), extra_attributes),
+            mode="area",
             keep_nodes=True, keep_ways=True, keep_relations=True)
 
-    def get_pois(self, custom_filter=None) -> rd.Dataset:
+    def get_pois(self, custom_filter=None, extra_attributes=None,
+                 timestamp=None) -> rd.Dataset:
         """POIs default to {amenity,shop,tourism}: True
         (pyrosm/pyrosm.py:972-977)."""
+        if timestamp is not None and timestamp != self.timestamp:
+            return self._at(timestamp).get_pois(
+                custom_filter, extra_attributes)
         f = compile_custom_filter(custom_filter) if custom_filter is not None \
             else {"amenity": True, "shop": True, "tourism": True}
         keys = _filter_keys(f, None)
@@ -422,16 +458,23 @@ class OSM:
                           | set(config.BASIC_INFO_TAGS) | set(keys))
         return self._layer(
             osm_keys=keys, data_filter=f, filter_type="keep",
-            tag_columns=tag_cols, mode="area",
+            tag_columns=self._with_extra(tag_cols, extra_attributes),
+            mode="area",
             keep_nodes=True, keep_ways=True, keep_relations=True)
 
     def get_boundaries(self, boundary_type: str = "administrative",
-                       name: str | None = None) -> rd.Dataset:
+                       name: str | None = None, extra_attributes=None,
+                       timestamp=None) -> rd.Dataset:
+        if timestamp is not None and timestamp != self.timestamp:
+            return self._at(timestamp).get_boundaries(
+                boundary_type, name, extra_attributes)
         f = {"boundary": True} if boundary_type == "all" else \
             {"boundary": [boundary_type]}
         ds = self._layer(
             osm_keys=["boundary"], data_filter=f, filter_type="keep",
-            tag_columns=list(config.TAG_COLUMNS["boundary"]), mode="area",
+            tag_columns=self._with_extra(
+                list(config.TAG_COLUMNS["boundary"]), extra_attributes),
+            mode="area",
             keep_nodes=False, keep_ways=True, keep_relations=True)
         if name:
             # substring match on the name column (pyrosm/boundary.py:70-81)

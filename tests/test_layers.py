@@ -548,3 +548,14 @@ def test_polygon_bbox_triangle(src, ray_session):
     df2 = OSM(src, bounding_box=_wkb.polygon_wkb([ring])) \
         .get_buildings().to_pandas()
     assert sorted(df2.id) == sorted(df.id)
+
+
+def test_getter_extra_attributes_and_timestamp(osm, src, ray_session):
+    """Reference getter signatures: extra_attributes adds tag columns;
+    getter-level timestamp delegates to a timestamped twin."""
+    df = osm.get_buildings(extra_attributes=["opening_hours"]).to_pandas()
+    assert "opening_hours" in df.columns
+    n_all = len(osm.get_buildings().to_pandas())
+    assert len(OSM(src).get_buildings(timestamp="2030-01-01")
+               .to_pandas()) == n_all
+    assert len(OSM(src).get_pois(timestamp="2000-01-01").to_pandas()) == 0
