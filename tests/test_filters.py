@@ -194,3 +194,30 @@ def test_always_keep_override():
     # motorway excluded, untagged way kept via relation-member override,
     # building dropped by candidate gate
     np.testing.assert_array_equal(mask, [False, True, False])
+
+
+def test_reference_advanced_filter_edge_cases():
+    """Pins the reference's advanced-filter edge semantics
+    (tests/test_advanced_filter.py): quote-aware values, whitespace
+    between brackets, the ,i flag, the invalid-filter matrix, idempotent
+    compile, pickle roundtrip."""
+    import pickle
+
+    import pytest
+    f = compile_custom_filter('["name"~"a]b"]')  # bracket inside value
+    assert f.matches({"name": "xa]bx"}) and not f.matches({"name": "ab"})
+    f = compile_custom_filter('["highway"~"path"]  ["bicycle"~"designated"]')
+    assert f.matches({"highway": "path", "bicycle": "designated"})
+    assert not f.matches({"highway": "path"})
+    f = compile_custom_filter('["name"~"oxford",i]')
+    assert f.matches({"name": "OXFORD Street"})
+    assert not compile_custom_filter('["name"~"oxford"]').matches(
+        {"name": "OXFORD Street"})
+    for bad in ('["highway"', '["highway"="a"', '[~"^addr:.*$"~"."]',
+                '["a"!="b"]', '["a"#"b"]', '["a"="b",x]', '["a"="b",i]'):
+        with pytest.raises(ValueError):
+            compile_custom_filter(bad)
+    f = compile_custom_filter('["a"="x"]')
+    assert compile_custom_filter(f) is f
+    g = pickle.loads(pickle.dumps(f))
+    assert g.matches({"a": "x"}) and not g.matches({"a": "y"})
