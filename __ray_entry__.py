@@ -141,6 +141,16 @@ def q_lang_id(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_sessionize(sf_dir: str):
+    """Session-gap window over the events stream (30-min gap): one row
+    per (user, session) with start/end, count, integer-cent value sum."""
+    from pyrosm_ray.stages.windows import sessionize
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value"])
+    df = sessionize(ds, gap_s=1800).to_pandas()
+    return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+
+
 def q_repetition(sf_dir: str):
     from pyrosm_ray.stages.text import repetition_stats
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -855,6 +865,29 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(list_aggregate(regexp_extract_all(lower(text),
                 '\\S+'), 'string_agg', ' '))
             ORDER BY doc_id""",
+        "q_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts, event_id, value,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR ts - LAG(ts) OVER w > INTERVAL 1800 SECOND
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sessions AS (
+              SELECT user_id, ts, value,
+                     SUM(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                         AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT
+                       AS value_cents
+            FROM sessions GROUP BY user_id, session_id
+            ORDER BY user_id, session_id""",
         "q_repetition": """
             WITH lines AS (
               SELECT doc_id, unnest(str_split(lower(text), chr(10))) AS ln
@@ -1158,6 +1191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,
         "q_repetition": q_repetition,
+        "q_sessionize": q_sessionize,
         "q_exact_dedup": q_exact_dedup,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
