@@ -141,6 +141,51 @@ def q_lang_id(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_MESSY_URL_SQL = (
+    "(CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS' "
+    "ELSE 'HtTp' END || '://' || "
+    "CASE WHEN doc_id % 2 = 0 "
+    "THEN 'www.site' || (doc_id % 50) || '.example' "
+    "ELSE 'WWW.Site' || (doc_id % 50) || '.Example' END || "
+    "CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443' "
+    "WHEN 2 THEN ':8080' ELSE '' END || "
+    "CASE WHEN doc_id % 7 = 0 THEN '' ELSE '/P/' || doc_id END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '#Sec' || doc_id ELSE '' END)")
+
+
+def _messy_urls(ids: "np.ndarray") -> list[str]:
+    """The engine-side twin of _MESSY_URL_SQL (one messy URL per doc)."""
+    out = []
+    for d in ids.tolist():
+        scheme = ("http", "HTTPS", "HtTp")[d % 3]
+        host = (f"www.site{d % 50}.example" if d % 2 == 0
+                else f"WWW.Site{d % 50}.Example")
+        port = (":80", ":443", ":8080", "")[d % 4]
+        path = "" if d % 7 == 0 else f"/P/{d}"
+        frag = f"#Sec{d}" if d % 5 == 0 else ""
+        out.append(f"{scheme}://{host}{port}{path}{frag}")
+    return out
+
+
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization over deterministically messy URLs (mixed-case
+    scheme/host, default ports, fragments, empty paths); the oracle
+    recomputes synthesis AND canonical form in SQL with the same RE2."""
+    from pyrosm_ray.stages.urls import canonicalize_urls
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "url": pa.array(_messy_urls(ids), pa.string())})
+
+    df = canonicalize_urls(
+        ds.map_batches(synth, batch_format="pyarrow")).to_pandas()
+    return df[["doc_id", "url_canon"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str):
     """Session-gap window over the events stream (30-min gap): one row
     per (user, session) with start/end, count, integer-cent value sum."""
@@ -1176,6 +1221,10 @@ def oracle_sql() -> dict[str, str]:
     }
     # exact partitioned variant shares the broadcast kNN oracle
     out["q_knn_join_partitioned"] = out["q_knn_join"]
+    from pyrosm_ray.stages.urls import canonicalize_sql
+    out["q_url_canonical"] = (
+        f"SELECT doc_id, {canonicalize_sql(_MESSY_URL_SQL)} AS url_canon "
+        f"FROM documents ORDER BY doc_id")
     return out
 
 
@@ -1192,6 +1241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_fingerprint_md5": q_fingerprint_md5,
         "q_repetition": q_repetition,
         "q_sessionize": q_sessionize,
+        "q_url_canonical": q_url_canonical,
         "q_exact_dedup": q_exact_dedup,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
