@@ -40,6 +40,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from pyrosm_ray.stages.similarity import _emb_matrix
 from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
 from pyrosm_ray.stages.components import attach_components, \
     connected_components
@@ -732,7 +733,7 @@ def embedding_near_dup(ds, id_col: str = "vec_id",
 
     if lsh_sort:
         def key_rows(batch: pa.Table) -> pa.Table:
-            emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+            emb = _emb_matrix(batch, emb_col)  # zero-copy list<float>
             if emb.size:
                 h = _lsh_hyperplanes(emb.shape[1])
                 bits = (emb @ h) > 0
@@ -745,7 +746,7 @@ def embedding_near_dup(ds, id_col: str = "vec_id",
             .sort("__lsh_key")
 
     def pack(batch: pa.Table) -> pa.Table:
-        emb = np.array(batch[emb_col].to_pylist(), dtype=np.float64)
+        emb = _emb_matrix(batch, emb_col)  # zero-copy list<float>
         emb = emb / np.maximum(
             np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
