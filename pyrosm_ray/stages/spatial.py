@@ -429,7 +429,11 @@ def pack_polygon_index(polygons_ds, id_col: str = "id",
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    target = target_shards or int(np.clip(4 * cpus, 1, 256))
+    # shard count scales with BOTH the cluster and the data: ~5k polygons
+    # per shard floor keeps small layers from paying 4*cpus tiny-task
+    # overheads, while big layers still fan out to every core
+    target = target_shards or int(np.clip(
+        min(4 * cpus, n_polys // 5000 + 1), 1, 256))
     # 2^r grid spans 360x180 deg; occupied cells over the data extent
     # ~ spanx*spany*4^r/(360*180) — solve for ~target shards
     top_res = int(np.clip(round(0.5 * np.log2(
