@@ -18,6 +18,7 @@ import zlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 NANO_PER_UNIT = 100          # granularity (nanodegrees per coordinate unit)
 DATE_GRAN = 1000             # millis per timestamp unit
@@ -143,9 +144,12 @@ def _meta_arrays(t: pa.Table, n: int):
                          np.int64) if "version" in names else \
         np.zeros(n, np.int64)
     if "timestamp" in names:
-        ts = t["timestamp"].cast(pa.timestamp("ms")).cast(pa.int64())
-        ts = np.asarray(ts.to_numpy(zero_copy_only=False), np.int64)
-        ts = np.where(np.isnan(ts.astype(np.float64)), 0, ts) // DATE_GRAN
+        # null timestamps must become 0 BEFORE leaving Arrow: to_numpy on
+        # a nullable column yields NaN floats whose int64 cast is garbage
+        tcol = t["timestamp"].cast(pa.timestamp("ms")).cast(pa.int64())
+        tcol = pc.fill_null(tcol, 0)
+        ts = np.asarray(tcol.to_numpy(zero_copy_only=False),
+                        np.int64) // DATE_GRAN
     else:
         ts = np.zeros(n, np.int64)
     changeset = np.asarray(t["changeset"].to_numpy(zero_copy_only=False),
@@ -368,6 +372,29 @@ def write_pbf_parallel(path: str, nodes: pa.Table | None = None,
 # bbox crop (S10)
 # ---------------------------------------------------------------------------
 
+_TAGS_T = pa.map_(pa.string(), pa.string())
+_MEMBERS_T = pa.list_(pa.struct([("member_id", pa.int64()),
+                                 ("member_type", pa.string()),
+                                 ("member_role", pa.string())]))
+_EMPTY_NODES = pa.schema([("id", pa.int64()), ("lon", pa.float64()),
+                          ("lat", pa.float64()),
+                          ("tags", _TAGS_T)]).empty_table()
+_EMPTY_WAYS = pa.schema([("id", pa.int64()),
+                         ("refs", pa.list_(pa.int64())),
+                         ("tags", _TAGS_T)]).empty_table()
+_EMPTY_RELS = pa.schema([("id", pa.int64()), ("members", _MEMBERS_T),
+                         ("tags", _TAGS_T)]).empty_table()
+
+
+def _collect_tables(ds, empty_fallback: pa.Table) -> pa.Table:
+    """Concat a (small, already filtered) Dataset to one driver table.
+    A fully-filtered dataset yields ZERO batches from iter_batches —
+    fall back to a minimal-schema empty table instead of crashing."""
+    parts = [pa.table(b) for b in ds.iter_batches(
+        batch_size=1 << 16, batch_format="pyarrow")]
+    return pa.concat_tables(parts) if parts else empty_fallback
+
+
 def crop_pbf(src_path: str, out_path: str, bbox,
              complete_ways: bool = True) -> dict:
     """Crop ``src_path`` to ``bbox`` and re-emit valid blobs (reference
@@ -391,10 +418,8 @@ def crop_pbf(src_path: str, out_path: str, bbox,
         m = (lon >= x0) & (lon <= x1) & (lat >= y0) & (lat <= y1)
         return b.filter(pa.array(m))
 
-    kept_nodes = pa.concat_tables(
-        [pa.table(b) for b in nodes_ds.map_batches(
-            inbox, batch_format="pyarrow").iter_batches(
-            batch_size=1 << 16, batch_format="pyarrow")])
+    kept_nodes = _collect_tables(nodes_ds.map_batches(
+        inbox, batch_format="pyarrow"), _EMPTY_NODES)
     inbox_ids = np.sort(np.asarray(
         kept_nodes["id"].to_numpy(zero_copy_only=False), np.int64))
 
@@ -410,16 +435,17 @@ def crop_pbf(src_path: str, out_path: str, bbox,
                       max(len(inbox_ids) - 1, 0))
         hit = (inbox_ids[pos] == flat) if len(inbox_ids) else \
             np.zeros(len(flat), bool)
-        cnt = np.add.reduceat(hit, off[:-1]) if len(flat) else \
-            np.zeros(b.num_rows, bool)
-        cnt = np.asarray(cnt, dtype=np.int64)
-        cnt[off[:-1] == off[1:]] = 0
+        # cumsum-over-hit (not reduceat): handles empty trailing refs
+        # (offset == len(flat) is out of reduceat's bounds) and re-bases
+        # the offsets — flatten() values are re-based, raw offsets not
+        base = off - off[0]
+        hc = np.zeros(len(flat) + 1, np.int64)
+        np.cumsum(hit, out=hc[1:])
+        cnt = hc[base[1:]] - hc[base[:-1]]
         return b.filter(pa.array(cnt > 0))
 
-    kept_ways = pa.concat_tables(
-        [pa.table(b) for b in ways_ds.map_batches(
-            way_touch, batch_format="pyarrow").iter_batches(
-            batch_size=1 << 16, batch_format="pyarrow")])
+    kept_ways = _collect_tables(ways_ds.map_batches(
+        way_touch, batch_format="pyarrow"), _EMPTY_WAYS)
 
     if complete_ways and kept_ways.num_rows:
         need = np.unique(np.asarray(
@@ -439,11 +465,12 @@ def crop_pbf(src_path: str, out_path: str, bbox,
                 np.zeros(len(ids), bool)
             return b.filter(pa.array(m))
 
-        extra = pa.concat_tables(
-            [pa.table(b) for b in read_pbf(src_path, "nodes").map_batches(
-                pull_missing, batch_format="pyarrow").iter_batches(
-                batch_size=1 << 16, batch_format="pyarrow")])
-        if extra.num_rows:
+        parts = [pa.table(b) for b in read_pbf(src_path, "nodes")
+                 .map_batches(pull_missing, batch_format="pyarrow")
+                 .iter_batches(batch_size=1 << 16, batch_format="pyarrow")
+                 ] if len(missing) else []
+        extra = pa.concat_tables(parts) if parts else None
+        if extra is not None and extra.num_rows:
             kept_nodes = pa.concat_tables([kept_nodes, extra])
             order = pa.compute.sort_indices(kept_nodes,
                                             sort_keys=[("id", "ascending")])
@@ -473,10 +500,8 @@ def crop_pbf(src_path: str, out_path: str, bbox,
                         break
         return b.filter(pa.array(keep))
 
-    kept_rels = pa.concat_tables(
-        [pa.table(b) for b in rels_ds.map_batches(
-            rel_touch, batch_format="pyarrow").iter_batches(
-            batch_size=1 << 16, batch_format="pyarrow")])
+    kept_rels = _collect_tables(rels_ds.map_batches(
+        rel_touch, batch_format="pyarrow"), _EMPTY_RELS)
 
     n_blobs = write_pbf(out_path, kept_nodes, kept_ways, kept_rels,
                         bbox=bbox)
@@ -749,6 +774,11 @@ def write_frames_to_pbf(nodes_t: pa.Table, ways_t: pa.Table,
         out_ways = cat(out_ways, syn_ways)
         out_rels = cat(out_rels, syn_rels)
 
+    if out_nodes is None:
+        raise ValueError(
+            "write_pbf: nothing to write — subset_only filtering kept no "
+            "nodes and no rows were synthesized (a PBF without nodes is "
+            "not a useful extract)")
     lon = np.asarray(out_nodes["lon"].to_numpy(zero_copy_only=False))
     lat = np.asarray(out_nodes["lat"].to_numpy(zero_copy_only=False))
     bbox = (float(lon.min()), float(lat.min()),

@@ -745,7 +745,15 @@ def embedding_near_dup(ds, id_col: str = "vec_id",
         ds = ds.map_batches(key_rows, batch_format="pyarrow") \
             .sort("__lsh_key")
 
+    _packed_schema = pa.schema([
+        ("ids", pa.binary()), ("mat", pa.binary()), ("dim", pa.int64()),
+        ("centroid", pa.binary()), ("cos_cap", pa.float64())])
+
     def pack(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            # empty blocks are a normal Ray Data occurrence (upstream
+            # filter/sort); a dim-0 packed row would crash the cone gate
+            return _packed_schema.empty_table()
         emb = _emb_matrix(batch, emb_col)  # zero-copy list<float>
         emb = emb / np.maximum(
             np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)

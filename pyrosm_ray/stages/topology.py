@@ -653,10 +653,13 @@ def assemble_ways(ways_ds, nodes_ds, mode: str = "area",
     joined = refs.join(nodes_proj, "inner",
                        on=("node_id",), right_on=("id",),
                        **shuffle_join_args(num_partitions))
-    joined = joined.add_column(
-        "way_bucket",
-        lambda df: (df["way_id"] % num_buckets).astype("int64"),
-        batch_format="pandas")
+    def _bucket(b: pa.Table) -> pa.Table:
+        wid = np.asarray(b["way_id"].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        return b.append_column("way_bucket",
+                               pa.array(wid % num_buckets, pa.int64()))
+
+    joined = joined.map_batches(_bucket, batch_format="pyarrow")
     per_way = joined.groupby("way_bucket").map_groups(
         _collect_way_coords, batch_format="pyarrow")
     # coalesce away zero-column empty blocks (hash-groupby empty partitions);

@@ -11,9 +11,9 @@ the hash shuffle co-locates one user's whole event stream on one worker;
 a single user's events must fit worker memory — the standard
 sessionization contract of every streaming engine.
 
-Money-safe values: per-session sums are integer cents
-(``rint(value*100)``), so the DuckDB oracle reproduces them exactly —
-float sums are order-dependent and would hash-mismatch.
+Money-safe values: per-session sums are integer cents rounded
+half-away-from-zero (the SQL ROUND rule, so the DuckDB oracle reproduces
+them exactly) — float sums are order-dependent and would hash-mismatch.
 """
 
 from __future__ import annotations
@@ -44,7 +44,9 @@ def sessionize(ds, gap_s: int = 1800, user_col: str = "user_id",
         sid = np.cumsum(new_s)
         starts = np.nonzero(new_s)[0]
         last = np.append(starts[1:], len(t_i)) - 1
-        cents = np.rint(val * 100.0).astype(np.int64)
+        # half-away-from-zero, matching SQL ROUND (np.rint is half-even:
+        # 112.5 would round to 112 and diverge from the oracle)
+        cents = np.trunc(val * 100.0 + 0.5 * np.sign(val)).astype(np.int64)
         uid = g[user_col][0].as_py()
         return pa.table({
             user_col: pa.array([uid] * len(starts), g[user_col].type),

@@ -295,3 +295,24 @@ def test_embedding_near_dup_lsh_gate_parity(ray_session):
         m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
         ai, bi = np.nonzero(np.triu(m @ m.T >= 0.85, k=1))
         assert got == set(zip(ai.tolist(), bi.tolist())) and len(got) > 0
+
+
+def test_embedding_near_dup_empty_block(ray_session):
+    """A zero-row block in the input (a normal Ray Data occurrence after
+    upstream filters) must not poison the cone gate with a dim-0 packed
+    row (round-3 ADVICE regression)."""
+    rng = np.random.default_rng(23)
+    n, d = 40, 8
+    emb = rng.normal(size=(n, d))
+    emb[7] = emb[2] * 2.0
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(emb))})
+    empty = t.slice(0, 0)
+    ds = rd.from_arrow([t.slice(0, 20), empty, t.slice(20, 20)])
+    out = dedup.embedding_near_dup(ds, threshold=0.9, block_rows=16,
+                                   lsh_sort=False).to_pandas()
+    got = {(a, b) for a, b in zip(out.a, out.b)}
+    m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    ai, bi = np.nonzero(np.triu(m @ m.T >= 0.9, k=1))
+    assert got == set(zip(ai.tolist(), bi.tolist()))
+    assert (2, 7) in got

@@ -266,3 +266,56 @@ def test_write_pbf_parallel_byte_parity(ray_session, tmp_path):
     assert n1 == n2
     with open(a, "rb") as fa, open(b, "rb") as fb:
         assert fa.read() == fb.read()
+
+
+def test_meta_arrays_null_timestamp():
+    """Null timestamps must encode as 0, not INT64_MIN garbage (NaN cast
+    in numpy) — round-3 ADVICE regression."""
+    t = pa.table({"timestamp": pa.array([None, 5_000], pa.timestamp("ms")),
+                  "version": pa.array([1, 2], pa.int64())})
+    version, ts, changeset, visible = pbf_write._meta_arrays(t, 2)
+    assert ts[0] == 0
+    assert ts[1] == 5_000 // pbf_write.DATE_GRAN
+    assert (version == [1, 2]).all()
+
+
+def test_crop_pbf_empty_trailing_refs(ray_session, tmp_path):
+    """A batch whose trailing way has empty refs used to crash the
+    way-touch kernel (reduceat index out-of-bounds) — ADVICE regression."""
+    tags = pa.array([{}] * 3, pa.map_(pa.string(), pa.string()))
+    nodes = pa.table({
+        "id": pa.array([1, 2, 3], pa.int64()),
+        "lon": pa.array([10.0, 10.1, 50.0]),
+        "lat": pa.array([20.0, 20.1, 60.0]),
+        "tags": tags})
+    ways = pa.table({
+        "id": pa.array([100, 101, 102], pa.int64()),
+        "refs": pa.array([[1, 2], [3], []], pa.list_(pa.int64())),
+        "tags": tags})
+    src = str(tmp_path / "src.osm.pbf")
+    pbf_write.write_pbf(src, nodes, ways, None, bbox=(9, 19, 51, 61))
+    out = str(tmp_path / "crop.osm.pbf")
+    counts = pbf_write.crop_pbf(src, out, (9.5, 19.5, 10.5, 20.5))
+    assert counts["nodes"] == 2
+    n2, w2, _ = _full_tables(out)
+    assert sorted(n2["id"].to_pylist()) == [1, 2]
+    assert w2["id"].to_pylist() == [100]  # empty-ref + out-of-box dropped
+
+
+def test_write_frames_subset_only_nothing_kept(tmp_path):
+    """subset_only with an empty frame keeps nothing -> a clear error, not
+    a TypeError on None (ADVICE regression)."""
+    import pandas as pd
+    tags = pa.array([{}], pa.map_(pa.string(), pa.string()))
+    nodes = pa.table({"id": pa.array([1], pa.int64()),
+                      "lon": pa.array([1.0]), "lat": pa.array([2.0]),
+                      "tags": tags})
+    ways = pa.table({"id": pa.array([9], pa.int64()),
+                     "refs": pa.array([[1]], pa.list_(pa.int64())),
+                     "tags": tags})
+    frame = pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                          "geometry": pd.Series([], dtype=object)})
+    with pytest.raises(ValueError, match="nothing to write"):
+        pbf_write.write_frames_to_pbf(nodes, ways, None, frame,
+                                      str(tmp_path / "x.osm.pbf"),
+                                      subset_only=True)
