@@ -278,6 +278,115 @@ def _distinct_pairs(pairs_ds):
     return nonempty(counted, _PAIRS_EMPTY)
 
 
+def _binary_u64_csr(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy CSR view over a binary column of packed ``<u8`` arrays:
+    (flat u64 values, element offsets). No per-row as_py/frombuffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64), np.zeros(1, np.int64)
+    col = col.cast(pa.large_binary())
+    boff = np.frombuffer(col.buffers()[1], np.int64)[
+        col.offset:col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    flat = data[boff[0]:boff[-1]].view("<u8")
+    return flat, (boff - boff[0]) // 8
+
+
+_PAD = np.uint64(0xFFFFFFFFFFFFFFFF)
+_VERIFY_CHUNK_ELEMS = 1 << 22  # ~32 MB of u64 temporaries per chunk
+
+
+def _jaccard_csr(flat: np.ndarray, off: np.ndarray, ia: np.ndarray,
+                 ib: np.ndarray) -> np.ndarray:
+    """Exact Jaccard for row-index pairs over ONE shingle CSR — fully
+    numpy, no per-pair Python (round-3 verdict item: the per-pair
+    intersect1d loop was the verify-stage wall).
+
+    Shape: pairs are bucketed by total set size (one argsort of lengths),
+    each bucket gathers its pairs into a padded (rows x width) matrix and
+    row-sorts it (np.sort axis=1 — cache-resident small sorts in one C
+    call). |A∩B| = adjacent-equal count minus the pad run (A and B are
+    each sorted-unique, so a shared value contributes exactly one
+    adjacent equal). A real value colliding with the pad sentinel
+    (2^64-1) is detected and that row recomputed exactly — correctness
+    never rides on hash luck. Deliberately NOT one global lexsort: that
+    is O(T log T) on the full gathered payload with giant temporaries,
+    while bucket row-sorts do the same comparisons cache-resident."""
+    n = len(ia)
+    if n == 0:
+        return np.empty(0)
+    la = (off[ia + 1] - off[ia]).astype(np.int64)
+    lb = (off[ib + 1] - off[ib]).astype(np.int64)
+    tot = la + lb
+    inter = np.zeros(n, np.int64)
+    order = np.argsort(tot, kind="stable")
+    tot_s = tot[order]
+    # workspace sized to the largest chunk: m*w <= CHUNK_ELEMS unless a
+    # single pair's sets exceed it (then that pair is its own chunk)
+    cap = int(min(max(_VERIFY_CHUNK_ELEMS, int(tot_s[-1])),
+                  n * max(int(tot_s[-1]), 1)))
+    ws_idx = np.empty(cap, np.int64)     # reused across chunks: repeated
+    ws_val = np.empty(cap, np.uint64)    # 32 MB mmaps re-fault every loop
+    start = 0
+    while start < n:
+        end = min(n, start + max(
+            int(_VERIFY_CHUNK_ELEMS // max(int(tot_s[start]), 1)), 1))
+        while end > start + 1 and \
+                (end - start) * int(tot_s[end - 1]) > _VERIFY_CHUNK_ELEMS:
+            end = max(start + 1,
+                      start + int(_VERIFY_CHUNK_ELEMS // tot_s[end - 1]))
+        rows = order[start:end]
+        start = end
+        w = int(tot[rows].max())
+        if w == 0:
+            continue
+        col = np.arange(w, dtype=np.int64)[None, :]
+        la_c = la[rows][:, None]
+        tot_c = tot[rows][:, None]
+        in_a = col < la_c
+        in_pad = col >= tot_c
+        # the column offset is row-constant per side: broadcast-fill the
+        # reused workspace (no m x w temporary chain — that chain, and
+        # the re-faulting of fresh 32 MB allocations per chunk, dominated
+        # the chunk wall)
+        m = len(rows)
+        idx = ws_idx[:m * w].reshape(m, w)
+        np.copyto(idx, (off[ib[rows]] - la[rows])[:, None])
+        np.copyto(idx, off[ia[rows]][:, None], where=in_a)
+        idx += col
+        np.copyto(idx, 0, where=in_pad)  # keep pad lookups in bounds
+        vals = ws_val[:m * w].reshape(m, w)
+        np.take(flat, idx, out=vals)
+        sent_rows = np.flatnonzero(((vals == _PAD) & ~in_pad).any(axis=1))
+        vals[in_pad] = _PAD
+        vals.sort(axis=1)
+        adj = (vals[:, 1:] == vals[:, :-1]).sum(axis=1)
+        npad = w - tot[rows]
+        inter_c = adj - np.maximum(npad - 1, 0)
+        for r in sent_rows:  # astronomically rare: exact fallback
+            g = rows[r]
+            sa = flat[off[ia[g]]:off[ia[g] + 1]]
+            sb = flat[off[ib[g]]:off[ib[g] + 1]]
+            inter_c[r] = len(np.intersect1d(sa, sb, assume_unique=True))
+        inter[rows] = inter_c
+    union = la + lb - inter
+    return np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+
+
+def _jaccard_two_csr(flat_a, off_a, flat_b, off_b) -> np.ndarray:
+    """Per-row exact Jaccard when side A's and side B's sets live in two
+    aligned CSRs (the join path: row i pairs sh_a[i] with sh_b[i])."""
+    n = len(off_a) - 1
+    flat = np.concatenate([flat_a.astype(np.uint64, copy=False),
+                           flat_b.astype(np.uint64, copy=False)])
+    off = np.concatenate([off_a,
+                          off_a[-1] + off_b[1:]]).astype(np.int64)
+    ia = np.arange(n, dtype=np.int64)
+    return _jaccard_csr(flat, off, ia, n + ia)
+
+
 def _verify_pairs_jaccard(pairs_ds, shingles_ds, id_col: str,
                           threshold: float, num_partitions: int = 8):
     """Exact Jaccard over candidate pairs: the (small) pair list joins the
@@ -305,22 +414,18 @@ def _verify_pairs_jaccard(pairs_ds, shingles_ds, id_col: str,
         .map_batches(lambda b: rn(b, "sh_b"), batch_format="pyarrow")
 
     def verify(batch: pa.Table) -> pa.Table:
-        a_out, b_out, j_out = [], [], []
-        av = np.asarray(batch["a"].to_numpy(zero_copy_only=False))
-        bv = np.asarray(batch["b"].to_numpy(zero_copy_only=False))
-        for i in range(len(batch)):
-            sa = np.frombuffer(batch["sh_a"][i].as_py(), dtype="<u8")
-            sb = np.frombuffer(batch["sh_b"][i].as_py(), dtype="<u8")
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            jac = inter / union if union else 1.0
-            if jac >= threshold:
-                a_out.append(int(av[i]))
-                b_out.append(int(bv[i]))
-                j_out.append(round(jac, 6))
-        return pa.table({"a": pa.array(a_out, pa.int64()),
-                         "b": pa.array(b_out, pa.int64()),
-                         "jaccard": pa.array(j_out, pa.float64())})
+        av = np.asarray(batch["a"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        bv = np.asarray(batch["b"].to_numpy(zero_copy_only=False),
+                        dtype=np.int64)
+        fa, oa = _binary_u64_csr(batch["sh_a"])
+        fb, ob = _binary_u64_csr(batch["sh_b"])
+        jac = _jaccard_two_csr(fa, oa, fb, ob)
+        keep = jac >= threshold
+        return pa.table({"a": pa.array(av[keep], pa.int64()),
+                         "b": pa.array(bv[keep], pa.int64()),
+                         "jaccard": pa.array(np.round(jac[keep], 6),
+                                             pa.float64())})
 
     return j.map_batches(verify, batch_format="pyarrow")
 
@@ -360,29 +465,48 @@ def _verify_pairs_jaccard_broadcast(a: np.ndarray, b: np.ndarray,
         return pa.table({id_col: batch[id_col],
                          "shingles": batch["shingles"]}).filter(pa.array(m))
 
-    id2sh: dict[int, bytes] = {}
+    # one broadcast CSR (ids sorted, flat shingles, offsets) instead of a
+    # dict of per-id blobs: chunks verify with the shared numpy kernel
+    ids_parts, flat_parts, len_parts = [], [], []
     for bt in sig_ds.map_batches(sub, batch_format="pyarrow").iter_batches(
             batch_size=1 << 16, batch_format="pyarrow"):
-        for i, blob in zip(bt[id_col].to_pylist(),
-                           bt["shingles"].to_pylist()):
-            id2sh[i] = blob
-    dict_ref = ray.put(id2sh)
+        ids_parts.append(np.asarray(
+            bt[id_col].to_numpy(zero_copy_only=False), np.int64))
+        f, o = _binary_u64_csr(bt["shingles"])
+        flat_parts.append(f)
+        len_parts.append(np.diff(o))
+    ids_all = np.concatenate(ids_parts) if ids_parts else \
+        np.empty(0, np.int64)
+    lens = np.concatenate(len_parts) if len_parts else \
+        np.empty(0, np.int64)
+    flat_all = np.concatenate(flat_parts) if flat_parts else \
+        np.empty(0, np.uint64)
+    order = np.argsort(ids_all, kind="stable")
+    off_all = np.zeros(len(ids_all) + 1, np.int64)
+    np.cumsum(lens, out=off_all[1:])
+    flat_sorted = flat_all[_concat_ranges_dedup(off_all[order],
+                                                lens[order])]
+    ids_sorted = ids_all[order]
+    off_sorted = np.zeros(len(ids_sorted) + 1, np.int64)
+    np.cumsum(lens[order], out=off_sorted[1:])
+    csr_ref = ray.put((ids_sorted, flat_sorted, off_sorted))
 
     @ray.remote
     def verify_chunk(a_c: np.ndarray, b_c: np.ndarray):
-        sh = ray.get(dict_ref)
-        keep = np.zeros(len(a_c), dtype=bool)
-        jac = np.zeros(len(a_c), dtype=np.float64)
-        for i, (x, y) in enumerate(zip(a_c, b_c)):
-            sa = np.frombuffer(sh.get(int(x), b""), dtype="<u8")
-            sb = np.frombuffer(sh.get(int(y), b""), dtype="<u8")
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 1.0
-            if j >= threshold:
-                keep[i] = True
-                jac[i] = round(j, 6)
-        return a_c[keep], b_c[keep], jac[keep]
+        ids_s, flat, off = ray.get(csr_ref)
+        sentinel = len(ids_s)  # missing id -> empty set (extra 0-len row)
+        off_ext = np.append(off, off[-1])
+
+        def rows(x):
+            pos = np.clip(np.searchsorted(ids_s, x), 0,
+                          max(len(ids_s) - 1, 0))
+            hit = (ids_s[pos] == x) if len(ids_s) else \
+                np.zeros(len(x), bool)
+            return np.where(hit, pos, sentinel)
+
+        jac = _jaccard_csr(flat, off_ext, rows(a_c), rows(b_c))
+        keep = jac >= threshold
+        return a_c[keep], b_c[keep], np.round(jac[keep], 6)
 
     n_chunks = max(1, min(64, len(a) // 1024 + 1))
     parts = [verify_chunk.remote(ac, bc)

@@ -316,3 +316,30 @@ def test_embedding_near_dup_empty_block(ray_session):
     ai, bi = np.nonzero(np.triu(m @ m.T >= 0.9, k=1))
     assert got == set(zip(ai.tolist(), bi.tolist()))
     assert (2, 7) in got
+
+
+def test_jaccard_csr_kernel():
+    """Vectorised verify kernel: exact vs per-pair intersect1d, including
+    empty sets, identical sets, and values equal to the pad sentinel."""
+    rng = np.random.default_rng(7)
+    n_docs = 300
+    # sorted-unique sets over a tiny value domain (lots of real overlap)
+    rows = [np.unique(rng.integers(0, 50, rng.integers(0, 40)))
+            .astype(np.uint64) for _ in range(n_docs)]
+    rows[3] = np.array([1, 2, 2**64 - 1], np.uint64)   # sentinel member
+    rows[4] = np.array([2, 2**64 - 1], np.uint64)
+    lens = np.array([len(r) for r in rows], np.int64)
+    off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(lens, out=off[1:])
+    flat = (np.concatenate(rows) if off[-1] else np.empty(0, np.uint64))
+    ia = rng.integers(0, n_docs, 2000)
+    ib = rng.integers(0, n_docs, 2000)
+    ia[:2] = [3, 3]
+    ib[:2] = [4, 3]
+    got = dedup._jaccard_csr(flat, off, ia, ib)
+    for k in range(2000):
+        sa, sb = rows[ia[k]], rows[ib[k]]
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        want = inter / union if union else 1.0
+        assert abs(got[k] - want) < 1e-12, (k, got[k], want)
