@@ -423,6 +423,26 @@ def q_pip_join_ways(sf_dir: str):
     return df.sort_values(["url", "polygon_id"]).reset_index(drop=True)
 
 
+def q_pip_join_partitioned(sf_dir: str):
+    """Co-partitioned PIP (geometry never broadcast — the beyond-object-
+    store scale path): key-only (polygon_id, cell) cover rows shuffle, the
+    compact packed geometry joins ONCE per polygon by id. Exact, so it
+    shares q_pip_join_ways's SQL oracle."""
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.stages.spatial import pip_join_partitioned
+
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url"])
+    polys = OSM(str(fx)).get_buildings()
+    polys = polys.map_batches(
+        lambda b: b.filter(pc.equal(b["osm_type"], "way")),
+        batch_format="pyarrow").materialize()
+    out = pip_join_partitioned(pages, polys, num_partitions=8,
+                               layer="buildings")
+    df = out.to_pandas()[["url", "polygon_id"]]
+    return df.sort_values(["url", "polygon_id"]).reset_index(drop=True)
+
+
 def q_knn_join(sf_dir: str):
     """kNN to nearest POIs; oracle = SQL window over exact haversine."""
     import ray.data as rd
@@ -1219,8 +1239,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, poi_id, knn_rank FROM ranked WHERE knn_rank <= 2
             ORDER BY url, knn_rank""",
     }
-    # exact partitioned variant shares the broadcast kNN oracle
+    # exact partitioned variants share their broadcast twins' oracles
     out["q_knn_join_partitioned"] = out["q_knn_join"]
+    out["q_pip_join_partitioned"] = out["q_pip_join_ways"]
     from pyrosm_ray.stages.urls import canonicalize_sql
     out["q_url_canonical"] = (
         f"SELECT doc_id, {canonicalize_sql(_MESSY_URL_SQL)} AS url_canon "
@@ -1256,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pages_in_bbox": q_pages_in_bbox,
         "q_pip_join": q_pip_join,
         "q_pip_join_ways": q_pip_join_ways,
+        "q_pip_join_partitioned": q_pip_join_partitioned,
         "q_knn_join": q_knn_join,
         "q_knn_join_partitioned": q_knn_join_partitioned,
         "q_osm_buildings_ways": q_osm_buildings_ways,

@@ -191,6 +191,22 @@ def _pack_polygon_batch(batch: pa.Table, id_col: str) -> pa.Table:
     })
 
 
+def _binary_csr(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy CSR view over a binary column: (flat uint8 data, byte
+    offsets rebased to 0). Callers .view() the flat bytes to their packed
+    dtype — no per-row as_py/frombuffer."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint8), np.zeros(1, np.int64)
+    col = col.cast(pa.large_binary())
+    boff = np.frombuffer(col.buffers()[1], np.int64)[
+        col.offset:col.offset + n + 1]
+    data = np.frombuffer(col.buffers()[2], np.uint8)
+    return data[boff[0]:boff[-1]], boff - boff[0]
+
+
 def _concat_ranges(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
     total = int(counts.sum())
     if total == 0:
@@ -911,79 +927,111 @@ def knn_join(pages_ds, pois_ds=None, k: int = 1, id_col: str = "id",
 def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                          num_partitions: int = 32, layer: str | None = None,
                          id_col: str = "id"):
-    """Cell-co-partitioned PIP join.
+    """Cell-co-partitioned PIP join (the beyond-broadcast scale path).
 
-    Pages carry their res-``cell_res`` cell; each polygon is replicated to
-    every cell its bbox covers; a per-cell group join runs exact PIP. Only
-    the (url, page_id, lon, lat, cell) projection shuffles — the full page
-    payload (html/text) re-joins by url afterwards, so payload bytes never
-    enter the all-to-all (SURVEY.md §7.4 wide-binary-rows note).
+    Pages carry their res-``cell_res`` cell; each polygon contributes
+    (polygon_id, cell) KEY rows for every cell its bbox covers — the
+    geometry itself (compact packed form, not WKB) joins ONCE per polygon
+    by id after the cell join, so the cover factor multiplies only
+    16-byte key rows, never geometry bytes. Only the (url, lon, lat,
+    cell) projection shuffles — the full page payload (html/text)
+    re-joins by url afterwards, so payload bytes never enter the
+    all-to-all (SURVEY.md §7.4 wide-binary-rows note).
     """
     col = f"h3_r{cell_res}"
     gres = grid.h3_equiv_res(cell_res)
     pages_t = assign_tiles(pages_ds, resolutions=(cell_res,))
     proj = pages_t.select_columns(["url", "lon", "lat", col])
 
-    def polys_to_cells(batch: pa.Table) -> pa.Table:
-        ids_, cells, blobs = [], [], []
-        bids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        for i, g in enumerate(batch["geometry"].to_pylist()):
-            if g is None:
-                continue
-            gt = wkb.wkb_geom_type(g)
-            if gt not in (wkb.POLYGON, wkb.MULTIPOLYGON):
-                continue
-            x0, y0, x1, y1 = wkb.wkb_bbox(g)
-            for c in grid.cover_bbox(x0, y0, x1, y1, gres):
-                ids_.append(int(bids[i]))
-                cells.append(int(c))
-                blobs.append(g)
+    # distributed WKB decode into the compact packed form (bbox + coord
+    # buffer + ring lengths) — consumed twice: cover keys and geometry
+    packed = polygons_ds.map_batches(
+        lambda b: _pack_polygon_batch(b, id_col),
+        batch_format="pyarrow").materialize()
+
+    def cover_rows(batch: pa.Table) -> pa.Table:
+        """(polygon_id, cell) KEY rows only — the geometry payload never
+        replicates per covering cell (round-3 verdict item: the WKB blob
+        multiplied the shuffle bytes by the cover factor). Vectorised
+        cover enumeration, same shape as _build_cell_bins."""
+        if batch.num_rows == 0:
+            return pa.table({"polygon_id": pa.array([], pa.int64()),
+                             col: pa.array([], pa.int64())})
+        pid = np.asarray(batch["pid"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        bx = {c: np.asarray(batch[c].to_numpy(zero_copy_only=False))
+              for c in ("x0", "y0", "x1", "y1")}
+        nx = np.int64(1) << gres
+        cx0 = np.clip(np.floor((bx["x0"] + 180) / 360 * nx), 0,
+                      nx - 1).astype(np.int64)
+        cx1 = np.clip(np.floor((bx["x1"] + 180) / 360 * nx), 0,
+                      nx - 1).astype(np.int64)
+        cy0 = np.clip(np.floor((90 - bx["y1"]) / 180 * nx), 0,
+                      nx - 1).astype(np.int64)
+        cy1 = np.clip(np.floor((90 - bx["y0"]) / 180 * nx), 0,
+                      nx - 1).astype(np.int64)
+        ncx = cx1 - cx0 + 1
+        ncell = ncx * (cy1 - cy0 + 1)
+        local = _concat_ranges(np.zeros(len(pid), np.int64), ncell)
+        nx_rep = np.repeat(ncx, ncell)
+        key = (np.int64(gres) << 58) \
+            | ((np.repeat(cx0, ncell) + local % nx_rep) << 29) \
+            | (np.repeat(cy0, ncell) + local // nx_rep)
         return pa.table({
-            "polygon_id": pa.array(ids_, pa.int64()),
-            col: pa.array(cells, pa.int64()),
-            "pgeom": pa.array(blobs, pa.binary()),
+            "polygon_id": pa.array(np.repeat(pid, ncell), pa.int64()),
+            col: pa.array(key, pa.int64()),
         })
 
-    polys = polygons_ds.map_batches(polys_to_cells, batch_format="pyarrow")
-    joined = proj.join(polys, "inner", on=(col,),
-                       **shuffle_join_args(num_partitions))
+    poly_cells = packed.map_batches(cover_rows, batch_format="pyarrow")
+    poly_geoms = packed.map_batches(
+        lambda b: pa.table({"polygon_id": b["pid"], "coords": b["coords"],
+                            "rlens": b["rlens"]}),
+        batch_format="pyarrow")
+
+    # 1) key-only cell join -> candidate (page, polygon) pairs
+    cand = proj.join(poly_cells, "inner", on=(col,),
+                     **shuffle_join_args(num_partitions))
+    cand = cand.drop_columns([col])
+    # barrier + empty-block scrub between shuffle joins (aggregator pools
+    # co-reserve CPUs on deep lazy chains; acero rejects zero-col blocks)
+    cand = nonempty(cand, pa.table({
+        "url": pa.array([], pa.string()), "lon": pa.array([], pa.float64()),
+        "lat": pa.array([], pa.float64()),
+        "polygon_id": pa.array([], pa.int64())}))
+    # 2) geometry shuffles ONCE per polygon (hash by id), not per cell
+    cand = cand.join(poly_geoms, "inner", on=("polygon_id",),
+                     **shuffle_join_args(num_partitions))
 
     def per_pair_pip(batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0:
-            return batch.drop_columns(["pgeom"])
+            return batch.drop_columns(
+                [c for c in ("coords", "rlens") if c in batch.column_names])
         px = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
         py = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
         pids = np.asarray(batch["polygon_id"].to_numpy(zero_copy_only=False))
-        geoms = batch["pgeom"].to_pylist()
-        # decode each distinct polygon ONCE, pack its edges into the same
-        # flat-CSR layout the broadcast path uses, then run the fully
-        # vectorised crossing test over every (point, polygon) pair at once
+        # unpack each distinct polygon ONCE via zero-copy CSR views over
+        # the packed buffers (no per-row as_py/frombuffer)
         order = np.argsort(pids, kind="stable")
         uniq, starts = np.unique(pids[order], return_index=True)
-        edge_parts: list[np.ndarray] = []
-        counts = np.empty(len(uniq), dtype=np.int64)
-        for u, s in enumerate(starts):
-            rings = wkb.polygon_rings(geoms[order[s]])
-            cnt = 0
-            for ring in rings:
-                if len(ring) >= 2:
-                    edge_parts.append(
-                        np.column_stack([ring[:-1], ring[1:]]))
-                    cnt += len(ring) - 1
-            counts[u] = cnt
-        edges = (np.concatenate(edge_parts) if edge_parts
-                 else np.empty((0, 4)))
-        peo = np.zeros(len(uniq) + 1, dtype=np.int64)
-        np.cumsum(counts, out=peo[1:])
+        sub = batch.select(["coords", "rlens"]).take(
+            pa.array(order[starts]))
+        cflat, _coff = _binary_csr(sub["coords"])
+        rflat, roff = _binary_csr(sub["rlens"])
+        coords = cflat.view("<f8").reshape(-1, 2)
+        rlens = rflat.view("<i8")
+        ring_offsets = np.zeros(len(rlens) + 1, dtype=np.int64)
+        np.cumsum(rlens, out=ring_offsets[1:])
+        poly_ring_offsets = (roff // 8).astype(np.int64)
+        edges, peo = _build_edges(coords, ring_offsets, poly_ring_offsets)
         local_poly = np.searchsorted(uniq, pids)
         keep = _confirm_pip({"poly_edge_offsets": peo, "edges": edges},
                             np.arange(n, dtype=np.int64), local_poly,
                             px, py)
         out = batch.filter(pa.array(keep))
-        return out.drop_columns(["pgeom"])
+        return out.drop_columns(["coords", "rlens"])
 
-    hits = joined.map_batches(per_pair_pip, batch_format="pyarrow")
+    hits = cand.map_batches(per_pair_pip, batch_format="pyarrow")
     hits = hits.drop_columns(["lon", "lat"])
     lay = layer or "polygons"
     hits = hits.map_batches(

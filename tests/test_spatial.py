@@ -250,3 +250,37 @@ def test_knn_join_partitioned_parity(pages, src):
                                       max_rounds=1).to_pandas()
     assert set(zip(sw.url, sw.poi_id, sw.knn_rank)) == want
     assert len(sw) == 2 * pages.count()
+
+
+def test_pip_join_partitioned_multicell_cover(pages):
+    """Partitioned PIP with polygons spanning MANY covering cells (the
+    layer class the key-only cover design exists for): parity with the
+    broadcast path, and a page inside a polygon joins it exactly once
+    (its one cell), never once per covering cell."""
+    rng = np.random.default_rng(3)
+    tiled = spatial.assign_tiles(pages)
+    tdf = tiled.to_pandas()
+    cx0, cx1 = tdf.lon.min(), tdf.lon.max()
+    cy0, cy1 = tdf.lat.min(), tdf.lat.max()
+    geoms, ids = [], []
+    for i in range(12):
+        cx = rng.uniform(cx0, cx1)
+        cy = rng.uniform(cy0, cy1)
+        r = rng.uniform(0.1, 0.5) * max(cx1 - cx0, 0.2)  # spans many cells
+        k = int(rng.integers(16, 64))
+        ang = np.linspace(0, 2 * np.pi, k, endpoint=False)
+        ring = np.column_stack([cx + r * np.cos(ang), cy + r * np.sin(ang)])
+        ring = np.vstack([ring, ring[:1]])
+        geoms.append(wkb.polygon_wkb([ring]))
+        ids.append(1000 + i)
+    polys = rd.from_arrow(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "geometry": pa.array(geoms, pa.binary())}))
+    bc = spatial.pip_join(tiled, polys, layer="d").to_pandas()
+    sh = spatial.pip_join_partitioned(pages, polys, cell_res=7,
+                                      num_partitions=4,
+                                      layer="d").to_pandas()
+    assert set(zip(bc.url, bc.polygon_id)) == set(zip(sh.url, sh.polygon_id))
+    assert len(sh) > 0
+    # exactly-once per (page, polygon) despite multi-cell covers
+    assert not sh.duplicated(subset=["url", "polygon_id"]).any()
