@@ -799,6 +799,50 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
 _LSH_PREFIX_BITS = 16
 _LSH_SEED = 0x5EED
 
+# driver-gate work counters from the last embedding_near_dup call
+# (observability for the sub-quadratic-gate contract; tests assert on it)
+_LAST_GATE_STATS: dict | None = None
+
+# hierarchical cone gate tuning: geometric cap-budget ladder (radians) for
+# the recursive descend, and the range-pair size below which a direct
+# member-pair bound check is cheaper than further segmentation
+_GATE_BUDGETS = (0.8, 0.5, 0.3, 0.18, 0.1)
+_GATE_LEAF_PAIRS = 64
+
+
+def _merge_cone(cents: np.ndarray, caps: np.ndarray, lo: int, hi: int):
+    """Covering cone (unit centroid, cap angle) of member cones
+    ``[lo, hi)``: cap = max(angle(member, centroid) + member cap) — every
+    vector inside any member cone lies inside the merged cone (sound)."""
+    s = cents[lo:hi].sum(axis=0)
+    nrm = np.linalg.norm(s)
+    if nrm < 1e-12:  # antipodal members: cover the whole sphere
+        return cents[lo], float(np.pi)
+    c = s / nrm
+    cap = float(np.max(np.arccos(
+        np.clip(cents[lo:hi] @ c, -1.0, 1.0)) + caps[lo:hi]))
+    return c, min(cap, np.pi)
+
+
+def _segment_cones(cents: np.ndarray, caps: np.ndarray, lo: int, hi: int,
+                   budget: float):
+    """Greedy segmentation of the consecutive (direction-sorted) member
+    range into cones whose merged cap stays <= ``budget``; returns
+    [(centroid, cap, seg_lo, seg_hi), ...]."""
+    out = []
+    i = lo
+    while i < hi:
+        j = i + 1
+        while j < hi:
+            _, cap = _merge_cone(cents, caps, i, j + 1)
+            if cap > budget:
+                break
+            j += 1
+        c, cap = _merge_cone(cents, caps, i, j)
+        out.append((c, cap, i, j))
+        i = j
+    return out
+
 
 def _lsh_hyperplanes(dim: int, nbits: int = _LSH_PREFIX_BITS) -> np.ndarray:
     """Deterministic random hyperplanes (fixed seed -> reproducible keys)."""
@@ -832,18 +876,20 @@ def embedding_near_dup(ds, id_col: str = "vec_id",
                        threshold: float = 0.95,
                        block_rows: int = 8192,
                        lsh_sort: bool = True):
-    """Exact cosine >= threshold pairs, computed block x block with an
-    LSH-clustered, cone-bound-gated pair grid.
+    """Exact cosine >= threshold pairs, computed block x block with a
+    directionally-sorted, hierarchically cone-bound-gated pair grid.
 
     Each ~``block_rows``-vector block is L2-normalised and packed once
     (map_batches), stays in the object store, and one Ray task per
     *surviving* block pair runs the matmul — the full matrix never lands
-    on the driver. Two exactness-preserving scale levers:
+    on the driver. Three exactness-preserving scale levers:
 
-    * ``lsh_sort``: vectors are first sorted by their random-hyperplane
-      sign-prefix key, so blocks become directionally coherent (similar
-      vectors co-locate — the banded-LSH bucketing idea, applied as a
-      global sort instead of lossy bucket pruning).
+    * ``lsh_sort``: vectors are globally sorted by nearest ANCHOR
+      direction (a deterministic hash-sample of ~blocks/2 data vectors,
+      broadcast once) with similarity-to-anchor as tiebreaker, so blocks
+      become directionally coherent. (Random-hyperplane sign prefixes —
+      the round-3 key — interleave clusters whenever noise flips a low-
+      margin bit; anchors from the data itself are robust to that.)
     * cone-bound gate: every block carries its centroid direction and cap
       angle (max angle of any member to the centroid). For blocks A, B
       every cross cosine is <= cos(max(0, theta_AB - cap_A - cap_B)), so
@@ -851,23 +897,81 @@ def embedding_near_dup(ds, id_col: str = "vec_id",
       matmul — provably no hit is lost. On clustered data the surviving
       grid is near-linear in blocks; on isotropic data it degrades to
       all-pairs (an exact threshold join cannot do better there).
+    * hierarchical gate: blocks group into ~sqrt(B) super-blocks (merged
+      centroid + widened cap); only member pairs of SURVIVING super
+      pairs are bound-checked, so driver gate work is sub-quadratic in
+      blocks and the driver never holds one ObjectRef per block.
     """
     import ray
     import ray.data as rd
 
     if lsh_sort:
-        def key_rows(batch: pa.Table) -> pa.Table:
-            emb = _emb_matrix(batch, emb_col)  # zero-copy list<float>
-            if emb.size:
-                h = _lsh_hyperplanes(emb.shape[1])
-                bits = (emb @ h) > 0
-                key = (bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
-                       ).astype(np.int64)
-            else:
-                key = np.empty(0, np.int64)
-            return batch.append_column("__lsh_key", pa.array(key, pa.int64()))
-        ds = ds.map_batches(key_rows, batch_format="pyarrow") \
-            .sort("__lsh_key")
+        ds = ds.materialize()
+        n_vecs = ds.count()
+        n_anchors = int(np.clip(
+            int(np.ceil(n_vecs / max(block_rows, 1) / 2)), 1, 4096))
+        # deterministic id-hash sample (~4x oversample), first A by id
+        target = min(max(4 * n_anchors, 64), max(n_vecs, 1))
+        thresh = np.uint64(
+            min(int((1 << 64) * min(4.0 * target / max(n_vecs, 1), 1.0)),
+                (1 << 64) - 1))
+
+        def sample_rows(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                             dtype=np.int64)
+            keep = hash64(ids.view(np.uint64), 17) < thresh
+            return batch.filter(pa.array(keep))
+
+        samp_ids, samp_vecs = [], []
+        for bt in ds.map_batches(sample_rows, batch_format="pyarrow") \
+                .iter_batches(batch_size=1 << 14, batch_format="pyarrow"):
+            samp_ids.append(np.asarray(
+                bt[id_col].to_numpy(zero_copy_only=False), np.int64))
+            samp_vecs.append(_emb_matrix(bt, emb_col))
+        sids = np.concatenate(samp_ids) if samp_ids else \
+            np.empty(0, np.int64)
+        if len(sids):
+            svecs = np.concatenate(samp_vecs)
+            order = np.argsort(sids, kind="stable")[:n_anchors]
+            anchors = svecs[order]
+            anchors = anchors / np.maximum(
+                np.linalg.norm(anchors, axis=1, keepdims=True), 1e-12)
+            # order anchors along a greedy nearest-direction chain so
+            # ADJACENT anchor ids are directionally close — otherwise
+            # every anchor-run boundary inside a block is a potential
+            # direction jump and the block's cone cap blows up
+            a_n = len(anchors)
+            if a_n > 2:
+                simm = anchors @ anchors.T
+                visited = np.zeros(a_n, bool)
+                chain = [0]
+                visited[0] = True
+                for _ in range(a_n - 1):
+                    s = simm[chain[-1]].copy()
+                    s[visited] = -2.0
+                    nxt = int(np.argmax(s))
+                    chain.append(nxt)
+                    visited[nxt] = True
+                anchors = anchors[np.array(chain)]
+            anchors_ref = ray.put(np.ascontiguousarray(anchors))
+
+            def key_rows(batch: pa.Table) -> pa.Table:
+                emb = _emb_matrix(batch, emb_col)  # zero-copy list<float>
+                if emb.size:
+                    m = emb / np.maximum(
+                        np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+                    sim = m @ ray.get(anchors_ref).T
+                    aidx = np.argmax(sim, axis=1).astype(np.int64)
+                    q = np.clip(((1.0 - sim[np.arange(len(aidx)), aidx])
+                                 * 65535.0).astype(np.int64), 0, 65535)
+                    key = (aidx << 17) | q
+                else:
+                    key = np.empty(0, np.int64)
+                return batch.append_column("__lsh_key",
+                                           pa.array(key, pa.int64()))
+
+            ds = ds.map_batches(key_rows, batch_format="pyarrow") \
+                .sort("__lsh_key")
 
     _packed_schema = pa.schema([
         ("ids", pa.binary()), ("mat", pa.binary()), ("dim", pa.int64()),
@@ -902,47 +1006,149 @@ def embedding_near_dup(ds, id_col: str = "vec_id",
 
     packed = ds.map_batches(pack, batch_format="pyarrow",
                             batch_size=block_rows).materialize()
+    n_blocks = packed.count()
+    empty_pairs = pa.table({
+        "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+        "cosine": pa.array([], pa.float64())})
+    if n_blocks == 0:
+        return rd.from_arrow(empty_pairs)
 
-    @ray.remote
-    def _split_rows(tbl: pa.Table):
-        """Re-put each packed row as its own object so the pair grid and
-        the cone gate share one granularity; returns (ref, centroid,
-        cos_cap) per row — arrays stay in the object store."""
-        out = []
-        for i in range(tbl.num_rows):
-            ids = np.frombuffer(tbl["ids"][i].as_py(), dtype="<i8")
-            dim = tbl["dim"][i].as_py()
-            mat = np.frombuffer(tbl["mat"][i].as_py(),
-                                dtype="<f8").reshape(-1, max(dim, 1))
-            cent = np.frombuffer(tbl["centroid"][i].as_py(), dtype="<f8")
-            out.append((ray.put((ids, mat)), cent,
-                        float(tbl["cos_cap"][i].as_py())))
-        return out
+    # hierarchical gate (round-3 verdict item): blocks group into ~sqrt(B)
+    # tables; each table segments its consecutive (direction-sorted)
+    # blocks into CONES whose merged cap stays under a budget, so cone
+    # summaries are directionally tight regardless of how cluster size
+    # compares to the fixed group size. The driver gates cone pairs
+    # (#cones adapts: ~#clusters on clustered data, up to B on isotropic
+    # data — where an exact threshold join cannot beat all-pairs anyway)
+    # and descends into member blocks only for SURVIVING cone pairs.
+    # Member summaries stay in the object store (no per-block driver
+    # refs) and are fetched per table on first survival.
+    n_groups = int(np.clip(round(np.sqrt(n_blocks)), 1, n_blocks))
+    packed = packed.repartition(n_groups).materialize()
+    table_refs = packed.to_arrow_refs()
 
-    rows = [r for part in ray.get([_split_rows.remote(ref)
-                                   for ref in packed.to_arrow_refs()])
-            for r in part]
-    refs = [r for r, _, _ in rows]
-    summaries = [(c, cc) for _, c, cc in rows]
-    pair_items = [{"i": int(i), "j": int(j)}
-                  for i, j in _gate_block_pairs(summaries, threshold)]
+    @ray.remote(num_returns=2)
+    def summarize(tbl: pa.Table):
+        """small: (table cone centroid, cap angle, n); big: per-block
+        member (centroids, caps) — fetched only when the table survives
+        a gate at some level."""
+        n = tbl.num_rows
+        if n == 0:
+            return (None, 0.0, 0), (None, None)
+        cents = np.frombuffer(b"".join(tbl["centroid"].to_pylist()),
+                              dtype="<f8").reshape(n, -1)
+        caps = np.arccos(np.clip(np.asarray(
+            tbl["cos_cap"].to_numpy(zero_copy_only=False)), -1.0, 1.0))
+        c, cap = _merge_cone(cents, caps, 0, n)
+        return (c, cap, n), (cents, caps)
+
+    sum_refs = [summarize.remote(ref) for ref in table_refs]
+    small = ray.get([r[0] for r in sum_refs])
+    member_refs = [r[1] for r in sum_refs]
+    live = [t for t, (c, _, n) in enumerate(small) if n > 0]
+    if not live:
+        return rd.from_arrow(empty_pairs)
+
+    pair_items = []
+    mem_cache: dict[int, tuple] = {}
+    gate_stats = {"blocks": int(n_blocks), "groups": len(live),
+                  "super_pairs_checked": 0, "super_pairs_kept": 0,
+                  "member_pairs_checked": 0}
+
+    def members(t: int):
+        if t not in mem_cache:
+            mem_cache[t] = ray.get(member_refs[t])
+        return mem_cache[t]
+
+    def bound_ok(c1, k1, c2, k2) -> bool:
+        theta = float(np.arccos(np.clip(c1 @ c2, -1.0, 1.0)))
+        return np.cos(max(theta - k1 - k2, 0.0)) >= threshold
+
+    def leaf(ta, loa, hia, tb, lob, hib, same):
+        ca, capa = members(ta)
+        cb, capb = members(tb)
+        gate_stats["member_pairs_checked"] += (hia - loa) * (hib - lob)
+        theta = np.arccos(np.clip(
+            ca[loa:hia] @ cb[lob:hib].T, -1.0, 1.0))
+        bm = np.cos(np.maximum(
+            theta - capa[loa:hia, None] - capb[None, lob:hib],
+            0.0)) >= threshold
+        if same:
+            bm = np.triu(bm)
+        for ri, rj in zip(*np.nonzero(bm)):
+            pair_items.append({"sa": ta, "ra": int(loa + ri),
+                               "sb": tb, "rb": int(lob + rj)})
+
+    def descend(ta, loa, hia, tb, lob, hib, depth, same):
+        """Recursive cone descend: segment both ranges at geometrically
+        shrinking cap budgets, gate segment cross pairs, recurse into
+        survivors; direct member check at the leaves. Adapts to ANY
+        cluster spread (a fixed budget degenerates to one-cone-per-block
+        or one-cone-per-table whenever spread straddles it)."""
+        if (hia - loa) * (hib - lob) <= _GATE_LEAF_PAIRS or \
+                depth >= len(_GATE_BUDGETS):
+            leaf(ta, loa, hia, tb, lob, hib, same)
+            return
+        ca, capa = members(ta)
+        cb, capb = members(tb)
+        segs_a = _segment_cones(ca, capa, loa, hia, _GATE_BUDGETS[depth])
+        segs_b = segs_a if same else _segment_cones(
+            cb, capb, lob, hib, _GATE_BUDGETS[depth])
+        if len(segs_a) == 1 and len(segs_b) == 1:
+            descend(ta, loa, hia, tb, lob, hib, depth + 1, same)
+            return
+        for ia_, (c1, k1, l1, h1) in enumerate(segs_a):
+            for ib_, (c2, k2, l2, h2) in enumerate(segs_b):
+                if same and ib_ < ia_:
+                    continue
+                gate_stats["super_pairs_checked"] += 1
+                if bound_ok(c1, k1, c2, k2):
+                    gate_stats["super_pairs_kept"] += 1
+                    descend(ta, l1, h1, tb, l2, h2, depth + 1,
+                            same and ia_ == ib_)
+
+    for xi, s in enumerate(live):  # table-level cones gate first
+        c1, k1, n1 = small[s]
+        for t in live[xi:]:
+            c2, k2, n2 = small[t]
+            gate_stats["super_pairs_checked"] += 1
+            if bound_ok(c1, k1, c2, k2):
+                gate_stats["super_pairs_kept"] += 1
+                descend(s, 0, n1, t, 0, n2, 0, s == t)
+    gate_stats["block_pairs_kept"] = len(pair_items)
+    global _LAST_GATE_STATS
+    _LAST_GATE_STATS = gate_stats
     if not pair_items:
-        return rd.from_arrow(pa.table({
-            "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-            "cosine": pa.array([], pa.float64())}))
+        return rd.from_arrow(empty_pairs)
+
+    def _row_block(tbl: pa.Table, r: int):
+        ids = np.frombuffer(tbl["ids"][r].as_py(), dtype="<i8")
+        dim = tbl["dim"][r].as_py()
+        mat = np.frombuffer(tbl["mat"][r].as_py(),
+                            dtype="<f8").reshape(-1, max(dim, 1))
+        return ids, mat
 
     def compute(batch) -> pa.Table:
         a_out, b_out, c_out = [], [], []
-        for i, j in zip(batch["i"], batch["j"]):
-            ids_a, mat_a = ray.get(refs[int(i)])
-            ids_b, mat_b = ray.get(refs[int(j)])
+        tbl_cache: dict[int, pa.Table] = {}
+
+        def tbl(t: int) -> pa.Table:
+            if t not in tbl_cache:  # zero-copy plasma read, once per task
+                tbl_cache[t] = ray.get(table_refs[t])
+            return tbl_cache[t]
+
+        for sa, ra, sb, rb in zip(batch["sa"], batch["ra"],
+                                  batch["sb"], batch["rb"]):
+            ids_a, mat_a = _row_block(tbl(int(sa)), int(ra))
+            ids_b, mat_b = _row_block(tbl(int(sb)), int(rb))
             sim = mat_a @ mat_b.T
             ai, bi = np.nonzero(sim >= threshold)
             # lsh_sort permutes ids across blocks, so emit (min, max)
             # rather than assuming block order == id order; a same-block
             # pair appears twice in the symmetric matrix -> keep one
             ia, ib = ids_a[ai], ids_b[bi]
-            keep = (ia < ib) if int(i) == int(j) else (ia != ib)
+            same = int(sa) == int(sb) and int(ra) == int(rb)
+            keep = (ia < ib) if same else (ia != ib)
             a_out.append(np.minimum(ia, ib)[keep])
             b_out.append(np.maximum(ia, ib)[keep])
             c_out.append(np.round(sim[ai, bi][keep], 6))
@@ -955,5 +1161,5 @@ def embedding_near_dup(ds, id_col: str = "vec_id",
 
     pairs = rd.from_items(pair_items)
     if len(pair_items) > 1:
-        pairs = pairs.repartition(len(pair_items))
+        pairs = pairs.repartition(min(len(pair_items), 256))
     return pairs.map_batches(compute, batch_format="numpy")

@@ -343,3 +343,28 @@ def test_jaccard_csr_kernel():
         union = len(sa) + len(sb) - inter
         want = inter / union if union else 1.0
         assert abs(got[k] - want) < 1e-12, (k, got[k], want)
+
+
+def test_embedding_near_dup_hierarchical_gate_subquadratic(ray_session):
+    """On clustered data the driver gate checks far fewer bound entries
+    than the flat B^2 grid (super-block descend), while the pair set stays
+    exactly the brute-force answer."""
+    rng = np.random.default_rng(29)
+    n, d, n_clusters = 4096, 64, 8
+    centers = np.eye(d)[:n_clusters]  # well-separated directions
+    emb = np.vstack([c + 0.05 * rng.normal(size=(n // n_clusters, d))
+                     for c in centers])
+    emb = emb[rng.permutation(n)]
+    t = pa.table({"vec_id": pa.array(np.arange(n), pa.int64()),
+                  "embedding": pa.array(list(emb))})
+    out = dedup.embedding_near_dup(rd.from_arrow(t), threshold=0.9,
+                                   block_rows=32).to_pandas()
+    got = {(a, b) for a, b in zip(out.a, out.b)}
+    m = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    ai, bi = np.nonzero(np.triu(m @ m.T >= 0.9, k=1))
+    assert got == set(zip(ai.tolist(), bi.tolist())) and len(got) > 0
+    st = dedup._LAST_GATE_STATS
+    assert st is not None and st["blocks"] >= 60  # ~64 blocks
+    flat_grid = st["blocks"] * (st["blocks"] + 1) // 2
+    checked = st["super_pairs_checked"] + st["member_pairs_checked"]
+    assert checked < flat_grid / 2, st
