@@ -99,7 +99,8 @@ class OSM:
     def __init__(self, src_dir: str, bounding_box=None,
                  strategy: str = "broadcast", keep_metadata: bool = False,
                  num_partitions: int | None = None,
-                 complete_relations: bool = False, timestamp=None):
+                 complete_relations: bool = False, timestamp=None,
+                 cache_elements: bool = True):
         self.src = str(src_dir).rstrip("/")
         self._bbox_input = bounding_box
         self.bbox_rings = None  # polygon bounding box: list of (N,2) rings
@@ -147,6 +148,8 @@ class OSM:
         self._inbox_node_ids = None
         self._schemas: dict[str, pa.Schema] = {}
         self._kept_rel_cache: dict = {}
+        self.cache_elements = cache_elements
+        self._element_cache: dict[tuple, rd.Dataset] = {}
 
     # -- element tables ---------------------------------------------------
     def _path(self, table: str) -> str:
@@ -197,6 +200,31 @@ class OSM:
         return int(np.clip(size // self.BLOCK_TARGET_BYTES, 1, 4096))
 
     def _read(self, table: str, columns=None) -> rd.Dataset:
+        """Element read with parse-once caching (ST2, reference
+        pyrosm/pyrosm.py:195-271 `_nodes`/`_way_records`/`_relations`):
+        the first read of a table materialises its blocks in the object
+        store; later getters are served from the cached blocks (column
+        subsets select from a cached superset), so a multi-layer workflow
+        reads and decodes the input once. The cache is per OSM instance —
+        history reads go through `_at()` twins, so a timestamp change
+        never sees stale blocks. Disable with ``cache_elements=False``
+        (single-layer batch jobs that want pure streaming)."""
+        if not self.cache_elements:
+            return self._read_uncached(table, columns)
+        want = None if columns is None else tuple(columns)
+        for (t, cols), ds in self._element_cache.items():
+            if t != table:
+                continue
+            if cols is None or (want is not None
+                                and set(want) <= set(cols)):
+                if want is not None and want != cols:
+                    return ds.select_columns(list(want))
+                return ds
+        ds = self._read_uncached(table, columns).materialize()
+        self._element_cache[(table, want)] = ds
+        return ds
+
+    def _read_uncached(self, table: str, columns=None) -> rd.Dataset:
         # row-group-splitting reader: ray.data.read_parquet plans one task
         # per FILE, so a single-file element table would decode serially
         # and cap the whole layer pipeline's parallelism (the round-2
@@ -389,7 +417,8 @@ class OSM:
                    keep_metadata=self.keep_metadata,
                    num_partitions=self.num_partitions,
                    complete_relations=self.complete_relations,
-                   timestamp=timestamp)
+                   timestamp=timestamp,
+                   cache_elements=self.cache_elements)
 
     @staticmethod
     def _with_extra(tag_cols: list[str], extra_attributes) -> list[str]:

@@ -559,3 +559,33 @@ def test_getter_extra_attributes_and_timestamp(osm, src, ray_session):
     assert len(OSM(src).get_buildings(timestamp="2030-01-01")
                .to_pandas()) == n_all
     assert len(OSM(src).get_pois(timestamp="2000-01-01").to_pandas()) == 0
+
+
+def test_element_cache_reads_input_once(src, ray_session, monkeypatch):
+    """ST2 parse-once contract (reference pyrosm.py:195-271): a two-getter
+    workflow plans exactly one read per element table; outputs are
+    unchanged vs an uncached instance."""
+    from pyrosm_ray.sources import parquet as parquet_mod
+
+    real = parquet_mod.read_parquet_split
+    calls = collections.Counter()
+
+    def counting(path, *a, **k):
+        calls[path.rsplit("/", 1)[-1]] += 1
+        return real(path, *a, **k)
+
+    monkeypatch.setattr(parquet_mod, "read_parquet_split", counting)
+    o = OSM(src)
+    b1 = o.get_buildings().to_pandas()
+    l1 = o.get_landuse().to_pandas()
+    p1 = o.get_pois().to_pandas()
+    assert calls["osm_ways.parquet"] == 1, calls
+    assert calls["osm_nodes.parquet"] <= 1, calls  # coord_ref uses its own
+    # relations go through the kept-relations driver fast path at this
+    # size; the Dataset route (when taken) must also read at most once
+    assert calls["osm_relations.parquet"] <= 1, calls
+    # parity vs uncached
+    o2 = OSM(src, cache_elements=False)
+    assert sorted(b1.id) == sorted(o2.get_buildings().to_pandas().id)
+    assert sorted(l1.id) == sorted(o2.get_landuse().to_pandas().id)
+    assert sorted(p1.id) == sorted(o2.get_pois().to_pandas().id)
