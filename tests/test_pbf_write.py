@@ -319,3 +319,22 @@ def test_write_frames_subset_only_nothing_kept(tmp_path):
         pbf_write.write_frames_to_pbf(nodes, ways, None, frame,
                                       str(tmp_path / "x.osm.pbf"),
                                       subset_only=True)
+
+
+def test_write_pbf_distributed_byte_parity(ray_session, tmp_path):
+    """Segment-spliced distributed writer produces byte-identical output
+    to the serial writer (blob bytes never pass through the driver)."""
+    nodes, ways, rels = _full_tables(TEST_PBF)
+    a = str(tmp_path / "serial.osm.pbf")
+    b = str(tmp_path / "dist.osm.pbf")
+    bbox = (24.0, 60.0, 25.5, 60.5)
+    n1 = pbf_write.write_pbf(a, nodes, ways, rels, bbox=bbox,
+                             block_rows=500)
+    n2 = pbf_write.write_pbf_distributed(b, nodes, ways, rels, bbox=bbox,
+                                         block_rows=500, segment_blobs=3)
+    assert n1 == n2
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        assert fa.read() == fb.read()
+    # no segment temp files left behind
+    import glob
+    assert not glob.glob(b + ".seg*")
