@@ -133,6 +133,23 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("minhash_dedup", lambda: minhash_dedup(docs,
                                                  threshold=0.5).count())
 
+    # co-partitioned PIP (the beyond-broadcast path): key-only cover rows
+    # + per-polygon compact geometry join
+    timed("pip_join_partitioned",
+          lambda: spatial.pip_join_partitioned(
+              pages, polys, num_partitions=max(8, num_cpus),
+              layer="buildings").count())
+
+    # history read (latest-at) via the fully distributed bucketed route —
+    # the beyond-broadcast contract; history scales with sf since v5
+    from pyrosm_ray.stages.history import latest_at_bucketed
+    hist_path = f"{fx}/osm_history.parquet"
+    hist_blocks = max(8, os.path.getsize(hist_path) // (1 << 20))
+    timed("history_latest",
+          lambda: latest_at_bucketed(
+              read_parquet_split(hist_path, num_blocks=int(hist_blocks)),
+              "2030-01-01").count())
+
     n_pages = counts["tile_assignment"]
     total = round(sum(timings.values()), 3)
     out = {

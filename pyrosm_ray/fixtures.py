@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = 4  # bump when generated content changes
+GENERATOR_VERSION = 5  # bump when generated content changes
 
 # fixture world (lon_min, lat_min, lon_max, lat_max) — Helsinki-ish
 WORLD = (24.80, 60.10, 25.20, 60.30)
@@ -634,31 +634,32 @@ def _gen_osm(sf: float):
         **{k: v for k, v in meta(n_rels).items() if k != "changeset"},
     })
 
-    # history: repeated node ids, increasing versions, last sometimes invisible
-    h_n = min(500, n_nodes)
+    # history: repeated node ids, increasing versions, last sometimes
+    # invisible. Scales with sf (round-4: multi-version chains at sf3+
+    # exercise the distributed latest_at route, not just the broadcast)
+    h_n = min(n_nodes, max(500, n_nodes // 4))
     rngh = np.random.default_rng(np.random.SeedSequence([SEED, 5]))
-    h_tags = nodes["tags"].slice(0, h_n).to_pylist()
-    rows = {"id": [], "lon": [], "lat": [], "tags": [], "version": [],
-            "timestamp": [], "visible": []}
-    for i in range(h_n):
-        nid = int(ncols["id"][i])
-        n_ver = int(rngh.integers(1, 4))
-        for v in range(1, n_ver + 1):
-            rows["id"].append(nid)
-            rows["lon"].append(float(ncols["lon"][i]) + 0.0001 * v)
-            rows["lat"].append(float(ncols["lat"][i]))
-            rows["tags"].append(h_tags[i])
-            rows["version"].append(v)
-            rows["timestamp"].append(_TS0 + np.timedelta64(v * 86400, "s"))
-            rows["visible"].append(not (v == n_ver and i % 11 == 0))
+    n_ver = rngh.integers(1, 4, h_n).astype(np.int64)
+    total = int(n_ver.sum())
+    off = np.zeros(h_n + 1, dtype=np.int64)
+    np.cumsum(n_ver, out=off[1:])
+    idx = np.repeat(np.arange(h_n, dtype=np.int64), n_ver)
+    version = (np.arange(total, dtype=np.int64)
+               - np.repeat(off[:-1], n_ver) + 1)
+    is_last = version == np.repeat(n_ver, n_ver)
     history = pa.table({
-        "id": pa.array(rows["id"], pa.int64()),
-        "lon": pa.array(rows["lon"], pa.float64()),
-        "lat": pa.array(rows["lat"], pa.float64()),
-        "tags": pa.array(rows["tags"], TAGS_T),
-        "version": pa.array(np.array(rows["version"], dtype=np.int32)),
-        "timestamp": pa.array(rows["timestamp"], pa.timestamp("s")),
-        "visible": pa.array(rows["visible"], pa.bool_()),
+        "id": pa.array(np.asarray(ncols["id"][:h_n],
+                                  dtype=np.int64)[idx], pa.int64()),
+        "lon": pa.array(np.asarray(ncols["lon"][:h_n])[idx]
+                        + 0.0001 * version, pa.float64()),
+        "lat": pa.array(np.asarray(ncols["lat"][:h_n])[idx],
+                        pa.float64()),
+        "tags": nodes["tags"].combine_chunks().take(pa.array(idx)),
+        "version": pa.array(version.astype(np.int32)),
+        "timestamp": pa.array(
+            _TS0 + (version * 86400).astype("timedelta64[s]"),
+            pa.timestamp("s")),
+        "visible": pa.array(~(is_last & (idx % 11 == 0)), pa.bool_()),
     })
     return nodes, ways, relations, history
 

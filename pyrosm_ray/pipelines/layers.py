@@ -195,6 +195,12 @@ class OSM:
     # parallelism level (cluster scaling varies only the worker count).
     BLOCK_TARGET_BYTES = 1 << 20
 
+    # above this on-disk size, history reads route to the fully
+    # distributed latest_at_bucketed (the live-key broadcast of
+    # latest_at_any costs ~16 B/element — fine to ~10^7 elements,
+    # object-store-unfriendly beyond)
+    HISTORY_BROADCAST_MAX_BYTES = 256 << 20
+
     def _auto_blocks(self, table: str) -> int:
         size = self._table_bytes(table)
         return int(np.clip(size // self.BLOCK_TARGET_BYTES, 1, 4096))
@@ -240,15 +246,20 @@ class OSM:
         if not {"version", "timestamp"} <= names:
             return read_parquet_split(self._path(table), columns=columns,
                                       num_blocks=blocks)
-        from pyrosm_ray.stages.history import latest_at_any
+        from pyrosm_ray.stages.history import latest_at_any, \
+            latest_at_bucketed
         need = None if columns is None else sorted(
             set(columns) | ({"id", "version", "timestamp", "visible"}
                             & names))
         ds = read_parquet_split(self._path(table), columns=need,
                                 num_blocks=blocks)
-        ds = latest_at_any(ds, self.timestamp,
-                           visible_col="visible" if "visible" in names
-                           else None)
+        vis = "visible" if "visible" in names else None
+        if self._table_bytes(table) > self.HISTORY_BROADCAST_MAX_BYTES:
+            # beyond the 16 B/element broadcast contract: fully
+            # distributed bucketed route (payload shuffles once)
+            ds = latest_at_bucketed(ds, self.timestamp, visible_col=vis)
+        else:
+            ds = latest_at_any(ds, self.timestamp, visible_col=vis)
         if columns is not None:
             ds = ds.map_batches(lambda b: b.select(list(columns)),
                                 batch_format="pyarrow")

@@ -124,6 +124,59 @@ def latest_at_any(ds, timestamp, id_col: str = "id",
     return ds.map_batches(keep_latest, batch_format="pyarrow")
 
 
+def latest_at_bucketed(ds, timestamp, id_col: str = "id",
+                       version_col: str = "version",
+                       visible_col: str | None = "visible",
+                       ts_col: str = "timestamp",
+                       num_buckets: int = 64):
+    """Fully distributed ``latest_at`` for payload-agnostic tables whose
+    live-key set exceeds the broadcast contract of :func:`latest_at_any`:
+    rows hash-bucket by id (one shuffle carrying the payload once), and
+    each bucket picks every id's max surviving version vectorised
+    (lexsort + last-per-id mask — no per-id Python, no join, so nested
+    ``refs``/``tags`` columns ride through untouched). The number of
+    buckets bounds group size; one id's versions must fit a worker."""
+    import numpy as np
+
+    t = normalize_timestamp(timestamp)
+
+    def cutoff_and_bucket(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch[ts_col], pa.timestamp("s")), pa.int64())
+        batch = batch.filter(
+            pc.fill_null(pc.less_equal(ts, t), False))
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        # multiplicative hash: dense OSM id ranges spread evenly
+        h = (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(52)
+        return batch.append_column(
+            "__bucket", pa.array((h % num_buckets).astype(np.int64)))
+
+    def pick_latest(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return group.drop_columns(["__bucket"])
+        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        ver = np.asarray(group[version_col].to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        order = np.lexsort((ver, ids))
+        last = np.ones(n, dtype=bool)
+        last[:-1] = ids[order][1:] != ids[order][:-1]
+        keep = order[last]
+        if visible_col is not None and \
+                visible_col in group.column_names:
+            vis = np.asarray(pc.fill_null(group[visible_col], False)
+                             .to_numpy(zero_copy_only=False))
+            keep = keep[vis[keep]]
+        return group.take(pa.array(np.sort(keep))) \
+            .drop_columns(["__bucket"])
+
+    return ds.map_batches(cutoff_and_bucket, batch_format="pyarrow") \
+        .groupby("__bucket").map_groups(pick_latest,
+                                        batch_format="pyarrow")
+
+
 def latest_at(ds, timestamp, id_col: str = "id",
               version_col: str = "version", visible_col: str = "visible",
               ts_col: str = "timestamp", num_partitions: int = 8):

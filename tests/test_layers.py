@@ -589,3 +589,23 @@ def test_element_cache_reads_input_once(src, ray_session, monkeypatch):
     assert sorted(b1.id) == sorted(o2.get_buildings().to_pandas().id)
     assert sorted(l1.id) == sorted(o2.get_landuse().to_pandas().id)
     assert sorted(p1.id) == sorted(o2.get_pois().to_pandas().id)
+
+
+def test_latest_at_bucketed_parity(src, ray_session):
+    """Distributed bucketed history route == broadcast latest_at_any,
+    nested tags payload intact, invisible latest dropped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from pyrosm_ray.stages.history import latest_at_any, latest_at_bucketed
+    ds = rd.read_parquet(f"{src}/osm_history.parquet")
+    ts = "2025-01-01"
+    a = latest_at_any(ds, ts).to_pandas().sort_values("id") \
+        .reset_index(drop=True)
+    b = latest_at_bucketed(rd.read_parquet(f"{src}/osm_history.parquet"),
+                           ts, num_buckets=7).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for col in ("id", "version", "lon", "lat"):
+        assert list(a[col]) == list(b[col]), col
+    assert [sorted(t) for t in a.tags] == [sorted(t) for t in b.tags]
