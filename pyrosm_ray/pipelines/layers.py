@@ -150,6 +150,7 @@ class OSM:
         self._kept_rel_cache: dict = {}
         self.cache_elements = cache_elements
         self._element_cache: dict[tuple, rd.Dataset] = {}
+        self._read_seen: dict[str, int] = {}
 
     # -- element tables ---------------------------------------------------
     def _path(self, table: str) -> str:
@@ -207,14 +208,17 @@ class OSM:
 
     def _read(self, table: str, columns=None) -> rd.Dataset:
         """Element read with parse-once caching (ST2, reference
-        pyrosm/pyrosm.py:195-271 `_nodes`/`_way_records`/`_relations`):
-        the first read of a table materialises its blocks in the object
-        store; later getters are served from the cached blocks (column
-        subsets select from a cached superset), so a multi-layer workflow
-        reads and decodes the input once. The cache is per OSM instance —
-        history reads go through `_at()` twins, so a timestamp change
-        never sees stale blocks. Disable with ``cache_elements=False``
-        (single-layer batch jobs that want pure streaming)."""
+        pyrosm/pyrosm.py:195-271 `_nodes`/`_way_records`/`_relations`),
+        cache-on-reuse form: the FIRST read of a table streams fully
+        fused (a single-getter job pays zero caching tax — materialising
+        up-front serialized the read behind a barrier and cost the
+        headline getter 3-6x at sf0.1); the SECOND read materialises its
+        blocks in the object store and every later getter reuses them
+        (column subsets select from a cached superset), so an N-layer
+        workflow reads the input at most twice instead of N times. The
+        cache is per OSM instance — history reads go through `_at()`
+        twins, so a timestamp change never sees stale blocks. Disable
+        with ``cache_elements=False`` (pure streaming on every read)."""
         if not self.cache_elements:
             return self._read_uncached(table, columns)
         want = None if columns is None else tuple(columns)
@@ -226,6 +230,10 @@ class OSM:
                 if want is not None and want != cols:
                     return ds.select_columns(list(want))
                 return ds
+        seen = self._read_seen.get(table, 0)
+        self._read_seen[table] = seen + 1
+        if seen == 0:  # first use: stream, keep the read fused
+            return self._read_uncached(table, columns)
         ds = self._read_uncached(table, columns).materialize()
         self._element_cache[(table, want)] = ds
         return ds

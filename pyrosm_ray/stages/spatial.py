@@ -35,6 +35,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+import ray.data as rd
 
 from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
 
@@ -1012,24 +1013,59 @@ def knn_join(pages_ds, pois_ds=None, k: int = 1, id_col: str = "id",
 # co-partitioned (shuffle) PIP join — the beyond-broadcast scale path
 # ---------------------------------------------------------------------------
 
+def _cover_counts(bx: dict, gres: int):
+    """Per-polygon covering-cell ranges at grid res ``gres``:
+    (cx0, cy0, ncx, ncell) over the bbox columns."""
+    nx = np.int64(1) << gres
+    cx0 = np.clip(np.floor((bx["x0"] + 180) / 360 * nx), 0,
+                  nx - 1).astype(np.int64)
+    cx1 = np.clip(np.floor((bx["x1"] + 180) / 360 * nx), 0,
+                  nx - 1).astype(np.int64)
+    cy0 = np.clip(np.floor((90 - bx["y1"]) / 180 * nx), 0,
+                  nx - 1).astype(np.int64)
+    cy1 = np.clip(np.floor((90 - bx["y0"]) / 180 * nx), 0,
+                  nx - 1).astype(np.int64)
+    ncx = cx1 - cx0 + 1
+    return cx0, cy0, ncx, ncx * (cy1 - cy0 + 1)
+
+
+def _choose_cover_res(bx: dict, ladder, max_cover: int) -> np.ndarray:
+    """Finest ladder grid-res whose bbox cover stays <= ``max_cover``
+    (coarsest level when even that is exceeded). ``ladder`` is sorted
+    coarse -> fine; finer levels overwrite when they qualify."""
+    chosen = np.full(len(bx["x0"]), ladder[0], np.int64)
+    for g in ladder[1:]:
+        _, _, _, ncell = _cover_counts(bx, g)
+        chosen = np.where(ncell <= max_cover, np.int64(g), chosen)
+    return chosen
+
+
 def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                          num_partitions: int = 32, layer: str | None = None,
-                         id_col: str = "id"):
+                         id_col: str = "id", max_cover: int = 64):
     """Cell-co-partitioned PIP join (the beyond-broadcast scale path).
 
-    Pages carry their res-``cell_res`` cell; each polygon contributes
-    (polygon_id, cell) KEY rows for every cell its bbox covers — the
-    geometry itself (compact packed form, not WKB) joins ONCE per polygon
-    by id after the cell join, so the cover factor multiplies only
-    16-byte key rows, never geometry bytes. Only the (url, lon, lat,
+    Adaptive-resolution cell keys: each polygon emits (polygon_id, cell,
+    bbox) KEY rows at the FINEST ladder level (``cell_res``,
+    ``cell_res+2``, ``cell_res+4`` in H3-equivalent terms) where its bbox
+    covers <= ``max_cover`` cells. Tiny polygons (buildings) land in fine
+    cells — a single coarse resolution pairs every page with every
+    polygon of a km-wide cell, which at sf0.1 exploded the candidate
+    join to 10.3 M rows (304 s); admin-sized polygons stay coarse with a
+    bounded cover. The cell id encodes its res in the top 6 bits
+    (``tiles/grid.py``), so ONE join serves all levels; pages emit a key
+    row per level the polygon side actually uses (a buildings-only layer
+    uses one level — no page-side amplification). Cover rows carry the
+    polygon bbox (32 B) so candidates are bbox-pruned in a fused map
+    straight off the cell join, before any geometry bytes shuffle.
+
+    The geometry (compact packed form, not WKB) joins ONCE per polygon by
+    id after the pruned cell join, so the cover factor multiplies only
+    48-byte key rows, never geometry bytes, and only the (url, lon, lat,
     cell) projection shuffles — the full page payload (html/text)
-    re-joins by url afterwards, so payload bytes never enter the
-    all-to-all (SURVEY.md §7.4 wide-binary-rows note).
+    re-joins by url afterwards (SURVEY.md §7.4 wide-binary-rows note).
     """
-    col = f"h3_r{cell_res}"
-    gres = grid.h3_equiv_res(cell_res)
-    pages_t = assign_tiles(pages_ds, resolutions=(cell_res,))
-    proj = pages_t.select_columns(["url", "lon", "lat", col])
+    ladder = sorted({grid.h3_equiv_res(cell_res + 2 * k) for k in range(3)})
 
     # distributed WKB decode into the compact packed form (bbox + coord
     # buffer + ring lengths) — consumed twice: cover keys and geometry
@@ -1037,38 +1073,72 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
         lambda b: _pack_polygon_batch(b, id_col),
         batch_format="pyarrow").materialize()
 
-    def cover_rows(batch: pa.Table) -> pa.Table:
-        """(polygon_id, cell) KEY rows only — the geometry payload never
-        replicates per covering cell (round-3 verdict item: the WKB blob
-        multiplied the shuffle bytes by the cover factor). Vectorised
-        cover enumeration, same shape as _build_cell_bins."""
+    def level_rows(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({"polygon_id": pa.array([], pa.int64()),
-                             col: pa.array([], pa.int64())})
+            return pa.table({"gres": pa.array([], pa.int64())})
+        bx = {c: np.asarray(batch[c].to_numpy(zero_copy_only=False))
+              for c in ("x0", "y0", "x1", "y1")}
+        return pa.table({"gres": pa.array(
+            np.unique(_choose_cover_res(bx, ladder, max_cover)), pa.int64())})
+
+    used = sorted({r["gres"] for r in packed.map_batches(
+        level_rows, batch_format="pyarrow").take_all()})
+    lay = layer or "polygons"
+    # size-aware shuffle width: ``num_partitions`` is a CAP, not a floor —
+    # each hash join spins up one aggregator actor per partition, so 32
+    # partitions over a few hundred k key rows is pure actor spin-up
+    # (measured: 3 joins x ~8-11 s fixed cost at sf0.1). Parquet/metadata
+    # counts are free; ~250k key rows per partition keeps aggregators busy.
+    try:
+        est = pages_ds.count() * max(1, len(used)) + packed.count() * 4
+        num_partitions = int(np.clip(est // 250_000 + 1, 2, num_partitions))
+    except Exception:
+        pass
+    if not used:  # no polygons -> empty join, pages schema preserved
+        hits = rd.from_arrow(pa.table({
+            "url": pa.array([], pa.string()),
+            "polygon_id": pa.array([], pa.int64()),
+            "polygon_layer": pa.array([], pa.string())}))
+        return pages_ds.join(hits, "inner", on=("url",),
+                             **shuffle_join_args(num_partitions))
+
+    def cover_rows(batch: pa.Table) -> pa.Table:
+        """(polygon_id, cell, bbox) KEY rows at each polygon's chosen
+        level — the geometry payload never replicates per covering cell
+        (round-3 verdict item). Vectorised cover enumeration, same shape
+        as _build_cell_bins."""
+        empty = pa.table({"polygon_id": pa.array([], pa.int64()),
+                          "cell": pa.array([], pa.int64()),
+                          "x0": pa.array([], pa.float64()),
+                          "y0": pa.array([], pa.float64()),
+                          "x1": pa.array([], pa.float64()),
+                          "y1": pa.array([], pa.float64())})
+        if batch.num_rows == 0:
+            return empty
         pid = np.asarray(batch["pid"].to_numpy(zero_copy_only=False),
                          np.int64)
         bx = {c: np.asarray(batch[c].to_numpy(zero_copy_only=False))
               for c in ("x0", "y0", "x1", "y1")}
-        nx = np.int64(1) << gres
-        cx0 = np.clip(np.floor((bx["x0"] + 180) / 360 * nx), 0,
-                      nx - 1).astype(np.int64)
-        cx1 = np.clip(np.floor((bx["x1"] + 180) / 360 * nx), 0,
-                      nx - 1).astype(np.int64)
-        cy0 = np.clip(np.floor((90 - bx["y1"]) / 180 * nx), 0,
-                      nx - 1).astype(np.int64)
-        cy1 = np.clip(np.floor((90 - bx["y0"]) / 180 * nx), 0,
-                      nx - 1).astype(np.int64)
-        ncx = cx1 - cx0 + 1
-        ncell = ncx * (cy1 - cy0 + 1)
-        local = _concat_ranges(np.zeros(len(pid), np.int64), ncell)
-        nx_rep = np.repeat(ncx, ncell)
-        key = (np.int64(gres) << 58) \
-            | ((np.repeat(cx0, ncell) + local % nx_rep) << 29) \
-            | (np.repeat(cy0, ncell) + local // nx_rep)
-        return pa.table({
-            "polygon_id": pa.array(np.repeat(pid, ncell), pa.int64()),
-            col: pa.array(key, pa.int64()),
-        })
+        chosen = _choose_cover_res(bx, ladder, max_cover)
+        parts = []
+        for g in np.unique(chosen):
+            m = chosen == g
+            sub = {c: bx[c][m] for c in bx}
+            cx0, cy0, ncx, ncell = _cover_counts(sub, int(g))
+            local = _concat_ranges(np.zeros(int(m.sum()), np.int64), ncell)
+            nx_rep = np.repeat(ncx, ncell)
+            key = (np.int64(g) << 58) \
+                | ((np.repeat(cx0, ncell) + local % nx_rep) << 29) \
+                | (np.repeat(cy0, ncell) + local // nx_rep)
+            parts.append(pa.table({
+                "polygon_id": pa.array(np.repeat(pid[m], ncell), pa.int64()),
+                "cell": pa.array(key, pa.int64()),
+                "x0": pa.array(np.repeat(sub["x0"], ncell)),
+                "y0": pa.array(np.repeat(sub["y0"], ncell)),
+                "x1": pa.array(np.repeat(sub["x1"], ncell)),
+                "y1": pa.array(np.repeat(sub["y1"], ncell)),
+            }))
+        return pa.concat_tables(parts) if parts else empty
 
     poly_cells = packed.map_batches(cover_rows, batch_format="pyarrow")
     poly_geoms = packed.map_batches(
@@ -1076,10 +1146,42 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                             "rlens": b["rlens"]}),
         batch_format="pyarrow")
 
+    # page side: key rows only at the levels the polygon side uses
+    pg = geocode_pages(pages_ds.select_columns(["url"]))
+
+    def page_keys(batch: pa.Table) -> pa.Table:
+        lon = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
+        lat = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
+        parts = [pa.table({"url": batch["url"], "lon": batch["lon"],
+                           "lat": batch["lat"],
+                           "cell": pa.array(grid.cell_id(lon, lat, g),
+                                            pa.int64())})
+                 for g in used]
+        return pa.concat_tables(parts)
+
+    proj = pg.map_batches(page_keys, batch_format="pyarrow")
+
     # 1) key-only cell join -> candidate (page, polygon) pairs
-    cand = proj.join(poly_cells, "inner", on=(col,),
+    cand = proj.join(poly_cells, "inner", on=("cell",),
                      **shuffle_join_args(num_partitions))
-    cand = cand.drop_columns([col])
+
+    def bbox_prune(b: pa.Table) -> pa.Table:
+        """Conservative bbox containment fused straight off the cell join
+        — candidates sharing a cell but outside the polygon bbox never
+        reach the geometry shuffle or the exact confirm."""
+        drop = [c for c in ("cell", "x0", "y0", "x1", "y1")
+                if c in b.column_names]
+        if b.num_rows == 0:
+            return b.drop_columns(drop)
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
+        m = ((lon >= np.asarray(b["x0"].to_numpy(zero_copy_only=False)))
+             & (lon <= np.asarray(b["x1"].to_numpy(zero_copy_only=False)))
+             & (lat >= np.asarray(b["y0"].to_numpy(zero_copy_only=False)))
+             & (lat <= np.asarray(b["y1"].to_numpy(zero_copy_only=False))))
+        return b.filter(pa.array(m)).drop_columns(drop)
+
+    cand = cand.map_batches(bbox_prune, batch_format="pyarrow")
     # barrier + empty-block scrub between shuffle joins (aggregator pools
     # co-reserve CPUs on deep lazy chains; acero rejects zero-col blocks)
     cand = nonempty(cand, pa.table({
@@ -1121,7 +1223,6 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
 
     hits = cand.map_batches(per_pair_pip, batch_format="pyarrow")
     hits = hits.drop_columns(["lon", "lat"])
-    lay = layer or "polygons"
     hits = hits.map_batches(
         lambda b: b.append_column("polygon_layer",
                                   pa.array([lay] * len(b), pa.string())),

