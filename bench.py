@@ -56,9 +56,18 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # throughput, not process fork + import cost
     @ray.remote
     def _warm():
-        import numpy  # noqa: F401
+        import numpy as np
         import pandas  # noqa: F401
         import pyarrow  # noqa: F401
+        # exercise the big-array numeric kernels once: this sandbox VM
+        # executes the first large trig/BLAS/alloc workload of a process
+        # 10-50x slower (lazy page population / instruction translation,
+        # the documented VM ceiling) — without this, whichever timed
+        # stage touches a kernel first absorbs the whole warm-up
+        x = np.random.uniform(-1.0, 1.0, 2_000_000)
+        np.arcsin(np.sqrt(np.abs(np.sin(x) * np.cos(x))))
+        m = x[:999_999].reshape(333_333, 3)
+        np.argpartition((m @ m[:64].T).ravel(), 7)
         return 1
     ray.get([_warm.remote() for _ in range(2 * num_cpus)])
     rd.range(1000).map_batches(lambda b: b).count()

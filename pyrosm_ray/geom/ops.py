@@ -41,6 +41,21 @@ def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
     return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(h))
 
 
+def unit_vecs(lat, lon) -> np.ndarray:
+    """(N, 3) unit sphere vectors — trig per POINT, so pair distances can
+    rank by dot product (strictly monotone with great-circle distance:
+    larger dot = closer). Candidate-selection kernels use this instead of
+    an all-pairs :func:`haversine_m` matrix, then evaluate the exact
+    haversine only on the selected few — per-pair trig is the FLOP wall
+    of a dense distance matrix, and the exact top-k set is unchanged as
+    long as selection keeps a small rank margin for float ties."""
+    la = np.deg2rad(np.asarray(lat, dtype=np.float64))
+    lo = np.deg2rad(np.asarray(lon, dtype=np.float64))
+    cla = np.cos(la)
+    return np.stack([cla * np.cos(lo), cla * np.sin(lo), np.sin(la)],
+                    axis=1)
+
+
 def polyline_lengths_m(coords: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-polyline haversine length with the reference's rounding contract.
 

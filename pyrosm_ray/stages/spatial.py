@@ -1246,23 +1246,21 @@ _KNN_RANKED_EMPTY = pa.table({
 _KNN_HITS_EMPTY = _KNN_RANKED_EMPTY.drop_columns(["lon", "lat"])
 
 
-def _ring_explode(batch: pa.Table, gres: int, radius: int,
-                  col: str) -> pa.Table:
-    """Replicate each page row to every cell within Chebyshev ``radius``
-    of its own cell (the page side is the small one after round 1 — the
-    POI table never replicates)."""
+
+def _poi_ring_rows(batch: pa.Table, gres: int, radius: int) -> pa.Table:
+    """Replicate each POI row to every cell within Chebyshev ``radius``
+    of its own cell — the POI side is the SMALL side of the web-scale
+    join, so it is the one that amplifies (pages shuffle exactly once
+    per round, keyed by their own cell)."""
     n = len(batch)
-    if n == 0:
-        return pa.table({"url": pa.array([], pa.string()),
-                         "lon": pa.array([], pa.float64()),
-                         "lat": pa.array([], pa.float64()),
-                         col: pa.array([], pa.int64())})
-    lon = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
-    lat = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
+    lo = np.asarray(batch["plon"].to_numpy(zero_copy_only=False))
+    la = np.asarray(batch["plat"].to_numpy(zero_copy_only=False))
+    ids = np.asarray(batch["poi_id"].to_numpy(zero_copy_only=False),
+                     np.int64)
     nx = np.int64(1) << gres
-    cx = np.clip(np.floor((lon + 180.0) / 360.0 * nx), 0,
+    cx = np.clip(np.floor((lo + 180.0) / 360.0 * nx), 0,
                  nx - 1).astype(np.int64)
-    cy = np.clip(np.floor((90.0 - lat) / 180.0 * nx), 0,
+    cy = np.clip(np.floor((90.0 - la) / 180.0 * nx), 0,
                  nx - 1).astype(np.int64)
     side = 2 * radius + 1
     reps = side * side
@@ -1275,84 +1273,112 @@ def _ring_explode(batch: pa.Table, gres: int, radius: int,
     ok = (ncx >= 0) & (ncx < nx) & (ncy >= 0) & (ncy < nx)
     rows, ncx, ncy = rows[ok], ncx[ok], ncy[ok]
     cell = (np.int64(gres) << 58) | (ncx << 29) | ncy
-    urls = pc.take(batch["url"], pa.array(rows, pa.int64()))
-    return pa.table({"url": urls,
-                     "lon": pa.array(lon[rows], pa.float64()),
-                     "lat": pa.array(lat[rows], pa.float64()),
-                     col: pa.array(cell, pa.int64())})
+    return pa.table({
+        "poi_id": pa.array(ids[rows], pa.int64()),
+        "plon": pa.array(lo[rows], pa.float64()),
+        "plat": pa.array(la[rows], pa.float64()),
+        "cell": pa.array(cell, pa.int64()),
+    })
 
 
-def _knn_round_topk(group: pa.Table, k: int, gres: int, radius: int,
-                    col: str) -> pa.Table:
-    """One hash bucket of (page x candidate-POI) rows -> per page either
-    its final top-k (done) or one undone marker row (poi_id null).
+def _knn_cells_topk(group: pa.Table, k: int, gres: int,
+                    radius: int) -> pa.Table:
+    """One cell-hash shard of page rows + ring-replicated POI rows ->
+    per page its final top-k (done) or one undone marker (knn_rank 0).
 
-    Done test mirrors the broadcast KnnJoiner: the kth distance must lie
-    within the conservative inscribed radius of the ring-``radius`` cell
-    block around the page's own cell — a POI outside the block could
-    otherwise be closer."""
+    Candidate pairs are GENERATED in here — pages cross the POIs
+    replicated into their own cell, which is exactly the Chebyshev-ring
+    candidate set — so the pair rows never shuffle (the old
+    join-then-rebucket form moved every candidate through TWO
+    all-to-alls). Done test: a page is final when its kth distance fits
+    inside the conservative inscribed radius of the ring-``radius`` cell
+    block around its own cell (a POI outside the block could otherwise
+    be closer), mirroring the broadcast KnnJoiner."""
     if len(group) == 0:
-        return group
-    urls = np.asarray(group["url"].to_numpy(zero_copy_only=False),
+        return _KNN_RANKED_EMPTY
+    is_page = np.asarray(pc.is_valid(group["url"])
+                         .to_numpy(zero_copy_only=False))
+    pg = group.filter(pa.array(is_page))
+    if pg.num_rows == 0:
+        return _KNN_RANKED_EMPTY
+    po = group.filter(pa.array(~is_page))
+    urls = np.asarray(pg["url"].to_numpy(zero_copy_only=False),
                       dtype=object)
-    lon = np.asarray(group["lon"].to_numpy(zero_copy_only=False))
-    lat = np.asarray(group["lat"].to_numpy(zero_copy_only=False))
-    poi = group["poi_id"]
-    has = np.asarray(pc.is_valid(poi).to_numpy(zero_copy_only=False))
-    poi_np = np.asarray(poi.to_numpy(zero_copy_only=False), dtype=np.float64)
-    plon = np.asarray(group["plon"].to_numpy(zero_copy_only=False),
-                      dtype=np.float64)
-    plat = np.asarray(group["plat"].to_numpy(zero_copy_only=False),
-                      dtype=np.float64)
-    d = np.full(len(group), np.inf)
-    if has.any():
-        d[has] = ops.haversine_m(lat[has], lon[has], plat[has], plon[has])
-    order = np.lexsort((np.where(has, poi_np, np.inf), d, urls))
-    u_s = urls[order]
-    new = np.ones(len(u_s), dtype=bool)
-    new[1:] = u_s[1:] != u_s[:-1]
-    grp_start = np.flatnonzero(new)
-    counts = np.diff(np.append(grp_start, len(u_s)))
-    rank = np.arange(len(u_s)) - np.repeat(grp_start, counts)
-    valid_counts = np.add.reduceat(has[order], grp_start)
+    lon = np.asarray(pg["lon"].to_numpy(zero_copy_only=False), np.float64)
+    lat = np.asarray(pg["lat"].to_numpy(zero_copy_only=False), np.float64)
+    pcell = np.asarray(pg["cell"].to_numpy(zero_copy_only=False), np.int64)
+    qcell = np.asarray(po["cell"].to_numpy(zero_copy_only=False), np.int64)
+    qid = np.asarray(po["poi_id"].to_numpy(zero_copy_only=False), np.int64)
+    qlon = np.asarray(po["plon"].to_numpy(zero_copy_only=False), np.float64)
+    qlat = np.asarray(po["plat"].to_numpy(zero_copy_only=False), np.float64)
+    qord = np.argsort(qcell, kind="stable")
+    qcell_s = qcell[qord]
+    s0 = np.searchsorted(qcell_s, pcell, side="left")
+    s1 = np.searchsorted(qcell_s, pcell, side="right")
+    cnt = s1 - s0
+    npg = len(urls)
+    pair_pg = np.repeat(np.arange(npg, dtype=np.int64), cnt)
+    pair_q = qord[_concat_ranges(s0, cnt)]
+    # rank candidates by unit-vector dot product — trig per ROW, pure
+    # multiply-add per PAIR; the dense per-pair trig matrix is the FLOP
+    # wall of this kernel. Exact haversine runs only on the top-(k+4)
+    # selection per page (the margin absorbs float near-ties, so the
+    # final (distance, poi_id) order is identical to full evaluation).
+    pu = ops.unit_vecs(lat, lon)
+    qu = ops.unit_vecs(qlat, qlon)
+    negdot = -np.einsum("ij,ij->i", pu[pair_pg], qu[pair_q])
+    order = np.lexsort((qid[pair_q], negdot, pair_pg))
+    grp_full = np.zeros(npg + 1, np.int64)
+    np.cumsum(cnt, out=grp_full[1:])
+    msel = np.minimum(cnt, k + 4)
+    sel = _concat_ranges(grp_full[:-1], msel)
+    sp = pair_pg[order][sel]
+    sq = pair_q[order][sel]
+    d_sel = ops.haversine_m(lat[sp], lon[sp], qlat[sq], qlon[sq])
+    order2 = np.lexsort((qid[sq], d_sel, sp))
+    d_s = d_sel[order2]
+    q_s = sq[order2]
+    grp_start = np.zeros(npg + 1, np.int64)
+    np.cumsum(msel, out=grp_start[1:])
     # conservative distance from the page to the edge of the covered block
-    glon = lon[order[grp_start]]
-    glat = lat[order[grp_start]]
+    mask29 = (np.int64(1) << 29) - 1
     nx = np.int64(1) << gres
     cw_lon = 360.0 / float(nx)
     cw_lat = 180.0 / float(nx)
-    cx = np.clip(np.floor((glon + 180.0) / 360.0 * nx), 0,
-                 nx - 1).astype(np.int64)
-    cy = np.clip(np.floor((90.0 - glat) / 180.0 * nx), 0,
-                 nx - 1).astype(np.int64)
+    cx = (pcell >> 29) & mask29
+    cy = pcell & mask29
     lon0 = -180.0 + (cx - radius) * cw_lon
     lon1 = -180.0 + (cx + radius + 1) * cw_lon
     lat1 = 90.0 - (cy - radius) * cw_lat
     lat0 = 90.0 - (cy + radius + 1) * cw_lat
-    dlat = np.minimum(glat - lat0, lat1 - glat)
-    dlon = np.minimum(glon - lon0, lon1 - glon)
+    dlat = np.minimum(lat - lat0, lat1 - lat)
+    dlon = np.minimum(lon - lon0, lon1 - lon)
     coslat = np.cos(np.deg2rad(np.maximum(np.abs(lat0), np.abs(lat1))))
     safe_m = _DEG_M_CONSERVATIVE * np.minimum(dlat, dlon * coslat)
-    kk = k
-    kth_idx = np.minimum(grp_start + kk - 1, len(u_s) - 1)
-    kth_d = d[order][kth_idx]
-    done_grp = (valid_counts >= kk) & (kth_d <= safe_m)
-    take = np.repeat(done_grp, counts) & (rank < kk) & has[order]
-    undone_grp = ~done_grp
-    out_url = np.concatenate([u_s[take], u_s[grp_start[undone_grp]]])
-    out_lon = np.concatenate([lon[order][take], glon[undone_grp]])
-    out_lat = np.concatenate([lat[order][take], glat[undone_grp]])
-    out_poi = np.concatenate([
-        poi_np[order][take],
-        np.full(int(undone_grp.sum()), np.nan)])
-    out_d = np.concatenate([np.round(d[order][take], 3),
-                            np.full(int(undone_grp.sum()), np.nan)])
-    out_rank = np.concatenate([rank[take] + 1,
-                               np.zeros(int(undone_grp.sum()), np.int64)])
-    poi_arr = pa.array(
-        [None if np.isnan(v) else int(v) for v in out_poi], pa.int64())
-    dist_arr = pa.array(
-        [None if np.isnan(v) else float(v) for v in out_d], pa.float64())
+    has = cnt > 0
+    kth_idx = np.minimum(grp_start[:-1] + k - 1,
+                         np.maximum(grp_start[1:] - 1, 0))
+    kth_d = np.full(npg, np.inf)
+    kth_d[has] = d_s[kth_idx[has]]
+    done_pg = (cnt >= k) & (kth_d <= safe_m)
+    rank = np.arange(len(d_s), dtype=np.int64) \
+        - np.repeat(grp_start[:-1], msel)
+    take = np.repeat(done_pg, msel) & (rank < k)
+    undone = ~done_pg
+    n_un = int(undone.sum())
+    pair_pg_s = sp[order2]
+    out_url = np.concatenate([urls[pair_pg_s][take], urls[undone]])
+    out_lon = np.concatenate([lon[pair_pg_s][take], lon[undone]])
+    out_lat = np.concatenate([lat[pair_pg_s][take], lat[undone]])
+    done_poi = qid[q_s[take]]
+    done_d = np.round(d_s[take], 3)
+    out_rank = np.concatenate([rank[take] + 1, np.zeros(n_un, np.int64)])
+    poi_arr = pa.concat_arrays([
+        pa.array(done_poi, pa.int64()),
+        pa.nulls(n_un, pa.int64())])
+    dist_arr = pa.concat_arrays([
+        pa.array(done_d, pa.float64()),
+        pa.nulls(n_un, pa.float64())])
     return pa.table({
         "url": pa.array(list(out_url), pa.string()),
         "lon": pa.array(out_lon, pa.float64()),
@@ -1363,9 +1389,16 @@ def _knn_round_topk(group: pa.Table, k: int, gres: int, radius: int,
     })
 
 
-def knn_join_partitioned(pages_ds, pois_ds, k: int = 1, cell_res: int = 7,
+# one shuffle round is worth it only while unresolved x POIs exceeds what
+# the broadcast exact sweep grinds through in a couple of seconds
+_KNN_SWEEP_MAX_PAIRS = 1 << 28
+
+
+def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
+                         cell_res: int | None = None,
                          num_partitions: int = 32, id_col: str = "id",
-                         num_buckets: int = 64, max_rounds: int = 3):
+                         num_buckets: int = 64, max_rounds: int = 3,
+                         sweep_max_pairs: int = _KNN_SWEEP_MAX_PAIRS):
     """Cell-co-partitioned kNN join — the path for a POI side that outgrows
     the object-store broadcast contract (mirror of
     :func:`pip_join_partitioned`).
@@ -1379,13 +1412,19 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1, cell_res: int = 7,
     covered block. Stragglers after ``max_rounds`` run one exact sweep of
     the POI table against the (tiny, broadcast) leftover page set. Only
     the (url, lon, lat) projection ever shuffles; the full page payload
-    re-joins by url at the end."""
+    re-joins by url at the end.
+
+    ``cell_res=None`` (the default) sizes the grid from the POI side's
+    own count and extent — cells chosen so a cell holds ~max(0.5, k/4)
+    POIs. A fixed coarse res over a dense POI set multiplies the round-1
+    left join by POIs-per-cell x 9 ring cells (measured at sf0.1:
+    res-7-equivalent cells held ~40 POIs -> a 72 M-row join, 469 s;
+    auto-res -> ~1.8 M rows). Pass an explicit ``cell_res`` (H3-ish
+    resolution) to pin the grid, e.g. for parity tests."""
     import ray
     import ray.data as rd
-    col = f"__knn_cell_r{cell_res}"
-    gres = grid.h3_equiv_res(cell_res)
 
-    def poi_cells(batch: pa.Table) -> pa.Table:
+    def poi_coords(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
                          dtype=np.int64)
         if "lon" in batch.column_names and not \
@@ -1403,36 +1442,98 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1, cell_res: int = 7,
             "poi_id": pa.array(ids, pa.int64()),
             "plon": pa.array(lo, pa.float64()),
             "plat": pa.array(la, pa.float64()),
-            col: pa.array(grid.cell_id(lo, la, gres), pa.int64()),
         })
 
-    pois = pois_ds.map_batches(poi_cells,
+    # narrow (24 B/row) coord table first: the density stats and the cell
+    # keying both read it, so the WKB decode runs once
+    base = pois_ds.map_batches(poi_coords,
                                batch_format="pyarrow").materialize()
+    if cell_res is None:
+        def stats(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({c: pa.array([], pa.float64())
+                                 for c in ("n", "x0", "y0", "x1", "y1")})
+            lo = np.asarray(b["plon"].to_numpy(zero_copy_only=False))
+            la = np.asarray(b["plat"].to_numpy(zero_copy_only=False))
+            return pa.table({"n": pa.array([float(b.num_rows)]),
+                             "x0": pa.array([lo.min()]),
+                             "y0": pa.array([la.min()]),
+                             "x1": pa.array([lo.max()]),
+                             "y1": pa.array([la.max()])})
+        st = base.map_batches(stats, batch_format="pyarrow").to_pandas()
+        n_pois = float(st["n"].sum()) if len(st) else 0.0
+        if n_pois == 0:
+            gres = grid.h3_equiv_res(7)
+        else:
+            spanx = max(float(st["x1"].max() - st["x0"].min()), 1e-6)
+            spany = max(float(st["y1"].max() - st["y0"].min()), 1e-6)
+            cells = max(64.0, n_pois / max(0.5, k / 4.0))
+            gres = int(np.clip(round(0.5 * np.log2(
+                cells * 360.0 * 180.0 / (spanx * spany))), 6, grid.MAX_RES))
+    else:
+        gres = grid.h3_equiv_res(cell_res)
+    n_pois = int(base.count())
     pages_t = pages_ds if "lon" in pages_ds.schema().names else \
-        assign_tiles(pages_ds, resolutions=(cell_res,))
+        geocode_pages(pages_ds.select_columns(["url"]))
     unresolved = pages_t.select_columns(["url", "lon", "lat"])
+    try:  # round-0 estimate from read metadata; later rounds count the
+        n_unres = int(pages_ds.count())  # materialized undone set
+        # size-aware shuffle width for the final payload join (same
+        # contract as pip_join_partitioned): the caller's value is a CAP
+        num_partitions = int(np.clip(
+            (n_unres * 2 + k * n_unres) // 250_000 + 1, 2, num_partitions))
+    except Exception:
+        n_unres = None
+
+    def page_cell_rows(batch: pa.Table) -> pa.Table:
+        lo = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
+        la = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
+        n = len(batch)
+        return pa.table({
+            "url": batch["url"], "lon": batch["lon"], "lat": batch["lat"],
+            "cell": pa.array(grid.cell_id(lo, la, gres), pa.int64()),
+            "poi_id": pa.nulls(n, pa.int64()),
+            "plon": pa.nulls(n, pa.float64()),
+            "plat": pa.nulls(n, pa.float64()),
+        })
+
+    def shard_col(b: pa.Table) -> pa.Table:
+        cells = np.asarray(b["cell"].to_numpy(zero_copy_only=False),
+                           np.int64)
+        h = (cells.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(33)
+        return b.append_column(
+            "__shard", pa.array((h % num_buckets).astype(np.int64)))
+
     done_parts = []
     radius = 1
     for _ in range(max_rounds):
-        exploded = unresolved.map_batches(
-            functools.partial(_ring_explode, gres=gres, radius=radius,
-                              col=col), batch_format="pyarrow")
-        joined = exploded.join(pois, "left_outer", on=(col,),
-                               **shuffle_join_args(num_partitions))
-        def add_bucket(b: pa.Table) -> pa.Table:
-            # deterministic url hash: Python hash() is per-process salted,
-            # which would scatter one url's ring replicas across buckets
-            # and emit duplicate per-bucket top-k rows
-            import pandas as pd
-            h = pd.util.hash_array(
-                np.asarray(b["url"].to_numpy(zero_copy_only=False),
-                           dtype=object))
-            return b.append_column(
-                "__bucket", pa.array((h % num_buckets).astype(np.int64)))
-        joined = joined.map_batches(add_bucket, batch_format="pyarrow")
-        ranked = joined.groupby("__bucket").map_groups(
-            functools.partial(_knn_round_topk, k=k, gres=gres,
-                              radius=radius, col=col),
+        if n_unres is not None and \
+                n_unres * n_pois <= sweep_max_pairs:
+            break  # broadcast exact sweep beats another shuffle round
+        # union page rows (keyed by their OWN cell) with POI rows
+        # replicated to ring cells: ONE groupby co-partitions both sides
+        # and the candidate pairs are generated inside the group — the
+        # old explode-pages + left-join + rebucket form pushed every
+        # candidate row through two all-to-alls (11.4 s of a 35 s sf0.1
+        # wall in the round-0 join alone)
+        pages_keyed = unresolved.map_batches(page_cell_rows,
+                                             batch_format="pyarrow")
+        poi_ring = base.map_batches(
+            functools.partial(_poi_ring_rows, gres=gres, radius=radius),
+            batch_format="pyarrow").map_batches(
+            lambda b: pa.table({
+                "url": pa.nulls(len(b), pa.string()),
+                "lon": pa.nulls(len(b), pa.float64()),
+                "lat": pa.nulls(len(b), pa.float64()),
+                "cell": b["cell"], "poi_id": b["poi_id"],
+                "plon": b["plon"], "plat": b["plat"]}),
+            batch_format="pyarrow")
+        both = pages_keyed.union(poi_ring).map_batches(
+            shard_col, batch_format="pyarrow")
+        ranked = both.groupby("__shard").map_groups(
+            lambda g, _r=radius: _knn_cells_topk(
+                g.drop_columns(["__shard"]), k=k, gres=gres, radius=_r),
             batch_format="pyarrow")
         ranked = nonempty(ranked, _KNN_RANKED_EMPTY)
         done = ranked.filter(expr="knn_rank > 0")
@@ -1442,7 +1543,8 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1, cell_res: int = 7,
             done.select_columns(["url", "poi_id", "distance_m",
                                  "knn_rank"]).materialize())
         unresolved = undone.materialize()
-        if unresolved.count() == 0:
+        n_unres = int(unresolved.count())
+        if n_unres == 0:
             break
         radius *= 3
     leftover = unresolved.to_pandas() if unresolved.count() else None
@@ -1452,28 +1554,33 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1, cell_res: int = 7,
         # whose kth neighbour is far — typically a vanishing fraction)
         pages_ref = ray.put((leftover["url"].to_numpy(dtype=object),
                              leftover["lon"].to_numpy(),
-                             leftover["lat"].to_numpy()))
+                             leftover["lat"].to_numpy(),
+                             ops.unit_vecs(leftover["lat"].to_numpy(),
+                                           leftover["lon"].to_numpy())))
 
         def partial_topk(batch: pa.Table) -> pa.Table:
-            urls, lo, la = ray.get(pages_ref)
+            # select by unit-vector dot (BLAS matmul — trig per point,
+            # not per pair), exact haversine only on the k+4 picks per
+            # page; the margin preserves exact (distance, poi_id) order
+            urls, lo, la, pu = ray.get(pages_ref)
             pids = np.asarray(batch["poi_id"].to_numpy(
                 zero_copy_only=False), dtype=np.int64)
-            d = ops.haversine_m(la[:, None], lo[:, None],
-                                np.asarray(batch["plat"].to_numpy(
-                                    zero_copy_only=False))[None, :],
-                                np.asarray(batch["plon"].to_numpy(
-                                    zero_copy_only=False))[None, :])
-            kk = min(k, d.shape[1])
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+            qla = np.asarray(batch["plat"].to_numpy(zero_copy_only=False))
+            qlo = np.asarray(batch["plon"].to_numpy(zero_copy_only=False))
+            negdot = -(pu @ ops.unit_vecs(qla, qlo).T)
+            kk = min(k + 4, negdot.shape[1])
+            part = np.argpartition(negdot, kk - 1, axis=1)[:, :kk]
             rows = np.repeat(np.arange(len(urls)), kk)
             cols_ = part.ravel()
+            d_sel = ops.haversine_m(la[rows], lo[rows],
+                                    qla[cols_], qlo[cols_])
             return pa.table({
                 "url": pa.array(list(urls[rows]), pa.string()),
                 "poi_id": pa.array(pids[cols_], pa.int64()),
-                "distance_m": pa.array(d[rows, cols_], pa.float64()),
+                "distance_m": pa.array(d_sel, pa.float64()),
             })
 
-        part_df = pois.map_batches(partial_topk,
+        part_df = base.map_batches(partial_topk,
                                    batch_format="pyarrow").to_pandas()
         part_df = part_df.sort_values(["url", "distance_m", "poi_id"])
         part_df["knn_rank"] = part_df.groupby("url").cumcount() + 1

@@ -250,6 +250,19 @@ def test_knn_join_partitioned_parity(pages, src):
                                       max_rounds=1).to_pandas()
     assert set(zip(sw.url, sw.poi_id, sw.knn_rank)) == want
     assert len(sw) == 2 * pages.count()
+    # force the grouped shuffle rounds (sweep gate off): the union +
+    # groupby(cell-shard) kernel that generates candidate pairs in-group
+    # must match the broadcast path exactly at every radius
+    gr = spatial.knn_join_partitioned(pages, pois, k=2,
+                                      num_partitions=4,
+                                      sweep_max_pairs=0).to_pandas()
+    assert set(zip(gr.url, gr.poi_id, gr.knn_rank)) == want
+    assert len(gr) == 2 * pages.count()
+    # distances byte-identical to the broadcast path (rounded contract)
+    bkey = {(u, r): d for u, r, d in zip(bc.url, bc.knn_rank,
+                                         bc.distance_m)}
+    assert all(bkey[(u, r)] == d for u, r, d in
+               zip(gr.url, gr.knn_rank, gr.distance_m))
 
 
 def test_pip_join_partitioned_multicell_cover(pages):
