@@ -149,6 +149,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
               pages, polys, num_partitions=max(8, num_cpus),
               layer="buildings").count())
 
+    # co-partitioned kNN (the beyond-broadcast path): single grouped
+    # shuffle round per radius, pairs generated in-group; force the
+    # grouped rounds (sweep gate off) so the bench measures the scale
+    # path, not the small-input sweep shortcut
+    timed("knn_join_partitioned",
+          lambda: spatial.knn_join_partitioned(
+              pages, pois, k=1, num_partitions=max(8, num_cpus),
+              sweep_max_pairs=0).count())
+
     # history read (latest-at) via the fully distributed bucketed route —
     # the beyond-broadcast contract; history scales with sf since v5
     from pyrosm_ray.stages.history import latest_at_bucketed
