@@ -143,20 +143,24 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                                                  threshold=0.5).count())
 
     # co-partitioned PIP (the beyond-broadcast path): key-only cover rows
-    # + per-polygon compact geometry join
+    # + per-polygon compact geometry join. join_payload=False so the
+    # timing covers the join core (cell join + bbox prune + exact PIP),
+    # like the broadcast pip_join above, and not the materialization of
+    # one full-html page copy per containing polygon (the payload re-join
+    # contract stays pinned by the parity tests + driver queries)
     timed("pip_join_partitioned",
           lambda: spatial.pip_join_partitioned(
               pages, polys, num_partitions=max(8, num_cpus),
-              layer="buildings").count())
+              layer="buildings", join_payload=False).count())
 
     # co-partitioned kNN (the beyond-broadcast path): single grouped
-    # shuffle round per radius, pairs generated in-group; force the
+    # shuffle round per grid level, pairs generated in-group; force the
     # grouped rounds (sweep gate off) so the bench measures the scale
     # path, not the small-input sweep shortcut
     timed("knn_join_partitioned",
           lambda: spatial.knn_join_partitioned(
               pages, pois, k=1, num_partitions=max(8, num_cpus),
-              sweep_max_pairs=0).count())
+              sweep_max_pairs=0, join_payload=False).count())
 
     # history read (latest-at) via the fully distributed bucketed route —
     # the beyond-broadcast contract; history scales with sf since v5
@@ -188,6 +192,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             "buildings_feats_per_s": round(
                 counts["buildings_assembly"]
                 / max(timings["buildings_assembly"], 1e-9), 1),
+            # beyond-broadcast scale paths, reported alongside so the
+            # scaling run evidences them too
+            "pip_part_pages_per_s": round(
+                n_pages / max(timings["pip_join_partitioned"], 1e-9), 1),
+            "knn_part_pages_per_s": round(
+                n_pages / max(timings["knn_join_partitioned"], 1e-9), 1),
+            "history_rows_per_s": round(
+                counts["history_latest"]
+                / max(timings["history_latest"], 1e-9), 1),
         },
     }
     ray.shutdown()
@@ -225,9 +238,11 @@ def run_scaling(sf_dir: str, low: int = None, high: int = None) -> dict:
     # scaling efficiency on the spatial-join + tiling throughputs
     eff = {}
     for key in ("tile_assign_pages_per_s", "pip_join_pages_per_s",
-                "knn_join_pages_per_s", "buildings_feats_per_s"):
-        t_low = results[low]["throughput"][key]
-        t_high = results[high]["throughput"][key]
+                "knn_join_pages_per_s", "buildings_feats_per_s",
+                "pip_part_pages_per_s", "knn_part_pages_per_s",
+                "history_rows_per_s"):
+        t_low = results[low]["throughput"].get(key, 0)
+        t_high = results[high]["throughput"].get(key, 0)
         eff[key] = round((t_high / t_low) / (high / low), 3) \
             if t_low > 0 else None
     # the headline value follows the north rule's metric — spatial-join

@@ -272,7 +272,14 @@ def _build_edges(coords: np.ndarray, ring_offsets: np.ndarray,
     keep = np.ones(n_pts - 1, dtype=bool)
     ring_ends = ring_offsets[1:-1] - 1
     keep[ring_ends[ring_ends < n_pts - 1]] = False
-    e = np.column_stack([coords[:-1], coords[1:]])[keep]
+    # preallocated strided fills, NOT column_stack([...])[keep]: the
+    # axis-1 concatenate path copies row-by-row and double-allocates —
+    # measured 60 s vs 2 s on an 18 M-edge build (this VM amplifies any
+    # fresh multi-hundred-MB temporary)
+    idx = np.flatnonzero(keep)
+    e = np.empty((len(idx), 4), dtype=np.float64)
+    np.take(coords, idx, axis=0, out=e[:, :2])
+    np.take(coords, idx + 1, axis=0, out=e[:, 2:])
     # per-ring edge count = ring length - 1; per-poly = sum over its rings
     ring_edge_counts = (ring_offsets[1:] - ring_offsets[:-1]) - 1
     cs = np.zeros(len(ring_edge_counts) + 1, dtype=np.int64)
@@ -1040,9 +1047,100 @@ def _choose_cover_res(bx: dict, ladder, max_cover: int) -> np.ndarray:
     return chosen
 
 
+_PIP_PAIRS_EMPTY = pa.table({
+    "url": pa.array([], pa.string()), "lon": pa.array([], pa.float64()),
+    "lat": pa.array([], pa.float64()),
+    "polygon_id": pa.array([], pa.int64())})
+_PIP_HITS_EMPTY = pa.table({
+    "url": pa.array([], pa.string()),
+    "polygon_id": pa.array([], pa.int64())})
+
+
+def _pip_cells_pairs(group: pa.Table) -> pa.Table:
+    """One cell-hash shard of page rows + polygon cover-key rows ->
+    bbox-pruned candidate (page, polygon) pairs.
+
+    Pages and cover keys were co-partitioned by ONE groupby; candidates
+    are generated in here (page x cover keys sharing its exact cell id,
+    which encodes the ladder level in its top bits) and pruned against
+    the cover row's polygon bbox before anything leaves the kernel —
+    no pair row ever crosses the network un-pruned."""
+    if len(group) == 0:
+        return _PIP_PAIRS_EMPTY
+    is_page = np.asarray(pc.is_valid(group["url"])
+                         .to_numpy(zero_copy_only=False))
+    pg = group.filter(pa.array(is_page))
+    po = group.filter(pa.array(~is_page))
+    if pg.num_rows == 0 or po.num_rows == 0:
+        return _PIP_PAIRS_EMPTY
+    pcell = np.asarray(pg["cell"].to_numpy(zero_copy_only=False), np.int64)
+    qcell = np.asarray(po["cell"].to_numpy(zero_copy_only=False), np.int64)
+    qord = np.argsort(qcell, kind="stable")
+    qcell_s = qcell[qord]
+    s0 = np.searchsorted(qcell_s, pcell, side="left")
+    cnt = np.searchsorted(qcell_s, pcell, side="right") - s0
+    pair_pg = np.repeat(np.arange(len(pcell), dtype=np.int64), cnt)
+    pair_q = qord[_concat_ranges(s0, cnt)]
+    lon = np.asarray(pg["lon"].to_numpy(zero_copy_only=False))[pair_pg]
+    lat = np.asarray(pg["lat"].to_numpy(zero_copy_only=False))[pair_pg]
+    bx = {c: np.asarray(po[c].to_numpy(zero_copy_only=False))[pair_q]
+          for c in ("x0", "y0", "x1", "y1")}
+    m = ((lon >= bx["x0"]) & (lon <= bx["x1"])
+         & (lat >= bx["y0"]) & (lat <= bx["y1"]))
+    pid = np.asarray(po["polygon_id"].to_numpy(zero_copy_only=False),
+                     np.int64)
+    return pa.table({
+        "url": pc.take(pg["url"], pa.array(pair_pg[m], pa.int64())),
+        "lon": pa.array(lon[m], pa.float64()),
+        "lat": pa.array(lat[m], pa.float64()),
+        "polygon_id": pa.array(pid[pair_q[m]], pa.int64()),
+    })
+
+
+def _pip_confirm_group(group: pa.Table) -> pa.Table:
+    """One polygon-hash shard of candidate pairs + packed geometry rows
+    -> exact even-odd confirmed (url, polygon_id) hits.
+
+    The shard's polygons are unpacked ONCE (zero-copy CSR over the
+    packed coord/ring-length buffers, one flat edge build) and every
+    pair in the shard confirms against that working set — the geometry
+    bytes arrived once per polygon, not once per pair."""
+    if len(group) == 0:
+        return _PIP_HITS_EMPTY
+    is_pair = np.asarray(pc.is_valid(group["url"])
+                         .to_numpy(zero_copy_only=False))
+    pairs = group.filter(pa.array(is_pair))
+    geoms = group.filter(pa.array(~is_pair))
+    if pairs.num_rows == 0 or geoms.num_rows == 0:
+        return _PIP_HITS_EMPTY
+    gpid = np.asarray(geoms["polygon_id"].to_numpy(zero_copy_only=False),
+                      np.int64)
+    gord = np.argsort(gpid, kind="stable")
+    sub = geoms.select(["coords", "rlens"]).take(pa.array(gord))
+    cflat, _coff = _binary_csr(sub["coords"])
+    rflat, roff = _binary_csr(sub["rlens"])
+    coords = cflat.view("<f8").reshape(-1, 2)
+    rlens = rflat.view("<i8")
+    ring_offsets = np.zeros(len(rlens) + 1, dtype=np.int64)
+    np.cumsum(rlens, out=ring_offsets[1:])
+    poly_ring_offsets = (roff // 8).astype(np.int64)
+    edges, peo = _build_edges(coords, ring_offsets, poly_ring_offsets)
+    pair_pid = np.asarray(pairs["polygon_id"].to_numpy(zero_copy_only=False),
+                          np.int64)
+    px = np.asarray(pairs["lon"].to_numpy(zero_copy_only=False))
+    py = np.asarray(pairs["lat"].to_numpy(zero_copy_only=False))
+    local = np.searchsorted(gpid[gord], pair_pid)
+    keep = _confirm_pip({"poly_edge_offsets": peo, "edges": edges},
+                        np.arange(len(pairs), dtype=np.int64), local,
+                        px, py)
+    kept = pairs.filter(pa.array(keep))
+    return pa.table({"url": kept["url"], "polygon_id": kept["polygon_id"]})
+
+
 def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                          num_partitions: int = 32, layer: str | None = None,
-                         id_col: str = "id", max_cover: int = 64):
+                         id_col: str = "id", max_cover: int = 64,
+                         join_payload: bool = True):
     """Cell-co-partitioned PIP join (the beyond-broadcast scale path).
 
     Adaptive-resolution cell keys: each polygon emits (polygon_id, cell,
@@ -1051,19 +1149,25 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
     covers <= ``max_cover`` cells. Tiny polygons (buildings) land in fine
     cells — a single coarse resolution pairs every page with every
     polygon of a km-wide cell, which at sf0.1 exploded the candidate
-    join to 10.3 M rows (304 s); admin-sized polygons stay coarse with a
+    set to 10.3 M rows (304 s); admin-sized polygons stay coarse with a
     bounded cover. The cell id encodes its res in the top 6 bits
-    (``tiles/grid.py``), so ONE join serves all levels; pages emit a key
-    row per level the polygon side actually uses (a buildings-only layer
-    uses one level — no page-side amplification). Cover rows carry the
-    polygon bbox (32 B) so candidates are bbox-pruned in a fused map
-    straight off the cell join, before any geometry bytes shuffle.
+    (``tiles/grid.py``), so ONE key space serves all levels; pages emit a
+    key row per level the polygon side actually uses (a buildings-only
+    layer uses one level — no page-side amplification).
 
-    The geometry (compact packed form, not WKB) joins ONCE per polygon by
-    id after the pruned cell join, so the cover factor multiplies only
-    48-byte key rows, never geometry bytes, and only the (url, lon, lat,
-    cell) projection shuffles — the full page payload (html/text)
-    re-joins by url afterwards (SURVEY.md §7.4 wide-binary-rows note).
+    Both wide steps are union + groupby co-partitionings, NOT hash
+    joins: stage 1 groups page rows with (cover-key + bbox) rows by
+    cell-hash and generates + bbox-prunes candidate pairs inside the
+    kernel; stage 2 groups the pruned pairs with ONE compact
+    packed-geometry row per polygon by polygon-hash and runs the exact
+    even-odd confirm against a per-shard edge build. The cover factor
+    multiplies only 48-byte key rows; geometry bytes cross the wire once
+    per polygon and are never materialized per pair (the join-based form
+    produced a 5.6 GB geometry-replicated join output at sf3). Only the
+    (url, lon, lat, cell) projection ever shuffles — the full page
+    payload (html/text) re-joins by url afterwards (SURVEY.md §7.4
+    wide-binary-rows note), skippable via ``join_payload=False`` for
+    aggregate-only consumers.
     """
     ladder = sorted({grid.h3_equiv_res(cell_res + 2 * k) for k in range(3)})
 
@@ -1089,6 +1193,7 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
     # partitions over a few hundred k key rows is pure actor spin-up
     # (measured: 3 joins x ~8-11 s fixed cost at sf0.1). Parquet/metadata
     # counts are free; ~250k key rows per partition keeps aggregators busy.
+    est = None
     try:
         est = pages_ds.count() * max(1, len(used)) + packed.count() * 4
         num_partitions = int(np.clip(est // 250_000 + 1, 2, num_partitions))
@@ -1099,6 +1204,8 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
             "url": pa.array([], pa.string()),
             "polygon_id": pa.array([], pa.int64()),
             "polygon_layer": pa.array([], pa.string())}))
+        if not join_payload:
+            return hits
         return pages_ds.join(hits, "inner", on=("url",),
                              **shuffle_join_args(num_partitions))
 
@@ -1140,93 +1247,100 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
             }))
         return pa.concat_tables(parts) if parts else empty
 
+    # union + groupby co-partitioning, stage 1: page rows keyed by their
+    # own cell at each used ladder level union polygon (cover-key + bbox)
+    # rows — ONE groupby(cell-hash) co-locates both sides and candidate
+    # (page, polygon) pairs are generated AND bbox-pruned inside the
+    # group kernel. The previous hash-JOIN form shuffled the same inputs
+    # but then materialized every joined candidate row as join output and
+    # pushed it through a SECOND full join against the geometry (measured
+    # sf3/8cpu: cell join + prune 402 s, geometry join 219 s with a
+    # 5.6 GB geometry-per-pair output, exact confirm 747 CPU-s).
+    num_buckets = int(np.clip(est // 250_000 + 1, 8, 256)) \
+        if isinstance(est, int) else 64
     poly_cells = packed.map_batches(cover_rows, batch_format="pyarrow")
-    poly_geoms = packed.map_batches(
-        lambda b: pa.table({"polygon_id": b["pid"], "coords": b["coords"],
-                            "rlens": b["rlens"]}),
-        batch_format="pyarrow")
 
-    # page side: key rows only at the levels the polygon side uses
-    pg = geocode_pages(pages_ds.select_columns(["url"]))
-
-    def page_keys(batch: pa.Table) -> pa.Table:
+    def page_union_rows(batch: pa.Table) -> pa.Table:
         lon = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
         lat = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
-        parts = [pa.table({"url": batch["url"], "lon": batch["lon"],
-                           "lat": batch["lat"],
-                           "cell": pa.array(grid.cell_id(lon, lat, g),
-                                            pa.int64())})
-                 for g in used]
+        n = len(batch)
+        parts = [pa.table({
+            "url": batch["url"], "lon": batch["lon"], "lat": batch["lat"],
+            "polygon_id": pa.nulls(n, pa.int64()),
+            "cell": pa.array(grid.cell_id(lon, lat, g), pa.int64()),
+            "x0": pa.nulls(n, pa.float64()), "y0": pa.nulls(n, pa.float64()),
+            "x1": pa.nulls(n, pa.float64()), "y1": pa.nulls(n, pa.float64()),
+        }) for g in used]
         return pa.concat_tables(parts)
 
-    proj = pg.map_batches(page_keys, batch_format="pyarrow")
+    def poly_union_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "url": pa.nulls(n, pa.string()),
+            "lon": pa.nulls(n, pa.float64()),
+            "lat": pa.nulls(n, pa.float64()),
+            "polygon_id": b["polygon_id"], "cell": b["cell"],
+            "x0": b["x0"], "y0": b["y0"], "x1": b["x1"], "y1": b["y1"],
+        })
 
-    # 1) key-only cell join -> candidate (page, polygon) pairs
-    cand = proj.join(poly_cells, "inner", on=("cell",),
-                     **shuffle_join_args(num_partitions))
+    def shard_on(col):
+        def add(b: pa.Table) -> pa.Table:
+            v = np.asarray(b[col].to_numpy(zero_copy_only=False), np.int64)
+            h = (v.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+                >> np.uint64(33)
+            return b.append_column(
+                "__shard", pa.array((h % num_buckets).astype(np.int64)))
+        return add
 
-    def bbox_prune(b: pa.Table) -> pa.Table:
-        """Conservative bbox containment fused straight off the cell join
-        — candidates sharing a cell but outside the polygon bbox never
-        reach the geometry shuffle or the exact confirm."""
-        drop = [c for c in ("cell", "x0", "y0", "x1", "y1")
-                if c in b.column_names]
-        if b.num_rows == 0:
-            return b.drop_columns(drop)
-        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
-        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
-        m = ((lon >= np.asarray(b["x0"].to_numpy(zero_copy_only=False)))
-             & (lon <= np.asarray(b["x1"].to_numpy(zero_copy_only=False)))
-             & (lat >= np.asarray(b["y0"].to_numpy(zero_copy_only=False)))
-             & (lat <= np.asarray(b["y1"].to_numpy(zero_copy_only=False))))
-        return b.filter(pa.array(m)).drop_columns(drop)
+    pg = geocode_pages(pages_ds.select_columns(["url"]))
+    both1 = pg.map_batches(page_union_rows, batch_format="pyarrow").union(
+        poly_cells.map_batches(poly_union_rows, batch_format="pyarrow")
+    ).map_batches(shard_on("cell"), batch_format="pyarrow")
+    pairs = both1.groupby("__shard").map_groups(
+        lambda g: _pip_cells_pairs(g.drop_columns(["__shard"])),
+        batch_format="pyarrow")
+    # barrier + empty-block scrub between the two shuffles (aggregator
+    # pools co-reserve CPUs on deep lazy chains)
+    pairs = nonempty(pairs, _PIP_PAIRS_EMPTY)
 
-    cand = cand.map_batches(bbox_prune, batch_format="pyarrow")
-    # barrier + empty-block scrub between shuffle joins (aggregator pools
-    # co-reserve CPUs on deep lazy chains; acero rejects zero-col blocks)
-    cand = nonempty(cand, pa.table({
-        "url": pa.array([], pa.string()), "lon": pa.array([], pa.float64()),
-        "lat": pa.array([], pa.float64()),
-        "polygon_id": pa.array([], pa.int64())}))
-    # 2) geometry shuffles ONCE per polygon (hash by id), not per cell
-    cand = cand.join(poly_geoms, "inner", on=("polygon_id",),
-                     **shuffle_join_args(num_partitions))
+    # stage 2: pair rows union ONE compact packed-geometry row per
+    # polygon, groupby(polygon-hash) — geometry crosses the wire once per
+    # polygon and is unpacked once per shard, never replicated per pair
+    def pair_union_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "url": b["url"], "lon": b["lon"], "lat": b["lat"],
+            "polygon_id": b["polygon_id"],
+            "coords": pa.nulls(n, pa.binary()),
+            "rlens": pa.nulls(n, pa.binary()),
+        })
 
-    def per_pair_pip(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        if n == 0:
-            return batch.drop_columns(
-                [c for c in ("coords", "rlens") if c in batch.column_names])
-        px = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
-        py = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
-        pids = np.asarray(batch["polygon_id"].to_numpy(zero_copy_only=False))
-        # unpack each distinct polygon ONCE via zero-copy CSR views over
-        # the packed buffers (no per-row as_py/frombuffer)
-        order = np.argsort(pids, kind="stable")
-        uniq, starts = np.unique(pids[order], return_index=True)
-        sub = batch.select(["coords", "rlens"]).take(
-            pa.array(order[starts]))
-        cflat, _coff = _binary_csr(sub["coords"])
-        rflat, roff = _binary_csr(sub["rlens"])
-        coords = cflat.view("<f8").reshape(-1, 2)
-        rlens = rflat.view("<i8")
-        ring_offsets = np.zeros(len(rlens) + 1, dtype=np.int64)
-        np.cumsum(rlens, out=ring_offsets[1:])
-        poly_ring_offsets = (roff // 8).astype(np.int64)
-        edges, peo = _build_edges(coords, ring_offsets, poly_ring_offsets)
-        local_poly = np.searchsorted(uniq, pids)
-        keep = _confirm_pip({"poly_edge_offsets": peo, "edges": edges},
-                            np.arange(n, dtype=np.int64), local_poly,
-                            px, py)
-        out = batch.filter(pa.array(keep))
-        return out.drop_columns(["coords", "rlens"])
+    def geom_union_rows(b: pa.Table) -> pa.Table:
+        n = len(b)
+        return pa.table({
+            "url": pa.nulls(n, pa.string()),
+            "lon": pa.nulls(n, pa.float64()),
+            "lat": pa.nulls(n, pa.float64()),
+            "polygon_id": b["pid"],
+            "coords": b["coords"], "rlens": b["rlens"],
+        })
 
-    hits = cand.map_batches(per_pair_pip, batch_format="pyarrow")
-    hits = hits.drop_columns(["lon", "lat"])
+    both2 = pairs.map_batches(pair_union_rows, batch_format="pyarrow").union(
+        packed.map_batches(geom_union_rows, batch_format="pyarrow")
+    ).map_batches(shard_on("polygon_id"), batch_format="pyarrow")
+    hits = both2.groupby("__shard").map_groups(
+        lambda g: _pip_confirm_group(g.drop_columns(["__shard"])),
+        batch_format="pyarrow")
     hits = hits.map_batches(
         lambda b: b.append_column("polygon_layer",
                                   pa.array([lay] * len(b), pa.string())),
         batch_format="pyarrow")
+    if not join_payload:
+        # hit rows only (url, polygon_id, polygon_layer): the wide page
+        # payload replicates once per containing polygon in the joined
+        # output, so callers that aggregate/count hits skip that
+        # output-materialization cost entirely
+        return hits
     # re-attach the full payload by url (payload bytes never shuffled by cell)
     return pages_ds.join(hits, "inner", on=("url",),
                          **shuffle_join_args(num_partitions))
@@ -1398,18 +1512,25 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
                          cell_res: int | None = None,
                          num_partitions: int = 32, id_col: str = "id",
                          num_buckets: int = 64, max_rounds: int = 3,
-                         sweep_max_pairs: int = _KNN_SWEEP_MAX_PAIRS):
+                         sweep_max_pairs: int = _KNN_SWEEP_MAX_PAIRS,
+                         join_payload: bool = True):
     """Cell-co-partitioned kNN join — the path for a POI side that outgrows
     the object-store broadcast contract (mirror of
     :func:`pip_join_partitioned`).
 
-    POIs are keyed ONCE by their own cell and never replicated. Each round
-    the still-unresolved pages replicate to the cells within Chebyshev
-    radius R of their own cell (R = 1, 3, 9, ...), LEFT-outer join the POI
-    table by cell (pages with an empty ring survive as unresolved), and a
-    bucketed vectorised group pass ranks candidates: a page is DONE when
-    its kth distance fits inside the conservative inscribed radius of the
-    covered block. Stragglers after ``max_rounds`` run one exact sweep of
+    Each round is ONE co-partitioning shuffle: pages keyed by their own
+    grid cell union POI rows replicated to the 3x3 Chebyshev ring around
+    their cell, grouped by a hash of the cell — candidate pairs are
+    generated inside the group kernel, so no pair row ever crosses the
+    network. A page is DONE when its kth distance fits inside the
+    conservative inscribed radius of the covered block. Later rounds keep
+    the ring at 3x3 but COARSEN the grid (cell side x4 per round): POI
+    replication stays a constant 9x of the (narrow, repartitioned) coord
+    table per round, instead of the (2R+1)^2 blow-up a growing radius
+    would cost — candidate count per surviving page grows ~16x per round,
+    but that is vectorised multiply-add inside the kernel, not shuffle
+    bytes. Stragglers after ``max_rounds`` (or as soon as
+    unresolved x POIs fits ``sweep_max_pairs``) run one exact sweep of
     the POI table against the (tiny, broadcast) leftover page set. Only
     the (url, lon, lat) projection ever shuffles; the full page payload
     re-joins by url at the end.
@@ -1445,9 +1566,13 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
         })
 
     # narrow (24 B/row) coord table first: the density stats and the cell
-    # keying both read it, so the WKB decode runs once
-    base = pois_ds.map_batches(poi_coords,
-                               batch_format="pyarrow").materialize()
+    # keying both read it, so the WKB decode runs once. Repartition to the
+    # worker count — the upstream layer Dataset often materializes into a
+    # handful of blocks, which would serialize the 9x ring replication
+    # into one task per round
+    n_cpus = max(4, int(ray.cluster_resources().get("CPU", 8)))
+    base = pois_ds.map_batches(poi_coords, batch_format="pyarrow") \
+        .repartition(n_cpus).materialize()
     if cell_res is None:
         def stats(b: pa.Table) -> pa.Table:
             if b.num_rows == 0:
@@ -1485,13 +1610,13 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
     except Exception:
         n_unres = None
 
-    def page_cell_rows(batch: pa.Table) -> pa.Table:
+    def page_cell_rows(batch: pa.Table, g: int) -> pa.Table:
         lo = np.asarray(batch["lon"].to_numpy(zero_copy_only=False))
         la = np.asarray(batch["lat"].to_numpy(zero_copy_only=False))
         n = len(batch)
         return pa.table({
             "url": batch["url"], "lon": batch["lon"], "lat": batch["lat"],
-            "cell": pa.array(grid.cell_id(lo, la, gres), pa.int64()),
+            "cell": pa.array(grid.cell_id(lo, la, g), pa.int64()),
             "poi_id": pa.nulls(n, pa.int64()),
             "plon": pa.nulls(n, pa.float64()),
             "plat": pa.nulls(n, pa.float64()),
@@ -1507,6 +1632,7 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
 
     done_parts = []
     radius = 1
+    round_gres = gres
     for _ in range(max_rounds):
         if n_unres is not None and \
                 n_unres * n_pois <= sweep_max_pairs:
@@ -1517,10 +1643,12 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
         # old explode-pages + left-join + rebucket form pushed every
         # candidate row through two all-to-alls (11.4 s of a 35 s sf0.1
         # wall in the round-0 join alone)
-        pages_keyed = unresolved.map_batches(page_cell_rows,
-                                             batch_format="pyarrow")
+        pages_keyed = unresolved.map_batches(
+            functools.partial(page_cell_rows, g=round_gres),
+            batch_format="pyarrow")
         poi_ring = base.map_batches(
-            functools.partial(_poi_ring_rows, gres=gres, radius=radius),
+            functools.partial(_poi_ring_rows, gres=round_gres,
+                              radius=radius),
             batch_format="pyarrow").map_batches(
             lambda b: pa.table({
                 "url": pa.nulls(len(b), pa.string()),
@@ -1532,10 +1660,13 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
         both = pages_keyed.union(poi_ring).map_batches(
             shard_col, batch_format="pyarrow")
         ranked = both.groupby("__shard").map_groups(
-            lambda g, _r=radius: _knn_cells_topk(
-                g.drop_columns(["__shard"]), k=k, gres=gres, radius=_r),
+            lambda g, _g=round_gres: _knn_cells_topk(
+                g.drop_columns(["__shard"]), k=k, gres=_g, radius=radius),
             batch_format="pyarrow")
-        ranked = nonempty(ranked, _KNN_RANKED_EMPTY)
+        # materialize the round's output ONCE — done and undone are two
+        # filters over it, and leaving `ranked` lazy would re-execute the
+        # whole union + groupby shuffle for each of them
+        ranked = nonempty(ranked, _KNN_RANKED_EMPTY).materialize()
         done = ranked.filter(expr="knn_rank > 0")
         undone = ranked.filter(expr="knn_rank == 0") \
             .select_columns(["url", "lon", "lat"])
@@ -1546,7 +1677,10 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
         n_unres = int(unresolved.count())
         if n_unres == 0:
             break
-        radius *= 3
+        # next round: same 3x3 ring over 4x-wider cells — constant 9x POI
+        # replication per round; a growing Chebyshev radius instead costs
+        # (2R+1)^2 x the POI table (361x by round 3)
+        round_gres = max(round_gres - 2, 3)
     leftover = unresolved.to_pandas() if unresolved.count() else None
     if leftover is not None and len(leftover):
         # exact sweep: broadcast the leftover pages, partial top-k per POI
@@ -1587,9 +1721,15 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
         part_df = part_df[part_df.knn_rank <= k]
         part_df["distance_m"] = part_df["distance_m"].round(3)
         done_parts.append(rd.from_pandas(part_df.reset_index(drop=True)))
+    if not done_parts:  # zero input pages: loop and sweep both skipped
+        done_parts = [rd.from_arrow(_KNN_HITS_EMPTY)]
     hits = done_parts[0]
     for d_ in done_parts[1:]:
         hits = hits.union(d_)
     hits = nonempty(hits, _KNN_HITS_EMPTY)
+    if not join_payload:
+        # hit rows only (url, poi_id, distance_m, knn_rank) — k wide page
+        # payload copies per page otherwise materialize in the output
+        return hits
     return pages_ds.join(hits, "inner", on=("url",),
                          **shuffle_join_args(num_partitions))

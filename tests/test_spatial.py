@@ -263,6 +263,15 @@ def test_knn_join_partitioned_parity(pages, src):
                                          bc.distance_m)}
     assert all(bkey[(u, r)] == d for u, r, d in
                zip(gr.url, gr.knn_rank, gr.distance_m))
+    # multi-round grid coarsening: at a very fine pinned res every page's
+    # 3x3 ring starts empty (0 POIs), so round 1 strands everything and
+    # rounds 2-3 rerun over 4x-wider cells before the sweep mops up —
+    # the result must still match the broadcast path exactly
+    mr = spatial.knn_join_partitioned(pages, pois, k=2,
+                                      cell_res=15, num_partitions=4,
+                                      sweep_max_pairs=0).to_pandas()
+    assert set(zip(mr.url, mr.poi_id, mr.knn_rank)) == want
+    assert len(mr) == 2 * pages.count()
 
 
 def test_pip_join_partitioned_multicell_cover(pages):
