@@ -16,6 +16,23 @@ import ray
 import ray.data as rd
 
 
+def groupby_partitions(n_keys: int | None = None) -> int:
+    """Partition count for a hash-shuffle ``groupby``: ~2x the cluster's
+    CPUs, capped by the key-domain size. Ray's default is 200 partitions
+    and up to 64 aggregator ACTORS regardless of cluster size — on a
+    2-CPU run that is pure actor thrash, and at toy scale the spin-up is
+    the whole stage wall. Partition count only controls the shuffle
+    fan-out; ``map_groups`` still sees one call per distinct key."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    p = max(2, 2 * cpus)
+    if n_keys:
+        p = min(p, int(n_keys))
+    return p
+
+
 def shuffle_join_args(num_partitions: int | None = None) -> dict:
     """Join/shuffle kwargs sized so aggregator actors can never starve the
     map side: the pool reserves at most ~half the cluster's CPUs.

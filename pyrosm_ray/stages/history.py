@@ -12,7 +12,8 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
+from pyrosm_ray.stages.blocks import (groupby_partitions, nonempty,
+                                      shuffle_join_args)
 
 
 def latest_versions(ds, id_col: str = "id", version_col: str = "version",
@@ -173,8 +174,9 @@ def latest_at_bucketed(ds, timestamp, id_col: str = "id",
             .drop_columns(["__bucket"])
 
     return ds.map_batches(cutoff_and_bucket, batch_format="pyarrow") \
-        .groupby("__bucket").map_groups(pick_latest,
-                                        batch_format="pyarrow")
+        .groupby("__bucket",
+                 num_partitions=groupby_partitions(num_buckets)) \
+        .map_groups(pick_latest, batch_format="pyarrow")
 
 
 def latest_at(ds, timestamp, id_col: str = "id",

@@ -37,7 +37,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
+from pyrosm_ray.stages.blocks import (groupby_partitions, nonempty,
+                                      shuffle_join_args)
 
 import functools
 
@@ -1296,7 +1297,8 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
     both1 = pg.map_batches(page_union_rows, batch_format="pyarrow").union(
         poly_cells.map_batches(poly_union_rows, batch_format="pyarrow")
     ).map_batches(shard_on("cell"), batch_format="pyarrow")
-    pairs = both1.groupby("__shard").map_groups(
+    pairs = both1.groupby("__shard",
+                      num_partitions=groupby_partitions(num_buckets)).map_groups(
         lambda g: _pip_cells_pairs(g.drop_columns(["__shard"])),
         batch_format="pyarrow")
     # barrier + empty-block scrub between the two shuffles (aggregator
@@ -1328,7 +1330,8 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
     both2 = pairs.map_batches(pair_union_rows, batch_format="pyarrow").union(
         packed.map_batches(geom_union_rows, batch_format="pyarrow")
     ).map_batches(shard_on("polygon_id"), batch_format="pyarrow")
-    hits = both2.groupby("__shard").map_groups(
+    hits = both2.groupby("__shard",
+                     num_partitions=groupby_partitions(num_buckets)).map_groups(
         lambda g: _pip_confirm_group(g.drop_columns(["__shard"])),
         batch_format="pyarrow")
     hits = hits.map_batches(
@@ -1659,7 +1662,8 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
             batch_format="pyarrow")
         both = pages_keyed.union(poi_ring).map_batches(
             shard_col, batch_format="pyarrow")
-        ranked = both.groupby("__shard").map_groups(
+        ranked = both.groupby("__shard",
+                      num_partitions=groupby_partitions(num_buckets)).map_groups(
             lambda g, _g=round_gres: _knn_cells_topk(
                 g.drop_columns(["__shard"]), k=k, gres=_g, radius=radius),
             batch_format="pyarrow")
