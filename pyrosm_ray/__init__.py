@@ -10,3 +10,13 @@ similarity operators, and per-partition checkpointing.
 """
 
 __version__ = "0.1.0"
+
+# Route all-to-alls through the hash-shuffle strategy from the start
+# (groupby co-partitioning needs key bucketing, not the default global
+# SORT — see stages/blocks.py:tune_shuffle_context for measurements).
+# Re-invoked by the partition-sizing helpers once the cluster is up so
+# the parallelism knobs match the live CPU count.
+from pyrosm_ray.stages.blocks import tune_shuffle_context as _tune
+
+_tune()
+del _tune

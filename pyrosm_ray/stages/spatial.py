@@ -38,7 +38,7 @@ import ray
 import ray.data as rd
 
 from pyrosm_ray.stages.blocks import (groupby_partitions, nonempty,
-                                      shuffle_join_args)
+                                      scrub_empty_blocks, shuffle_join_args)
 
 import functools
 
@@ -1052,6 +1052,11 @@ _PIP_PAIRS_EMPTY = pa.table({
     "url": pa.array([], pa.string()), "lon": pa.array([], pa.float64()),
     "lat": pa.array([], pa.float64()),
     "polygon_id": pa.array([], pa.int64())})
+_PIP_S1_EMPTY = pa.table({
+    "url": pa.array([], pa.string()), "lon": pa.array([], pa.float64()),
+    "lat": pa.array([], pa.float64()),
+    "polygon_id": pa.array([], pa.int64()),
+    "confirmed": pa.array([], pa.bool_())})
 _PIP_HITS_EMPTY = pa.table({
     "url": pa.array([], pa.string()),
     "polygon_id": pa.array([], pa.int64())})
@@ -1059,21 +1064,31 @@ _PIP_HITS_EMPTY = pa.table({
 
 def _pip_cells_pairs(group: pa.Table) -> pa.Table:
     """One cell-hash shard of page rows + polygon cover-key rows ->
-    bbox-pruned candidate (page, polygon) pairs.
+    bbox-pruned candidate (page, polygon) pairs, exact-confirmed
+    in-kernel when the cover row carries inline geometry.
 
     Pages and cover keys were co-partitioned by ONE groupby; candidates
     are generated in here (page x cover keys sharing its exact cell id,
     which encodes the ladder level in its top bits) and pruned against
     the cover row's polygon bbox before anything leaves the kernel —
-    no pair row ever crosses the network un-pruned."""
+    no pair row ever crosses the network un-pruned.
+
+    Cover rows whose ``coords`` column is non-null (small polygons whose
+    packed geometry fit the inline-replication budget) are confirmed
+    HERE with the same even-odd kernel stage 2 uses, and leave as
+    ``confirmed=True`` hit rows — those polygons skip the second
+    all-to-all entirely. Rows with null ``coords`` (large geometries,
+    which must never replicate per covering cell) leave as
+    ``confirmed=False`` candidate pairs for the stage-2 polygon-hash
+    confirm."""
     if len(group) == 0:
-        return _PIP_PAIRS_EMPTY
+        return _PIP_S1_EMPTY
     is_page = np.asarray(pc.is_valid(group["url"])
                          .to_numpy(zero_copy_only=False))
     pg = group.filter(pa.array(is_page))
     po = group.filter(pa.array(~is_page))
     if pg.num_rows == 0 or po.num_rows == 0:
-        return _PIP_PAIRS_EMPTY
+        return _PIP_S1_EMPTY
     pcell = np.asarray(pg["cell"].to_numpy(zero_copy_only=False), np.int64)
     qcell = np.asarray(po["cell"].to_numpy(zero_copy_only=False), np.int64)
     qord = np.argsort(qcell, kind="stable")
@@ -1090,12 +1105,50 @@ def _pip_cells_pairs(group: pa.Table) -> pa.Table:
          & (lat >= bx["y0"]) & (lat <= bx["y1"]))
     pid = np.asarray(po["polygon_id"].to_numpy(zero_copy_only=False),
                      np.int64)
-    return pa.table({
-        "url": pc.take(pg["url"], pa.array(pair_pg[m], pa.int64())),
-        "lon": pa.array(lon[m], pa.float64()),
-        "lat": pa.array(lat[m], pa.float64()),
-        "polygon_id": pa.array(pid[pair_q[m]], pa.int64()),
-    })
+    pgi = pair_pg[m]
+    qi = pair_q[m]
+    plon = lon[m]
+    plat = lat[m]
+    has_geom = np.asarray(pc.is_valid(po["coords"])
+                          .to_numpy(zero_copy_only=False)) \
+        if "coords" in po.column_names else np.zeros(po.num_rows, bool)
+    inline = has_geom[qi]
+    parts = []
+    d = ~inline
+    if d.any():
+        parts.append(pa.table({
+            "url": pc.take(pg["url"], pa.array(pgi[d], pa.int64())),
+            "lon": pa.array(plon[d], pa.float64()),
+            "lat": pa.array(plat[d], pa.float64()),
+            "polygon_id": pa.array(pid[qi[d]], pa.int64()),
+            "confirmed": pa.array(np.zeros(int(d.sum()), bool)),
+        }))
+    if inline.any():
+        qs = qi[inline]
+        uq, local = np.unique(qs, return_inverse=True)
+        sub = po.select(["coords", "rlens"]).take(pa.array(uq, pa.int64()))
+        cflat, _coff = _binary_csr(sub["coords"])
+        rflat, roff = _binary_csr(sub["rlens"])
+        coords = cflat.view("<f8").reshape(-1, 2)
+        rlens = rflat.view("<i8")
+        ring_offsets = np.zeros(len(rlens) + 1, dtype=np.int64)
+        np.cumsum(rlens, out=ring_offsets[1:])
+        poly_ring_offsets = (roff // 8).astype(np.int64)
+        edges, peo = _build_edges(coords, ring_offsets, poly_ring_offsets)
+        ilon = plon[inline]
+        ilat = plat[inline]
+        keep = _confirm_pip({"poly_edge_offsets": peo, "edges": edges},
+                            np.arange(len(qs), dtype=np.int64), local,
+                            ilon, ilat)
+        parts.append(pa.table({
+            "url": pc.take(pg["url"], pa.array(pgi[inline][keep],
+                                               pa.int64())),
+            "lon": pa.array(ilon[keep], pa.float64()),
+            "lat": pa.array(ilat[keep], pa.float64()),
+            "polygon_id": pa.array(pid[qs[keep]], pa.int64()),
+            "confirmed": pa.array(np.ones(int(keep.sum()), bool)),
+        }))
+    return pa.concat_tables(parts) if parts else _PIP_S1_EMPTY
 
 
 def _pip_confirm_group(group: pa.Table) -> pa.Table:
@@ -1141,7 +1194,8 @@ def _pip_confirm_group(group: pa.Table) -> pa.Table:
 def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                          num_partitions: int = 32, layer: str | None = None,
                          id_col: str = "id", max_cover: int = 64,
-                         join_payload: bool = True):
+                         join_payload: bool = True,
+                         geom_inline_budget: int = 16384):
     """Cell-co-partitioned PIP join (the beyond-broadcast scale path).
 
     Adaptive-resolution cell keys: each polygon emits (polygon_id, cell,
@@ -1169,6 +1223,17 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
     payload (html/text) re-joins by url afterwards (SURVEY.md §7.4
     wide-binary-rows note), skippable via ``join_payload=False`` for
     aggregate-only consumers.
+
+    Adaptive single-shuffle fast path: a polygon whose packed geometry
+    x covering-cell count fits ``geom_inline_budget`` bytes ships the
+    geometry ON its cover rows, and stage 1 confirms its pairs exactly
+    in-kernel (``confirmed=True`` hits) — for building-scale layers
+    (~100 B packed, 1-4 cells) the ENTIRE second all-to-all disappears
+    (at sf3: 31 M pair+geom rows, the single largest shuffle of the
+    bench, drop to zero). Large geometries stay on the two-shuffle
+    key-row path, preserving the never-replicate-big-blobs contract;
+    stage 2 runs only when deferred pairs exist and carries only the
+    non-inline polygons' geometry.
     """
     ladder = sorted({grid.h3_equiv_res(cell_res + 2 * k) for k in range(3)})
 
@@ -1178,16 +1243,48 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
         lambda b: _pack_polygon_batch(b, id_col),
         batch_format="pyarrow").materialize()
 
+    def inline_mask(batch: pa.Table, chosen: np.ndarray) -> np.ndarray:
+        """Which polygons ship their packed geometry ON the cover rows:
+        total replicated bytes (geom size x covering cells at the chosen
+        level) must fit ``geom_inline_budget``. Small geometries
+        (buildings: ~100 B packed, 1-4 cover cells) confirm inside the
+        stage-1 kernel and skip the second all-to-all entirely; large
+        geometries (admin boundaries: KBs-MBs) keep the de-blobbed
+        key-row + pair path so they never replicate per covering cell."""
+        gbytes = (np.asarray(pc.binary_length(pc.cast(
+            batch["coords"], pa.large_binary())).to_numpy(
+                zero_copy_only=False), np.int64)
+            + np.asarray(pc.binary_length(pc.cast(
+                batch["rlens"], pa.large_binary())).to_numpy(
+                    zero_copy_only=False), np.int64))
+        bx = {c: np.asarray(batch[c].to_numpy(zero_copy_only=False))
+              for c in ("x0", "y0", "x1", "y1")}
+        ncell = np.ones(len(gbytes), np.int64)
+        for g in np.unique(chosen):
+            m = chosen == g
+            sub = {c: bx[c][m] for c in bx}
+            _, _, _, nc = _cover_counts(sub, int(g))
+            ncell[m] = nc
+        return gbytes * ncell <= geom_inline_budget
+
     def level_rows(batch: pa.Table) -> pa.Table:
+        """Per-batch unique chosen levels; sentinel row gres=-1 when the
+        batch holds any NON-inline polygon (drives whether the stage-2
+        shuffle is planned at all)."""
         if batch.num_rows == 0:
             return pa.table({"gres": pa.array([], pa.int64())})
         bx = {c: np.asarray(batch[c].to_numpy(zero_copy_only=False))
               for c in ("x0", "y0", "x1", "y1")}
-        return pa.table({"gres": pa.array(
-            np.unique(_choose_cover_res(bx, ladder, max_cover)), pa.int64())})
+        chosen = _choose_cover_res(bx, ladder, max_cover)
+        vals = np.unique(chosen)
+        if not inline_mask(batch, chosen).all():
+            vals = np.append(vals, np.int64(-1))
+        return pa.table({"gres": pa.array(vals, pa.int64())})
 
-    used = sorted({r["gres"] for r in packed.map_batches(
-        level_rows, batch_format="pyarrow").take_all()})
+    seen = {r["gres"] for r in packed.map_batches(
+        level_rows, batch_format="pyarrow").take_all()}
+    any_big = -1 in seen
+    used = sorted(seen - {-1})
     lay = layer or "polygons"
     # size-aware shuffle width: ``num_partitions`` is a CAP, not a floor —
     # each hash join spins up one aggregator actor per partition, so 32
@@ -1211,16 +1308,20 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                              **shuffle_join_args(num_partitions))
 
     def cover_rows(batch: pa.Table) -> pa.Table:
-        """(polygon_id, cell, bbox) KEY rows at each polygon's chosen
-        level — the geometry payload never replicates per covering cell
-        (round-3 verdict item). Vectorised cover enumeration, same shape
-        as _build_cell_bins."""
+        """(polygon_id, cell, bbox[, inline geometry]) rows at each
+        polygon's chosen level. Key rows stay 48 B for large geometries
+        (round-3 verdict item: the geometry payload must not replicate
+        per covering cell); small geometries within the inline budget
+        ride along so stage 1 can confirm them exactly in-kernel.
+        Vectorised cover enumeration, same shape as _build_cell_bins."""
         empty = pa.table({"polygon_id": pa.array([], pa.int64()),
                           "cell": pa.array([], pa.int64()),
                           "x0": pa.array([], pa.float64()),
                           "y0": pa.array([], pa.float64()),
                           "x1": pa.array([], pa.float64()),
-                          "y1": pa.array([], pa.float64())})
+                          "y1": pa.array([], pa.float64()),
+                          "coords": pa.array([], pa.binary()),
+                          "rlens": pa.array([], pa.binary())})
         if batch.num_rows == 0:
             return empty
         pid = np.asarray(batch["pid"].to_numpy(zero_copy_only=False),
@@ -1228,6 +1329,7 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
         bx = {c: np.asarray(batch[c].to_numpy(zero_copy_only=False))
               for c in ("x0", "y0", "x1", "y1")}
         chosen = _choose_cover_res(bx, ladder, max_cover)
+        inl = inline_mask(batch, chosen)
         parts = []
         for g in np.unique(chosen):
             m = chosen == g
@@ -1238,6 +1340,14 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
             key = (np.int64(g) << 58) \
                 | ((np.repeat(cx0, ncell) + local % nx_rep) << 29) \
                 | (np.repeat(cy0, ncell) + local // nx_rep)
+            rows = np.repeat(np.flatnonzero(m), ncell)
+            row_inl = np.repeat(inl[m], ncell)
+            geo = batch.select(["coords", "rlens"]).take(
+                pa.array(rows, pa.int64()))
+            coords_col = pc.if_else(pa.array(row_inl), geo["coords"],
+                                    pa.nulls(len(rows), pa.binary()))
+            rlens_col = pc.if_else(pa.array(row_inl), geo["rlens"],
+                                   pa.nulls(len(rows), pa.binary()))
             parts.append(pa.table({
                 "polygon_id": pa.array(np.repeat(pid[m], ncell), pa.int64()),
                 "cell": pa.array(key, pa.int64()),
@@ -1245,6 +1355,8 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
                 "y0": pa.array(np.repeat(sub["y0"], ncell)),
                 "x1": pa.array(np.repeat(sub["x1"], ncell)),
                 "y1": pa.array(np.repeat(sub["y1"], ncell)),
+                "coords": coords_col,
+                "rlens": rlens_col,
             }))
         return pa.concat_tables(parts) if parts else empty
 
@@ -1271,6 +1383,8 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
             "cell": pa.array(grid.cell_id(lon, lat, g), pa.int64()),
             "x0": pa.nulls(n, pa.float64()), "y0": pa.nulls(n, pa.float64()),
             "x1": pa.nulls(n, pa.float64()), "y1": pa.nulls(n, pa.float64()),
+            "coords": pa.nulls(n, pa.binary()),
+            "rlens": pa.nulls(n, pa.binary()),
         }) for g in used]
         return pa.concat_tables(parts)
 
@@ -1282,6 +1396,7 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
             "lat": pa.nulls(n, pa.float64()),
             "polygon_id": b["polygon_id"], "cell": b["cell"],
             "x0": b["x0"], "y0": b["y0"], "x1": b["x1"], "y1": b["y1"],
+            "coords": b["coords"], "rlens": b["rlens"],
         })
 
     def shard_on(col):
@@ -1297,17 +1412,43 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
     both1 = pg.map_batches(page_union_rows, batch_format="pyarrow").union(
         poly_cells.map_batches(poly_union_rows, batch_format="pyarrow")
     ).map_batches(shard_on("cell"), batch_format="pyarrow")
-    pairs = both1.groupby("__shard",
-                      num_partitions=groupby_partitions(num_buckets)).map_groups(
+    s1 = both1.groupby("__shard",
+                   num_partitions=groupby_partitions(num_buckets)).map_groups(
         lambda g: _pip_cells_pairs(g.drop_columns(["__shard"])),
         batch_format="pyarrow")
-    # barrier + empty-block scrub between the two shuffles (aggregator
-    # pools co-reserve CPUs on deep lazy chains)
-    pairs = nonempty(pairs, _PIP_PAIRS_EMPTY)
+    if not any_big:
+        # every polygon is inline -> stage 1's output is already the
+        # exact hit set: ONE all-to-all, fully streaming, no barrier.
+        # scrub_empty_blocks coalesces the schema-less empty blocks
+        # hash-groupby emits for empty shards (they skip map_batches
+        # UDFs and poison the payload acero join downstream)
+        hits = scrub_empty_blocks(s1).map_batches(
+            lambda b: b.select(["url", "polygon_id"]),
+            batch_format="pyarrow")
+        hits = hits.map_batches(
+            lambda b: b.append_column(
+                "polygon_layer", pa.array([lay] * len(b), pa.string())),
+            batch_format="pyarrow")
+        if not join_payload:
+            return hits
+        return pages_ds.join(hits, "inner", on=("url",),
+                             **shuffle_join_args(num_partitions))
+    # mixed layer: split confirmed hits from deferred big-geometry pairs
+    # behind a barrier + empty-block scrub (aggregator pools co-reserve
+    # CPUs on deep lazy chains, and both splits read s1 once)
+    s1 = nonempty(s1, _PIP_S1_EMPTY)
+    hits1 = s1.map_batches(
+        lambda b: b.filter(b["confirmed"]).select(["url", "polygon_id"]),
+        batch_format="pyarrow")
+    deferred = nonempty(s1.map_batches(
+        lambda b: b.filter(pc.invert(b["confirmed"]))
+                   .drop_columns(["confirmed"]),
+        batch_format="pyarrow"), _PIP_PAIRS_EMPTY)
 
-    # stage 2: pair rows union ONE compact packed-geometry row per
-    # polygon, groupby(polygon-hash) — geometry crosses the wire once per
-    # polygon and is unpacked once per shard, never replicated per pair
+    # stage 2 (large geometries only): pair rows union ONE compact
+    # packed-geometry row per polygon, groupby(polygon-hash) — geometry
+    # crosses the wire once per polygon and is unpacked once per shard,
+    # never replicated per pair
     def pair_union_rows(b: pa.Table) -> pa.Table:
         n = len(b)
         return pa.table({
@@ -1317,8 +1458,15 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
             "rlens": pa.nulls(n, pa.binary()),
         })
 
-    def geom_union_rows(b: pa.Table) -> pa.Table:
-        n = len(b)
+    def big_geom_union_rows(b: pa.Table) -> pa.Table:
+        """ONE geometry row per NON-inline polygon (the inline ones were
+        fully confirmed in stage 1 and never reach stage 2)."""
+        if b.num_rows:
+            bx = {c: np.asarray(b[c].to_numpy(zero_copy_only=False))
+                  for c in ("x0", "y0", "x1", "y1")}
+            chosen = _choose_cover_res(bx, ladder, max_cover)
+            b = b.filter(pa.array(~inline_mask(b, chosen)))
+        n = b.num_rows
         return pa.table({
             "url": pa.nulls(n, pa.string()),
             "lon": pa.nulls(n, pa.float64()),
@@ -1327,13 +1475,19 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
             "coords": b["coords"], "rlens": b["rlens"],
         })
 
-    both2 = pairs.map_batches(pair_union_rows, batch_format="pyarrow").union(
-        packed.map_batches(geom_union_rows, batch_format="pyarrow")
-    ).map_batches(shard_on("polygon_id"), batch_format="pyarrow")
-    hits = both2.groupby("__shard",
-                     num_partitions=groupby_partitions(num_buckets)).map_groups(
-        lambda g: _pip_confirm_group(g.drop_columns(["__shard"])),
-        batch_format="pyarrow")
+    if deferred.count() == 0:
+        hits = hits1
+    else:
+        both2 = deferred.map_batches(
+            pair_union_rows, batch_format="pyarrow").union(
+            packed.map_batches(big_geom_union_rows, batch_format="pyarrow")
+        ).map_batches(shard_on("polygon_id"), batch_format="pyarrow")
+        hits2 = scrub_empty_blocks(both2.groupby("__shard",
+                         num_partitions=groupby_partitions(num_buckets)
+                              ).map_groups(
+            lambda g: _pip_confirm_group(g.drop_columns(["__shard"])),
+            batch_format="pyarrow"))
+        hits = hits1.union(hits2)
     hits = hits.map_batches(
         lambda b: b.append_column("polygon_layer",
                                   pa.array([lay] * len(b), pa.string())),

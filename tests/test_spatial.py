@@ -157,6 +157,22 @@ def test_pip_join_partitioned_parity(pages, buildings):
     assert all(orig[u] == t for u, t in zip(sh.url, sh.text))
 
 
+def test_pip_join_partitioned_inline_budget_extremes(pages, buildings):
+    """The adaptive inline-geometry rule must be a pure routing decision:
+    all-deferred (budget=0, every polygon takes the two-shuffle pair
+    path) and all-inline (huge budget, every polygon confirms inside the
+    stage-1 kernel) produce the identical hit set as the broadcast
+    join."""
+    bc = spatial.pip_join(spatial.assign_tiles(pages), buildings,
+                          layer="b")
+    want = set(zip(*[bc.to_pandas()[c] for c in ("url", "polygon_id")]))
+    for budget in (0, 1 << 30):
+        sh = spatial.pip_join_partitioned(
+            pages, buildings, cell_res=7, num_partitions=4, layer="b",
+            join_payload=False, geom_inline_budget=budget).to_pandas()
+        assert set(zip(sh.url, sh.polygon_id)) == want, budget
+
+
 def test_knn_join_exact(pages, src):
     pois = OSM(src).get_pois().materialize()
     tiled = spatial.assign_tiles(pages)
