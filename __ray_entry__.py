@@ -218,6 +218,69 @@ def q_exact_dedup(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_hash_sample(sf_dir: str):
+    """Deterministic ~30% corpus sample (hash64(doc_id) % 10 < 3) — the
+    re-run/partitioning-stable replacement for random_sample."""
+    from pyrosm_ray.stages.sampling import hash_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    df = hash_sample(ds, num=3, den=10, seed=7).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_topk_per_lang(sf_dir: str):
+    """Per-language quota: the 40 longest docs per lang, deterministic
+    tie-break by doc_id (ROW_NUMBER PARTITION BY semantics)."""
+    from pyrosm_ray.stages.sampling import topk_per_group
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    df = topk_per_group(ds, "lang", "n_chars", k=40).to_pandas()
+    return df[["doc_id", "lang", "n_chars", "grp_rank"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def q_shuffle_rank(sf_dir: str):
+    """Global deterministic pseudo-random training order (two-pass
+    distributed rank — no global sort, no driver-side data)."""
+    from pyrosm_ray.stages.sampling import shuffle_rank
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    df = shuffle_rank(ds, seed=11).to_pandas()
+    return df[["doc_id", "shuffle_rank"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-and-chunk sequence packing over char budgets: global
+    exclusive prefix of n_chars in doc_id order via the two-pass bucket
+    scan; seq_id/seq_offset = div/mod by the window budget."""
+    from pyrosm_ray.stages.sampling import pack_sequences
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    df = pack_sequences(ds, size_col="n_chars", budget=4096).to_pandas()
+    return df[["doc_id", "n_chars", "seq_id", "seq_offset"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def q_redact_pii(sf_dir: str):
+    """PII-style redaction (email/IP/phone -> tokens) over deterministically
+    augmented text (the synthetic corpus carries no PII, so each doc gets a
+    synthesized contact line — identically reproduced in the SQL twin)."""
+    from pyrosm_ray.stages.sampling import redact_pii
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        texts = batch["text"].to_pylist()
+        aug = [f"{t} contact u{i}@ex{i % 7}.org or +1-555-{i % 10000:04d}-"
+               f"{i % 97:02d} at 10.{i % 256}.{(i * 3) % 256}.{i % 100}"
+               for t, i in zip(texts, ids)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(aug, pa.string())})
+
+    df = redact_pii(ds.map_batches(augment, batch_format="pyarrow")) \
+        .to_pandas()
+    return df[["doc_id", "text_redacted", "n_redactions"]] \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def q_media_image(sf_dir: str):
     """REAL image decode pipeline: synthesize closed-form PNGs per doc,
     run the actor-pool extractor (stdlib PNG decode), emit exact integer
@@ -833,6 +896,7 @@ def _relation_ring_edges_parquet(fx: str) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.fixtures import TEST_BBOX, geocode_sql
+    from pyrosm_ray.stages import sampling as _sampling
     from pyrosm_ray.stages.text import PUNCT_RE, STOPWORD_RE, TOKEN_RE
     from pyrosm_ray.stages.text import quality_score_sql
     from pyrosm_ray.tiles import grid
@@ -930,6 +994,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(list_aggregate(regexp_extract_all(lower(text),
                 '\\S+'), 'string_agg', ' '))
             ORDER BY doc_id""",
+        "q_hash_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            + _sampling.hash_sample_sql("doc_id", 3, 10, seed=7)
+            + " ORDER BY doc_id"),
+        "q_topk_per_lang": """
+            SELECT doc_id, lang, n_chars, grp_rank FROM (
+              SELECT doc_id, lang, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id)
+                         AS grp_rank
+              FROM documents)
+            WHERE grp_rank <= 40 ORDER BY doc_id""",
+        "q_shuffle_rank": (
+            "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
+            + _sampling.shuffle_rank_order_sql("doc_id", seed=11)
+            + ") AS shuffle_rank FROM documents ORDER BY doc_id"),
+        "q_pack_sequences": """
+            SELECT doc_id, n_chars,
+                   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) // 4096 AS BIGINT) AS seq_id,
+                   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) % 4096 AS BIGINT) AS seq_offset
+            FROM documents ORDER BY doc_id""",
+        "q_redact_pii": (
+            "WITH aug AS (SELECT doc_id, text || ' contact u' || doc_id"
+            " || '@ex' || (doc_id % 7) || '.org or +1-555-' ||"
+            " lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '-' ||"
+            " lpad(CAST(doc_id % 97 AS VARCHAR), 2, '0') || ' at 10.' ||"
+            " (doc_id % 256) || '.' || ((doc_id * 3) % 256) || '.' ||"
+            " (doc_id % 100) AS text FROM documents) SELECT doc_id, "
+            + _sampling.redact_pii_sql("text") + " AS text_redacted, "
+            + _sampling.redact_count_sql("text")
+            + " AS n_redactions FROM aug ORDER BY doc_id"),
         "q_sessionize": """
             WITH flagged AS (
               SELECT user_id, ts, event_id, value,
@@ -1264,6 +1363,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": q_sessionize,
         "q_url_canonical": q_url_canonical,
         "q_exact_dedup": q_exact_dedup,
+        "q_hash_sample": q_hash_sample,
+        "q_topk_per_lang": q_topk_per_lang,
+        "q_shuffle_rank": q_shuffle_rank,
+        "q_pack_sequences": q_pack_sequences,
+        "q_redact_pii": q_redact_pii,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
         "q_minhash_dedup": q_minhash_dedup,

@@ -1155,10 +1155,7 @@ class OSM:
 
         grouped = chains.groupby("relation_id").map_groups(
             assemble, batch_format="pyarrow")
-        # coalesce away the zero-column empty blocks hash-groupby emits for
-        # empty partitions — acero joins reject schema-less blocks
         nparts = max(2, (self.num_partitions or 32) // 8)
-        grouped = grouped.repartition(nparts)
         joined = payload.join(grouped, "inner", on=("id",),
                               **shuffle_join_args(nparts))
 

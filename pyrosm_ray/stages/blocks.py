@@ -24,6 +24,62 @@ def _cluster_cpus(default: int = 8) -> int:
         return default
 
 
+def _install_hash_shuffle_empty_block_guard() -> None:
+    """Driver-side guard for a Ray 2.49 hash-shuffle defect: a 0-row
+    block that skips a map UDF (Ray's map operator passes empty blocks
+    through without invoking the UDF) loses its schema, and when such a
+    schema-less block is the FIRST input a hash-shuffle operator sees,
+    its empty schema is broadcast to every aggregator — partitions fed
+    only by the broadcast then crash in ``finalize`` ("Invalid sort key
+    column: No match for FieldRef" for keyed groupbys, "No match or
+    multiple matches for key field reference" for joins). Arrival order
+    decides, so the failure is nondeterministic.
+
+    Two Ray behaviors conspire: the executor's schema dedupe keeps the
+    OLD (typed) schema on the BUNDLE even after the block degraded, and
+    ``_shuffle_block`` short-circuits EVERY zero-row block before the
+    ``send_empty_blocks`` broadcast runs — so a zero-row first bundle
+    burns the one schema-broadcast opportunity without delivering any
+    schema (this also breaks VANILLA hash joins whose one side is a
+    fully-empty typed Dataset). The guard therefore (a) never forwards a
+    zero-row bundle, and (b) when the input's schema broadcast is still
+    pending and the bundle carries a typed schema, performs the
+    broadcast ITSELF: one typed empty shard submitted straight to every
+    aggregator from the driver (same-caller actor ordering guarantees
+    they land before any finalize). Empty partitions then finalize to
+    TYPED zero-row blocks, which also stops schema-less blocks from
+    propagating into downstream joins."""
+    from ray.data._internal.execution.operators import hash_shuffle as _hs
+    base = _hs.HashShufflingOperatorBase
+    if getattr(base, "_pyrosm_ray_empty_guard", False):
+        return
+    from ray.data.block import _is_empty_schema
+    orig = base._do_add_input_inner
+
+    def guarded(self, input_bundle, input_index):
+        if sum(m.num_rows or 0 for m in input_bundle.metadata) != 0:
+            return orig(self, input_bundle, input_index)
+        sch = input_bundle.schema
+        if _is_empty_schema(sch) or \
+                self._has_schemas_broadcasted.get(input_index):
+            # no data AND (no schema to offer, or schema already
+            # delivered) -> the bundle contributes nothing
+            return None
+        try:
+            tbl = sch.empty_table()
+        except AttributeError:   # pandas-block schema; nothing to offer
+            return None
+        pool = self._aggregator_pool
+        for pid in range(pool.num_partitions):
+            pool.get_aggregator_for_partition(pid).submit.remote(
+                input_index, pid, tbl)
+        self._has_schemas_broadcasted[input_index] = True
+        return None
+
+    base._do_add_input_inner = guarded
+    base._pyrosm_ray_empty_guard = True
+
+
 def tune_shuffle_context() -> None:
     """Route all-to-alls through Ray's HASH_SHUFFLE strategy, sized to
     the live cluster.
@@ -44,6 +100,7 @@ def tune_shuffle_context() -> None:
     cluster. Called at package import (strategy) and again from the
     partition-sizing helpers below (cluster size is only known after
     ``ray.init``)."""
+    _install_hash_shuffle_empty_block_guard()
     ctx = rd.DataContext.get_current()
     ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
     cpus = _cluster_cpus()
@@ -82,29 +139,38 @@ def shuffle_join_args(num_partitions: int | None = None) -> dict:
             "aggregator_ray_remote_args": {"num_cpus": agg_cpus}}
 
 
-def scrub_empty_blocks(ds, num_blocks: int | None = None) -> rd.Dataset:
-    """Coalesce away the ZERO-COLUMN empty blocks hash-shuffle
-    ``map_groups`` emits for partitions that received no groups.
+def scrub_empty_blocks(ds, empty_schema: pa.Table | None = None) -> rd.Dataset:
+    """Drop the ZERO-COLUMN empty blocks hash-shuffle ``map_groups`` /
+    aggregates emit for partitions that received no groups.
 
     Those schema-less blocks poison downstream acero joins ("No match
-    ... for key field reference" — the join adopts the empty schema for
-    partitions fed only by them). ``map_batches`` can't fix them (Ray's
-    map operator passes 0-row blocks through without invoking the UDF),
-    but ``repartition`` concatenates them into typed neighbours. Unlike
-    :func:`nonempty` this stays a lazy distributed op — no driver
-    materialize barrier."""
-    return ds.repartition(num_blocks or groupby_partitions())
-
-
-def nonempty(ds, empty_schema: pa.Table) -> rd.Dataset:
-    """Materialize ``ds`` and drop empty blocks; if nothing remains, return
-    a one-block Dataset with ``empty_schema`` (a zero-row typed table)."""
+    ... for key field reference" — a join partition fed only by them
+    builds a schema-less table). Neither ``map_batches`` (Ray's map
+    operator passes 0-row blocks through without invoking the UDF) nor
+    ``repartition`` (0-row blocks survive the split, measured) can fix
+    them, so this is a materialize + drop-by-row-count over the real
+    block refs — the only airtight scrub. The barrier cost is bounded:
+    every call site scrubs a groupby OUTPUT (already an all-to-all
+    product), never raw input. If every block is empty, returns a
+    one-block Dataset with ``empty_schema`` (or the dataset's own
+    schema when it has one)."""
     mat = ds.materialize()
     refs = []
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
             if meta.num_rows:
                 refs.append(ref)
-    if not refs:
-        return rd.from_arrow(empty_schema)
-    return rd.from_arrow_refs(refs)
+    if refs:
+        return rd.from_arrow_refs(refs)
+    if empty_schema is None:
+        sch = mat.schema(fetch_if_missing=False)
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        empty_schema = base.empty_table() if base is not None \
+            else pa.table({})
+    return rd.from_arrow(empty_schema)
+
+
+def nonempty(ds, empty_schema: pa.Table) -> rd.Dataset:
+    """Materialize ``ds`` and drop empty blocks; if nothing remains, return
+    a one-block Dataset with ``empty_schema`` (a zero-row typed table)."""
+    return scrub_empty_blocks(ds, empty_schema)

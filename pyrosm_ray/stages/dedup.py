@@ -41,8 +41,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from pyrosm_ray.stages.similarity import _emb_matrix
-from pyrosm_ray.stages.blocks import (nonempty, scrub_empty_blocks,
-                                      shuffle_join_args)
+from pyrosm_ray.stages.blocks import nonempty, shuffle_join_args
 from pyrosm_ray.stages.components import attach_components, \
     connected_components
 from pyrosm_ray.stages.hashing import combine3, hash64, stable64, \
@@ -151,10 +150,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     def keep_ids(batch: pa.Table) -> pa.Table:
         return pa.table({"__keep_id": batch[f"min({id_col})"]})
 
-    # hash-shuffle aggregates emit zero-column blocks for empty
-    # partitions; coalesce them away before the acero join (blocks.py)
-    keep = scrub_empty_blocks(keep.map_batches(keep_ids,
-                                               batch_format="pyarrow"))
+    keep = keep.map_batches(keep_ids, batch_format="pyarrow")
     return ds.join(keep, "inner", on=(id_col,), right_on=("__keep_id",),
                    **shuffle_join_args(num_partitions))
 

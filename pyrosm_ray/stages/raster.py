@@ -20,7 +20,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyrosm_ray.geom import ops, wkb
-from pyrosm_ray.stages.blocks import scrub_empty_blocks, shuffle_join_args
+from pyrosm_ray.stages.blocks import shuffle_join_args
 from pyrosm_ray.tiles import grid
 
 
@@ -41,9 +41,8 @@ def rasterize_points(pages_with_tiles, tile_col: str = "h3_r7",
             "raster": pa.array([hist.astype("<f8").tobytes()], pa.binary()),
         })
 
-    return scrub_empty_blocks(
-        pages_with_tiles.groupby(tile_col).map_groups(
-            per_tile, batch_format="pyarrow"))
+    return pages_with_tiles.groupby(tile_col).map_groups(
+        per_tile, batch_format="pyarrow")
 
 
 def polygon_zonal_stats(polygons_ds, raster_ds, tile_col: str = "h3_r7",

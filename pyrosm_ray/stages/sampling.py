@@ -1,0 +1,275 @@
+"""Training-data sampling, ordering and sequence-packing operators.
+
+Four operators a large-scale LLM data pipeline needs between "corpus" and
+"training shards", all deterministic and value-replicable in DuckDB SQL
+(the driver's oracle contract):
+
+* :func:`hash_sample` — deterministic rate-limited sampling: keep a doc
+  iff ``hash64(doc_id, seed) % den < num``. Stateless vectorised filter;
+  the sample is stable across runs, partitionings and cluster sizes.
+* :func:`topk_per_group` — per-group quota (e.g. at most k docs per
+  domain/language, best-first): ``ROW_NUMBER() OVER (PARTITION BY g
+  ORDER BY o DESC, id)`` semantics via one keyed groupby.
+* :func:`shuffle_rank` — global deterministic pseudo-random training
+  order: rank docs by ``(hash64(doc_id, seed), doc_id)``. A distributed
+  two-pass rank: bucket histogram -> driver prefix over ~num_buckets
+  scalars -> per-bucket local sort + offset. No global sort barrier, no
+  driver-side data.
+* :func:`pack_sequences` — concat-and-chunk sequence packing: documents
+  concatenated in id order and chunked into fixed ``budget``-sized
+  context windows; each doc reports the window its first unit lands in
+  (``seq_id``) and the offset within it. The global exclusive prefix sum
+  uses the same two-pass bucket scan as :func:`shuffle_rank`.
+
+The two-pass prefix scan is the load-bearing primitive: stage 1 reduces
+each ordered bucket to ONE scalar (count / value sum), the driver prefixes
+the ~num_buckets scalars, stage 2 finishes locally per bucket. Driver state
+is O(num_buckets), data crosses the network once — the shape that holds at
+100 TB.
+
+There is no reference equivalent (pyrosm has no sampling operators —
+SURVEY.md §2.6); these follow the engine's dedup-family conventions
+(stages/dedup.py) and reuse the bit-replicable hash primitives from
+:mod:`pyrosm_ray.stages.hashing`.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pyrosm_ray.stages.blocks import groupby_partitions
+from pyrosm_ray.stages.hashing import hash64, hash64_sql
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+def hash_sample(ds, id_col: str = "doc_id", num: int = 3, den: int = 10,
+                seed: int = 7, columns: list[str] | None = None):
+    """Keep rows whose ``hash64(id, seed) % den < num`` — a deterministic
+    ~num/den sample, stable under re-runs and re-partitioning (the
+    property ad-hoc ``random_sample`` lacks)."""
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        keep = (hash64(ids.view(np.uint64), seed) % np.uint64(den)) \
+            < np.uint64(num)
+        out = batch.filter(pa.array(keep))
+        return out.select(columns) if columns else out
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def hash_sample_sql(id_expr: str, num: int, den: int, seed: int = 7) -> str:
+    """WHERE-clause twin of :func:`hash_sample` (bit-identical)."""
+    h = hash64_sql(f"CAST({id_expr} AS UBIGINT)", seed)
+    return f"(({h}) % {den}) < {num}"
+
+
+# ---------------------------------------------------------------------------
+# per-group quota
+# ---------------------------------------------------------------------------
+
+def topk_per_group(ds, group_col: str, order_col: str, k: int,
+                   id_col: str = "doc_id", out_rank: str = "grp_rank"):
+    """At most ``k`` rows per group, best-first: order DESC by
+    ``order_col``, ties broken by ascending ``id_col`` (fully
+    deterministic). Output adds the 1-based ``out_rank``.
+
+    One keyed groupby; the in-group work is a numpy lexsort — no Python
+    row loops. SQL twin: ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY
+    order DESC, id) <= k``."""
+    def per_group(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        order = np.asarray(group[order_col].to_numpy(zero_copy_only=False))
+        sel = np.lexsort((ids, -order))[:k]
+        out = group.take(pa.array(sel, pa.int64()))
+        return out.append_column(
+            out_rank, pa.array(np.arange(1, len(sel) + 1), pa.int64()))
+
+    return ds.groupby(group_col,
+                      num_partitions=groupby_partitions()).map_groups(
+        per_group, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# two-pass distributed prefix scan (rank / running sum)
+# ---------------------------------------------------------------------------
+
+def _scan_buckets(ds, key_fn, val_fn, emit_fn, num_buckets: int):
+    """Shared two-pass ordered-prefix machinery.
+
+    ``key_fn(batch) -> (sort_primary uint64/int64, tiebreak int64,
+    bucket int64)`` with bucket monotone non-decreasing in the sort
+    order; ``val_fn(batch, order) -> per-row int64 contribution``;
+    ``emit_fn(batch, order, base + local exclusive prefix) -> Table``.
+
+    Stage 1 reduces each bucket to one scalar; the driver prefixes the
+    ~num_buckets scalars; stage 2 sorts within buckets and emits."""
+    def tag(batch: pa.Table) -> pa.Table:
+        prim, tie, bucket = key_fn(batch)
+        val = val_fn(batch)
+        return batch.append_column("__prim", pa.array(
+            prim.view(np.int64), pa.int64())) \
+            .append_column("__tie", pa.array(tie, pa.int64())) \
+            .append_column("__bucket", pa.array(bucket, pa.int64())) \
+            .append_column("__val", pa.array(val, pa.int64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    sums = tagged.groupby("__bucket").sum("__val").to_pandas()
+    sums = sums.sort_values("__bucket")
+    base = {}
+    acc = 0
+    for b, s in zip(sums["__bucket"], sums["sum(__val)"]):
+        base[int(b)] = acc
+        acc += int(s)
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        prim = np.asarray(group["__prim"].to_numpy(zero_copy_only=False),
+                          np.int64).view(np.uint64)
+        tie = np.asarray(group["__tie"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        val = np.asarray(group["__val"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        order = np.lexsort((tie, prim))
+        excl = np.zeros(len(order), dtype=np.int64)
+        np.cumsum(val[order][:-1], out=excl[1:])
+        b = int(group["__bucket"][0].as_py())
+        body = group.drop_columns(["__prim", "__tie", "__bucket", "__val"])
+        return emit_fn(body, order, base.get(b, 0) + excl)
+
+    return tagged.groupby("__bucket",
+                          num_partitions=groupby_partitions(
+                              len(base) or 1)).map_groups(
+        per_bucket, batch_format="pyarrow")
+
+
+def shuffle_rank(ds, id_col: str = "doc_id", seed: int = 11,
+                 num_buckets: int = 64, out_col: str = "shuffle_rank"):
+    """Global deterministic pseudo-random training order: 1-based rank of
+    each row under ``ORDER BY hash64(id, seed), id``. Equivalent to a
+    seeded global shuffle, but reproducible across runs and cluster
+    sizes, and computed without a global sort (two-pass bucket scan).
+    """
+    shift = np.uint64(64 - int(num_buckets - 1).bit_length()) \
+        if num_buckets > 1 else np.uint64(63)
+
+    def key_fn(batch):
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        h = hash64(ids.view(np.uint64), seed)
+        # top hash bits: bucket id is monotone in h AND uniformly loaded
+        return h, ids, (h >> shift).astype(np.int64)
+
+    def val_fn(batch):
+        return np.ones(batch.num_rows, dtype=np.int64)
+
+    def emit_fn(body, order, prefix):
+        out = body.take(pa.array(order, pa.int64()))
+        return out.append_column(out_col, pa.array(prefix + 1, pa.int64()))
+
+    return _scan_buckets(ds, key_fn, val_fn, emit_fn, num_buckets)
+
+
+def shuffle_rank_order_sql(id_expr: str, seed: int = 11) -> str:
+    """ORDER BY twin of :func:`shuffle_rank`'s sort key."""
+    return f"{hash64_sql(f'CAST({id_expr} AS UBIGINT)', seed)}, {id_expr}"
+
+
+def pack_sequences(ds, id_col: str = "doc_id", size_col: str = "n_chars",
+                   budget: int = 4096, num_buckets: int = 64):
+    """Concat-and-chunk packing: docs concatenated in ``id_col`` order,
+    the stream chunked into ``budget``-unit context windows. Emits per
+    doc: ``seq_id`` (window containing the doc's first unit) and
+    ``seq_offset`` (offset inside it) — the standard pre-tokenised
+    training-shard layout. Global exclusive prefix over ``size_col`` via
+    the two-pass bucket scan (driver holds ``num_buckets`` scalars).
+
+    SQL twin: ``SUM(size) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` then div/mod by ``budget``."""
+    # order-preserving bucket router over the id range; pure division
+    # (no multiply) so arbitrary int64 id spans cannot overflow
+    lo = ds.min(id_col)
+    hi = ds.max(id_col)
+    span = max(1, int(hi) - int(lo) + 1)
+    width = -(-span // num_buckets)  # ceil
+
+    def key_fn(batch):
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        return ids.view(np.uint64), ids, (ids - int(lo)) // width
+
+    def val_fn(batch):
+        return np.asarray(batch[size_col].to_numpy(zero_copy_only=False),
+                          np.int64)
+
+    def emit_fn(body, order, prefix):
+        out = body.take(pa.array(order, pa.int64()))
+        return out.append_column(
+            "seq_id", pa.array(prefix // budget, pa.int64())) \
+            .append_column(
+            "seq_offset", pa.array(prefix % budget, pa.int64()))
+
+    return _scan_buckets(ds, key_fn, val_fn, emit_fn, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction
+# ---------------------------------------------------------------------------
+
+# RE2 on both sides: pyarrow's replace_substring_regex and DuckDB's
+# regexp_replace are both RE2, so identical pattern strings give identical
+# redactions. Order matters (EMAIL before IP before PHONE) and is fixed.
+PII_PATTERNS = (
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IP", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+\d[\d\-]{7,}\d"),
+)
+
+
+def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id",
+               out_col: str = "text_redacted"):
+    """Redact email / IPv4 / international-phone patterns to
+    ``<EMAIL>``/``<IP>``/``<PHONE>`` tokens; adds ``n_redactions``.
+    Stateless vectorised RE2 kernels (pyarrow compute), exact SQL twin
+    via nested ``regexp_replace(..., 'g')``."""
+    import pyarrow.compute as pc
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        txt = batch[text_col]
+        n = np.zeros(len(batch), dtype=np.int64)
+        for tag, pat in PII_PATTERNS:
+            n += np.asarray(pc.count_substring_regex(txt, pat)
+                            .to_numpy(zero_copy_only=False))
+            txt = pc.replace_substring_regex(txt, pat, f"<{tag}>")
+        return pa.table({
+            id_col: batch[id_col],
+            out_col: txt,
+            "n_redactions": pa.array(n, pa.int64()),
+        })
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def redact_pii_sql(text_expr: str) -> str:
+    """SQL twin of the redaction chain (same RE2 patterns, same order)."""
+    e = text_expr
+    for tag, pat in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        e = f"regexp_replace({e}, '{p}', '<{tag}>', 'g')"
+    return e
+
+
+def redact_count_sql(text_expr: str) -> str:
+    """SQL twin of ``n_redactions`` (counts on the progressively redacted
+    text, matching the operator's sequential application)."""
+    parts = []
+    e = text_expr
+    for tag, pat in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        parts.append(f"length(regexp_extract_all({e}, '{p}'))")
+        e = f"regexp_replace({e}, '{p}', '<{tag}>', 'g')"
+    return "(" + " + ".join(parts) + ")"

@@ -38,7 +38,7 @@ import ray
 import ray.data as rd
 
 from pyrosm_ray.stages.blocks import (groupby_partitions, nonempty,
-                                      scrub_empty_blocks, shuffle_join_args)
+                                      shuffle_join_args)
 
 import functools
 
@@ -1418,11 +1418,10 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
         batch_format="pyarrow")
     if not any_big:
         # every polygon is inline -> stage 1's output is already the
-        # exact hit set: ONE all-to-all, fully streaming, no barrier.
-        # scrub_empty_blocks coalesces the schema-less empty blocks
-        # hash-groupby emits for empty shards (they skip map_batches
-        # UDFs and poison the payload acero join downstream)
-        hits = scrub_empty_blocks(s1).map_batches(
+        # exact hit set: ONE all-to-all, fully streaming, no barrier
+        # (schema-less empty blocks are dropped at every hash-shuffle
+        # input by blocks._install_hash_shuffle_empty_block_guard)
+        hits = s1.map_batches(
             lambda b: b.select(["url", "polygon_id"]),
             batch_format="pyarrow")
         hits = hits.map_batches(
@@ -1482,11 +1481,11 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
             pair_union_rows, batch_format="pyarrow").union(
             packed.map_batches(big_geom_union_rows, batch_format="pyarrow")
         ).map_batches(shard_on("polygon_id"), batch_format="pyarrow")
-        hits2 = scrub_empty_blocks(both2.groupby("__shard",
+        hits2 = both2.groupby("__shard",
                          num_partitions=groupby_partitions(num_buckets)
                               ).map_groups(
             lambda g: _pip_confirm_group(g.drop_columns(["__shard"])),
-            batch_format="pyarrow"))
+            batch_format="pyarrow")
         hits = hits1.union(hits2)
     hits = hits.map_batches(
         lambda b: b.append_column("polygon_layer",

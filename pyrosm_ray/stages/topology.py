@@ -662,9 +662,6 @@ def assemble_ways(ways_ds, nodes_ds, mode: str = "area",
     joined = joined.map_batches(_bucket, batch_format="pyarrow")
     per_way = joined.groupby("way_bucket").map_groups(
         _collect_way_coords, batch_format="pyarrow")
-    # coalesce away zero-column empty blocks (hash-groupby empty partitions);
-    # acero joins reject schema-less blocks
-    per_way = per_way.repartition(num_partitions)
     payload = ways_ds.map_batches(pack_refs, batch_format="pyarrow")
     withc = payload.join(per_way, "left_outer",
                          on=("id",), right_on=("way_id",),

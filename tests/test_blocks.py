@@ -33,12 +33,60 @@ def test_scrub_empty_blocks_unblocks_join(ray_session):
 
 
 def test_scrub_empty_blocks_drops_schemaless(ray_session):
-    scrubbed = scrub_empty_blocks(_grouped_min(3, 16), num_blocks=4)
+    scrubbed = scrub_empty_blocks(_grouped_min(3, 16))
     mat = scrubbed.materialize()
-    names = mat.schema().names
-    assert names == ["k", "m"]
-    # no zero-column block survives the coalesce
+    assert mat.schema().names == ["k", "m"]
+    # no zero-row (schema-less) block survives the scrub
     for bundle in mat.iter_internal_ref_bundles():
         for ref, meta in bundle.blocks:
-            assert meta.num_rows is None or meta.num_rows >= 0
+            assert meta.num_rows
     assert mat.count() == 3
+
+
+def test_hash_shuffle_guard_degraded_empty_block(ray_session):
+    """A 0-row block skips map UDFs and loses its schema; un-guarded,
+    hash-shuffle groupby broadcasts that empty schema when it arrives
+    first and aggregators crash sorting by the key ("Invalid sort key
+    column"). The empty-block guard drops such bundles at the operator
+    input, so the keyed groupby over a mixed (typed + degraded-empty)
+    dataset must succeed and see every real row."""
+    t_empty = pa.table({"v": pa.array([], pa.int64())})
+    t_full = pa.table({"v": pa.array(list(range(12)), pa.int64())})
+    # the empty block rides FIRST in the union so, absent the guard, it
+    # is typically the first bundle the shuffle sees
+    ds = rd.from_arrow(t_empty).union(rd.from_arrow(t_full))
+    # map adds the GROUP KEY -> the empty block skips the UDF and
+    # arrives at the shuffle schema-less and key-less
+    keyed = ds.map_batches(
+        lambda b: b.append_column(
+            "k", pa.array([int(x) % 3 for x in b["v"].to_pylist()],
+                          pa.int64())),
+        batch_format="pyarrow")
+    out = keyed.groupby("k", num_partitions=8).map_groups(
+        lambda g: pa.table({"k": pa.array([g["k"][0].as_py()], pa.int64()),
+                            "n": pa.array([len(g)], pa.int64())}),
+        batch_format="pyarrow").to_pandas()
+    assert sorted(out.k) == [0, 1, 2]
+    assert int(out.n.sum()) == 12
+
+
+def test_hash_join_fully_empty_side(ray_session):
+    """Vanilla Ray 2.49 hash join crashes when one side is a fully-empty
+    typed Dataset (zero-row blocks short-circuit before the schema
+    broadcast, so aggregator partitions finalize schema-less). The
+    guard's driver-side broadcast must make this return 0 rows."""
+    left = rd.from_items([{"k": i % 3, "pid": i} for i in range(10)])
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.float64())})
+    j = left.join(rd.from_arrow(empty), "inner", on=("k",),
+                  **shuffle_join_args(4))
+    assert j.count() == 0
+
+
+def test_scrub_empty_blocks_all_empty_uses_schema(ray_session):
+    ds = rd.from_items([{"k": 1, "v": 1}]).filter(lambda r: False)
+    empty = pa.table({"k": pa.array([], pa.int64()),
+                      "m": pa.array([], pa.int64())})
+    out = scrub_empty_blocks(ds, empty)
+    assert out.count() == 0
+    assert out.schema().names == ["k", "m"]

@@ -1,0 +1,113 @@
+"""Sampling / ordering / packing operators (stages/sampling.py): hash
+sampling, per-group quota, distributed shuffle-rank, sequence packing,
+PII redaction — each pinned against a DuckDB twin or a hand oracle."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from pyrosm_ray.stages import sampling
+
+
+def _docs(n=200, langs=("en", "de", "fr")):
+    rng = np.random.RandomState(42)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n) * 3 + 1, pa.int64()),
+        "lang": pa.array([langs[i % len(langs)] for i in range(n)]),
+        "n_chars": pa.array(rng.randint(10, 500, n), pa.int64()),
+    })
+
+
+def test_hash_sample_deterministic_and_sql_twin(ray_session):
+    t = _docs()
+    ds = rd.from_arrow(t)
+    a = sampling.hash_sample(ds, num=3, den=10, seed=7).to_pandas()
+    b = sampling.hash_sample(rd.from_arrow(t), num=3, den=10,
+                             seed=7).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    assert 0 < len(a) < len(t)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT doc_id FROM t WHERE "
+        + sampling.hash_sample_sql("doc_id", 3, 10, seed=7)
+        + " ORDER BY doc_id").fetchdf()
+    assert sorted(a.doc_id) == list(want.doc_id)
+
+
+def test_topk_per_group_quota_and_ties(ray_session):
+    # deliberate ties in the order column -> id breaks them ascending
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 2, 3, 4, 6], pa.int64()),
+        "lang": pa.array(["en"] * 3 + ["de"] * 3),
+        "n_chars": pa.array([100, 100, 50, 70, 70, 70], pa.int64()),
+    })
+    out = sampling.topk_per_group(
+        rd.from_arrow(t), "lang", "n_chars", k=2).to_pandas() \
+        .sort_values(["lang", "grp_rank"])
+    en = out[out.lang == "en"]
+    # ties at 100: doc 1 outranks doc 5 (ascending id)
+    assert list(en.doc_id) == [1, 5]
+    assert list(en.grp_rank) == [1, 2]
+    de = out[out.lang == "de"]
+    assert list(de.doc_id) == [3, 4]
+
+
+def test_shuffle_rank_is_seeded_permutation(ray_session):
+    t = _docs(150)
+    out = sampling.shuffle_rank(rd.from_arrow(t.select(["doc_id"])),
+                                seed=11, num_buckets=8).to_pandas()
+    assert sorted(out.shuffle_rank) == list(range(1, 151))
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
+        + sampling.shuffle_rank_order_sql("doc_id", seed=11)
+        + ") AS r FROM t ORDER BY doc_id").fetchdf()
+    got = out.sort_values("doc_id").reset_index(drop=True)
+    assert list(got.shuffle_rank) == list(want.r)
+    # different seed -> different order (overwhelmingly)
+    out2 = sampling.shuffle_rank(rd.from_arrow(t.select(["doc_id"])),
+                                 seed=12, num_buckets=8).to_pandas() \
+        .sort_values("doc_id")
+    assert list(out2.shuffle_rank) != list(got.shuffle_rank)
+
+
+def test_pack_sequences_prefix_and_budget(ray_session):
+    t = _docs(120)
+    out = sampling.pack_sequences(rd.from_arrow(t), budget=1000,
+                                  num_buckets=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # reconstruct: start offset must equal the exclusive prefix sum in
+    # doc_id order, seq_id/seq_offset its div/mod
+    order = t.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    prefix = np.concatenate([[0], np.cumsum(order.n_chars)[:-1]])
+    assert (out.seq_id == prefix // 1000).all()
+    assert (out.seq_offset == prefix % 1000).all()
+
+
+def test_redact_pii_patterns(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "write a.b-c_d@mail.example.co today",
+            "server at 192.168.0.1 and phone +1-555-0199-22",
+            "nothing sensitive here 1.2.3 (not an ip)",
+        ]),
+    })
+    out = sampling.redact_pii(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out.text_redacted[0] == "write <EMAIL> today"
+    assert out.text_redacted[1] == "server at <IP> and phone <PHONE>"
+    assert out.text_redacted[2] == t["text"][2].as_py()
+    assert list(out.n_redactions) == [1, 2, 0]
+    # SQL twin parity on the same rows
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT doc_id, " + sampling.redact_pii_sql("text")
+        + " AS r, " + sampling.redact_count_sql("text")
+        + " AS n FROM t ORDER BY doc_id").fetchdf()
+    assert list(want.r) == list(out.text_redacted)
+    assert list(want.n) == list(out.n_redactions)
