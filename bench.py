@@ -83,10 +83,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         counts[name] = int(n)
 
     osm = OSM(fx)
+    # best-of-2 like the join stages: the first in-session layer build
+    # pays worker-side import + actor-pool spin-up that best-of damps
+    # (the sandbox VM's ambient noise is 2-4x on cold single shots)
     timed("buildings_assembly",
-          lambda: osm.get_buildings().count())
+          lambda: osm.get_buildings().count(), repeats=2)
     timed("walking_network",
-          lambda: osm.get_network("walking").count())
+          lambda: osm.get_network("walking").count(), repeats=2)
 
     # block count is data-dependent (~2 MB parquet per block), NOT
     # CPU-dependent: the same input yields the same task graph at every

@@ -173,9 +173,19 @@ def latest_at_bucketed(ds, timestamp, id_col: str = "id",
         return group.take(pa.array(np.sort(keep))) \
             .drop_columns(["__bucket"])
 
+    # size the shuffle to the DATA (each hash-shuffle partition spins up
+    # an aggregator actor; 64 partitions over a few hundred k rows is
+    # pure actor spin-up). count() on a fresh parquet read is
+    # metadata-only; on an already-transformed input it costs one extra
+    # pass, still cheap next to an over-provisioned actor pool.
+    try:
+        nrows = int(ds.count())
+        parts = int(np.clip(nrows // 250_000 + 1, 2,
+                            groupby_partitions(num_buckets)))
+    except Exception:
+        parts = groupby_partitions(num_buckets)
     return ds.map_batches(cutoff_and_bucket, batch_format="pyarrow") \
-        .groupby("__bucket",
-                 num_partitions=groupby_partitions(num_buckets)) \
+        .groupby("__bucket", num_partitions=parts) \
         .map_groups(pick_latest, batch_format="pyarrow")
 
 

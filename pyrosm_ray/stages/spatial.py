@@ -1412,6 +1412,10 @@ def pip_join_partitioned(pages_ds, polygons_ds, cell_res: int = 7,
     both1 = pg.map_batches(page_union_rows, batch_format="pyarrow").union(
         poly_cells.map_batches(poly_union_rows, batch_format="pyarrow")
     ).map_batches(shard_on("cell"), batch_format="pyarrow")
+    # NOTE: the groupby width stays cluster-sized (NOT data-sized like the
+    # joins): the in-kernel PIP confirm is compute-heavy, and shrinking the
+    # aggregator pool serializes it (measured 3.4 -> 6-7.7 s at sf0.1 with
+    # 2 partitions)
     s1 = both1.groupby("__shard",
                    num_partitions=groupby_partitions(num_buckets)).map_groups(
         lambda g: _pip_cells_pairs(g.drop_columns(["__shard"])),
@@ -1815,8 +1819,17 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
             batch_format="pyarrow")
         both = pages_keyed.union(poi_ring).map_batches(
             shard_col, batch_format="pyarrow")
-        ranked = both.groupby("__shard",
-                      num_partitions=groupby_partitions(num_buckets)).map_groups(
+        # size the round's shuffle to its DATA, not the cluster: the
+        # round input is n_unres page rows + 9x the POI coord table, and
+        # each hash-shuffle partition spins up an aggregator ACTOR — 64
+        # partitions over a few hundred k rows is pure actor spin-up
+        # (the dominant cost of a toy-scale round)
+        if n_unres is not None:
+            rparts = int(np.clip((n_unres + 9 * n_pois) // 250_000 + 1,
+                                 2, groupby_partitions(num_buckets)))
+        else:
+            rparts = groupby_partitions(num_buckets)
+        ranked = both.groupby("__shard", num_partitions=rparts).map_groups(
             lambda g, _g=round_gres: _knn_cells_topk(
                 g.drop_columns(["__shard"]), k=k, gres=_g, radius=radius),
             batch_format="pyarrow")
