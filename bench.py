@@ -72,7 +72,18 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     ray.get([_warm.remote() for _ in range(2 * num_cpus)])
     rd.range(1000).map_batches(lambda b: b).count()
 
+    # GRAFT_BENCH_SKIP: comma-separated stage names to leave out — used
+    # by the long sf10 scaling ritual to run the same stage set round
+    # over round (the beyond-broadcast line items triple a 2-CPU sf10
+    # leg's wall; their scaling evidence comes from the sf3 runs).
+    # Skipped stages are absent from `queries`, and the derived
+    # throughput entries are omitted with them.
+    skip = {s for s in os.environ.get("GRAFT_BENCH_SKIP", "").split(",")
+            if s}
+
     def timed(name, fn, repeats: int = 1):
+        if name in skip:
+            return
         best, n = None, 0
         for _ in range(repeats):
             t0 = time.time()
@@ -186,24 +197,20 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "sf": sf,
         "num_cpus": num_cpus,
         "throughput": {
-            "tile_assign_pages_per_s": round(
-                n_pages / max(timings["tile_assignment"], 1e-9), 1),
-            "pip_join_pages_per_s": round(
-                n_pages / max(timings["pip_join"], 1e-9), 1),
-            "knn_join_pages_per_s": round(
-                n_pages / max(timings["knn_join"], 1e-9), 1),
-            "buildings_feats_per_s": round(
-                counts["buildings_assembly"]
-                / max(timings["buildings_assembly"], 1e-9), 1),
-            # beyond-broadcast scale paths, reported alongside so the
-            # scaling run evidences them too
-            "pip_part_pages_per_s": round(
-                n_pages / max(timings["pip_join_partitioned"], 1e-9), 1),
-            "knn_part_pages_per_s": round(
-                n_pages / max(timings["knn_join_partitioned"], 1e-9), 1),
-            "history_rows_per_s": round(
-                counts["history_latest"]
-                / max(timings["history_latest"], 1e-9), 1),
+            name: round(num / max(timings[stage], 1e-9), 1)
+            for name, stage, num in (
+                ("tile_assign_pages_per_s", "tile_assignment", n_pages),
+                ("pip_join_pages_per_s", "pip_join", n_pages),
+                ("knn_join_pages_per_s", "knn_join", n_pages),
+                ("buildings_feats_per_s", "buildings_assembly",
+                 counts.get("buildings_assembly", 0)),
+                # beyond-broadcast scale paths, reported alongside so the
+                # scaling run evidences them too
+                ("pip_part_pages_per_s", "pip_join_partitioned", n_pages),
+                ("knn_part_pages_per_s", "knn_join_partitioned", n_pages),
+                ("history_rows_per_s", "history_latest",
+                 counts.get("history_latest", 0)),
+            ) if stage in timings
         },
     }
     ray.shutdown()
