@@ -127,6 +127,26 @@ def q_token_stats(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: per-doc count of 8-gram positions that
+    match the deterministic self-benchmark snippet set (docs with
+    id % 29 == 0 seed it — no external data)."""
+    from pyrosm_ray.stages.decontam import decontaminate
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = decontaminate(ds).to_pandas()[
+        ["doc_id", "n_hits", "contaminated"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_vocab_topk(sf_dir: str):
+    """Top-50 corpus word frequencies via batch-local partial counts —
+    the shuffle is bounded by vocabulary, not the token stream."""
+    from pyrosm_ray.stages.text import vocab_topk
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = vocab_topk(ds, k=50).to_pandas()[["word", "n"]]
+    return df.reset_index(drop=True)
+
+
 def q_quality_score(sf_dir: str):
     from pyrosm_ray.stages.text import quality_score
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -897,8 +917,11 @@ def _relation_ring_edges_parquet(fx: str) -> str:
 def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.fixtures import TEST_BBOX, geocode_sql
     from pyrosm_ray.stages import sampling as _sampling
+    from pyrosm_ray.stages.decontam import \
+        decontaminate_sql as _decontaminate_sql
     from pyrosm_ray.stages.text import PUNCT_RE, STOPWORD_RE, TOKEN_RE
     from pyrosm_ray.stages.text import quality_score_sql
+    from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
     from pyrosm_ray.tiles import grid
 
     fx = str(_fixture_dir(ORACLE_SF))
@@ -976,6 +999,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '{TOKEN_RE}'))
                        AS BIGINT) AS n_bpe_tokens
             FROM documents ORDER BY doc_id""",
+        "q_decontaminate": _decontaminate_sql(),
+        "q_vocab_topk": _vocab_topk_sql(k=50),
         "q_quality_score": f"""
             SELECT doc_id, {quality_score_sql('text')} AS quality_score
             FROM documents ORDER BY doc_id""",
@@ -1356,6 +1381,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_events_window": q_events_window,
         "q_distinct_brands": q_distinct_brands,
         "q_token_stats": q_token_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_vocab_topk": q_vocab_topk,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,

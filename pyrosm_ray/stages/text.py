@@ -228,3 +228,58 @@ def repetition_stats_batch(batch: pa.Table,
 def repetition_stats(ds, text_col: str = "text"):
     return ds.map_batches(lambda b: repetition_stats_batch(b, text_col),
                           batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary (partial-aggregation word frequency)
+# ---------------------------------------------------------------------------
+
+def vocab_topk(ds, text_col: str = "text", k: int = 50):
+    """Top-k corpus word frequencies — the canonical combiner shape.
+
+    Each batch PRE-AGGREGATES its own word counts (``pd.factorize``, a
+    C-level hash table, then ``np.bincount``), so the global groupby
+    shuffles one row per (batch, distinct word) — bounded by
+    batches x vocabulary (Zipf: ~10⁵-10⁶ rows) — instead of one row per
+    TOKEN of the corpus (~10¹⁴ at 100 TB). The groupby then sums the
+    partials and a tiny sort+limit finishes.
+
+    Deterministic: ties in the count order break ascending by word. SQL
+    twin: ``unnest(regexp_extract_all(lower(text),'\\S+'))`` + GROUP BY +
+    ``ORDER BY n DESC, word LIMIT k``.
+    """
+    import pandas as pd
+
+    from pyrosm_ray.stages.blocks import groupby_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for t in batch[text_col].to_pylist():
+            words.extend((t or "").lower().split())
+        if not words:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n_partial": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"word": pa.array(uniq, pa.string()),
+                         "n_partial": pa.array(cnt.astype(np.int64))})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word", num_partitions=groupby_partitions()) \
+        .sum("n_partial")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"word": batch["word"],
+                         "n": batch["sum(n_partial)"]})
+
+    return agg.map_batches(rename, batch_format="pyarrow") \
+        .sort(["n", "word"], descending=[True, False]).limit(k)
+
+
+def vocab_topk_sql(doc_table: str = "documents", k: int = 50) -> str:
+    """DuckDB twin of :func:`vocab_topk`."""
+    return f"""
+        WITH wds AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+'))
+                         AS word FROM {doc_table})
+        SELECT word, COUNT(*) AS n FROM wds
+        GROUP BY word ORDER BY n DESC, word LIMIT {k}"""

@@ -1,0 +1,75 @@
+"""Benchmark decontamination (stages/decontam.py) + corpus vocabulary
+(text.vocab_topk) — each pinned against its DuckDB twin on the sf0.001
+documents fixture and hand-built edge cases."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from pyrosm_ray.stages import decontam, text
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _oracle(sql: str, table: pa.Table):
+    con = duckdb.connect()
+    con.register("documents", table)
+    return con.execute(sql).fetchdf()
+
+
+def test_decontaminate_matches_sql_twin(ray_session):
+    t = pq.read_table(DOCS)
+    got = decontam.decontaminate(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _oracle(decontam.decontaminate_sql(), t)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.n_hits) == list(want.n_hits)
+    assert list(got.contaminated) == list(want.contaminated)
+    # fixture is non-degenerate: some sources, and every source doc's own
+    # prefix matches itself
+    assert got.contaminated.sum() > 0
+    src = got[got.doc_id % decontam.DEFAULT_SNIPPET_MOD == 0]
+    assert (src.n_hits >= 1).all()
+
+
+def test_decontaminate_external_benchmark(ray_session):
+    # an explicit benchmark: grams from a text that appears verbatim
+    # inside doc A but not doc B
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta eta theta iota",
+            "one two three four five six seven eight nine",
+        ]),
+    })
+    bench = decontam.eval_gram_hashes(
+        ["beta gamma delta epsilon zeta eta theta iota"], k=8)
+    out = decontam.decontaminate(rd.from_arrow(t), eval_grams=bench) \
+        .to_pandas().sort_values("doc_id")
+    assert list(out.contaminated) == [True, False]
+    assert list(out.n_hits) == [1, 0]
+
+
+def test_decontaminate_short_docs_and_empty(ray_session):
+    # docs below k words carry zero grams; empty text doesn't crash
+    t = pa.table({
+        "doc_id": pa.array([0, 3], pa.int64()),  # 0 % 29 == 0: a source
+        "text": pa.array(["too short", ""]),
+    })
+    out = decontam.decontaminate(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id")
+    assert list(out.n_hits) == [0, 0]
+    assert not out.contaminated.any()
+
+
+def test_vocab_topk_matches_sql_twin(ray_session):
+    t = pq.read_table(DOCS)
+    got = text.vocab_topk(rd.from_arrow(t), k=25).to_pandas()
+    want = _oracle(text.vocab_topk_sql(k=25), t)
+    assert list(got.word) == list(want.word)
+    assert list(got.n) == list(want.n)
+    # ordered best-first with the ascending-word tiebreak
+    pairs = list(zip(got.n, got.word))
+    assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
