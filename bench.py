@@ -161,10 +161,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # timing covers the join core (cell join + bbox prune + exact PIP),
     # like the broadcast pip_join above, and not the materialization of
     # one full-html page copy per containing polygon (the payload re-join
-    # contract stays pinned by the parity tests + driver queries)
+    # contract stays pinned by the parity tests + driver queries).
+    # Partition count follows DATA VOLUME (~64 MB of pages per
+    # partition, floor 8) — CPU-independent, so scaling legs at
+    # different parallelism run the identical task graph, and at 100 TB
+    # the count grows with the input instead of over-splitting toy runs
+    join_parts = int(max(8, os.path.getsize(pages_path) // (64 << 20)))
     timed("pip_join_partitioned",
           lambda: spatial.pip_join_partitioned(
-              pages, polys, num_partitions=max(8, num_cpus),
+              pages, polys, num_partitions=join_parts,
               layer="buildings", join_payload=False).count())
 
     # co-partitioned kNN (the beyond-broadcast path): single grouped
@@ -173,7 +178,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     # path, not the small-input sweep shortcut
     timed("knn_join_partitioned",
           lambda: spatial.knn_join_partitioned(
-              pages, pois, k=1, num_partitions=max(8, num_cpus),
+              pages, pois, k=1, num_partitions=join_parts,
               sweep_max_pairs=0, join_payload=False).count())
 
     # history read (latest-at) via the fully distributed bucketed route —
