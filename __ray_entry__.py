@@ -147,6 +147,16 @@ def q_vocab_topk(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_unigram_logprob(sf_dir: str):
+    """CCNet-style LM quality proxy: per-doc corpus-unigram log-prob in
+    exact integer micro-nats (aggregate -> broadcast -> score)."""
+    from pyrosm_ray.stages.text import unigram_logprob
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = unigram_logprob(ds).to_pandas()[
+        ["doc_id", "n_tokens", "sum_logprob_micro"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_quality_score(sf_dir: str):
     from pyrosm_ray.stages.text import quality_score
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -921,6 +931,8 @@ def oracle_sql() -> dict[str, str]:
         decontaminate_sql as _decontaminate_sql
     from pyrosm_ray.stages.text import PUNCT_RE, STOPWORD_RE, TOKEN_RE
     from pyrosm_ray.stages.text import quality_score_sql
+    from pyrosm_ray.stages.text import \
+        unigram_logprob_sql as _unigram_logprob_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
     from pyrosm_ray.tiles import grid
 
@@ -1001,6 +1013,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "q_decontaminate": _decontaminate_sql(),
         "q_vocab_topk": _vocab_topk_sql(k=50),
+        "q_unigram_logprob": _unigram_logprob_sql(),
         "q_quality_score": f"""
             SELECT doc_id, {quality_score_sql('text')} AS quality_score
             FROM documents ORDER BY doc_id""",
@@ -1383,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_token_stats": q_token_stats,
         "q_decontaminate": q_decontaminate,
         "q_vocab_topk": q_vocab_topk,
+        "q_unigram_logprob": q_unigram_logprob,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,

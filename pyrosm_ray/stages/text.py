@@ -283,3 +283,122 @@ def vocab_topk_sql(doc_table: str = "documents", k: int = 50) -> str:
                          AS word FROM {doc_table})
         SELECT word, COUNT(*) AS n FROM wds
         GROUP BY word ORDER BY n DESC, word LIMIT {k}"""
+
+
+# ---------------------------------------------------------------------------
+# unigram log-probability (LM-perplexity quality proxy)
+# ---------------------------------------------------------------------------
+
+def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc corpus-unigram log-probability — the CCNet-style language-
+    model quality proxy (docs whose words are globally rare score low).
+
+    Two passes in the aggregate→broadcast→score shape:
+
+    1. corpus word frequencies via the :func:`vocab_topk` partial-count
+       combiner (shuffle bounded by vocabulary, not tokens); the Zipf
+       vocabulary table (~10⁵-10⁶ rows even at 100 TB) collects to the
+       driver and broadcasts once via ``ray.put``;
+    2. one stateless ``map_batches`` scores every doc: factorize batch
+       words, ``np.searchsorted`` into the sorted broadcast vocab, per-doc
+       segment sums by the cumsum trick.
+
+    Exactness contract: per-word values are quantised to integer
+    micro-nats — ``trunc(ln(n/t)·10⁶ + 0.5·sign)`` (ROUND-half-away, the
+    DuckDB twin's rule) — so the per-doc SUM is an exact int64 in any
+    addition order and the oracle hash cannot drift on float
+    associativity. Output: ``(doc_id, n_tokens, sum_logprob_micro)``.
+    Words absent from the vocab (only possible with an external corpus)
+    count as frequency 1.
+    """
+    import ray
+
+    import pandas as pd
+
+    from pyrosm_ray.stages.blocks import groupby_partitions
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words: list[str] = []
+        for t in batch[text_col].to_pylist():
+            words.extend((t or "").lower().split())
+        if not words:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n_partial": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"word": pa.array(uniq, pa.string()),
+                         "n_partial": pa.array(cnt.astype(np.int64))})
+
+    freq = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("word", num_partitions=groupby_partitions()) \
+        .sum("n_partial")
+    words_l, counts_l = [], []
+    for b in freq.iter_batches(batch_format="pyarrow"):
+        words_l.append(np.asarray(b["word"].to_pylist(), dtype=object))
+        counts_l.append(b["sum(n_partial)"].to_numpy(zero_copy_only=False))
+    if words_l:
+        vw = np.concatenate(words_l)
+        vc = np.concatenate(counts_l).astype(np.int64)
+        order = np.argsort(vw)
+        vw, vc = vw[order], vc[order]
+    else:
+        vw = np.empty(0, dtype=object)
+        vc = np.empty(0, dtype=np.int64)
+    total = int(vc.sum())
+    vocab_ref = ray.put((vw, vc, total))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vw, vc, total = ray.get(vocab_ref)
+        texts = batch[text_col].to_pylist()
+        words: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            words.extend(ws)
+            counts[i] = len(ws)
+        if words:
+            codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+            pos = np.searchsorted(vw, uniq)
+            pos = np.clip(pos, 0, max(len(vw) - 1, 0))
+            hit = (len(vw) > 0) & (vw[pos] == uniq)
+            n = np.where(hit, vc[pos] if len(vc) else 1, 1)
+            lp = np.log(n.astype(np.float64) / max(total, 1))
+            micro_u = np.trunc(lp * 1e6 + 0.5 * np.sign(lp)).astype(np.int64)
+            micro = micro_u[codes]
+        else:
+            micro = np.empty(0, dtype=np.int64)
+        off = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        cs = np.zeros(len(micro) + 1, dtype=np.int64)
+        np.cumsum(micro, out=cs[1:])
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(counts, pa.int64()),
+            "sum_logprob_micro": pa.array(cs[off[1:]] - cs[off[:-1]],
+                                          pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def unigram_logprob_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`unigram_logprob` (integer micro-nats)."""
+    return f"""
+        WITH wds AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text), '\\S+'))
+                                AS w FROM {doc_table}),
+        freq AS (SELECT w, COUNT(*) AS n FROM wds GROUP BY w),
+        tot AS (SELECT SUM(n) AS t FROM freq),
+        perword AS (SELECT doc_id,
+                           CAST(ROUND(ln(CAST(n AS DOUBLE) / t) * 1000000)
+                                AS BIGINT) AS micro
+                    FROM wds JOIN freq USING (w), tot),
+        agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                       SUM(micro) AS sum_logprob_micro
+                FROM perword GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(a.n_tokens, 0) AS BIGINT)
+                   AS n_tokens,
+               CAST(COALESCE(a.sum_logprob_micro, 0) AS BIGINT)
+                   AS sum_logprob_micro
+        FROM {doc_table} d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""

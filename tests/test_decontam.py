@@ -64,6 +64,34 @@ def test_decontaminate_short_docs_and_empty(ray_session):
     assert not out.contaminated.any()
 
 
+def test_unigram_logprob_matches_sql_twin(ray_session):
+    t = pq.read_table(DOCS)
+    got = text.unigram_logprob(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _oracle(text.unigram_logprob_sql(), t)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.n_tokens) == list(want.n_tokens)
+    assert list(got.sum_logprob_micro) == list(want.sum_logprob_micro)
+    # every value is a negative log-prob sum (all words occur >=1 time,
+    # none occur `total` times in a multi-doc corpus)
+    assert (got.sum_logprob_micro < 0).all()
+
+
+def test_unigram_logprob_empty_and_unseen(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["", "aa bb aa"]),
+    })
+    out = text.unigram_logprob(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out.n_tokens) == [0, 3]
+    assert out.sum_logprob_micro[0] == 0
+    # aa: 2/3, bb: 1/3 -> micro-nat quantised sum
+    exact = 2 * np.trunc(np.log(2 / 3) * 1e6 - 0.5) \
+        + np.trunc(np.log(1 / 3) * 1e6 - 0.5)
+    assert out.sum_logprob_micro[1] == int(exact)
+
+
 def test_vocab_topk_matches_sql_twin(ray_session):
     t = pq.read_table(DOCS)
     got = text.vocab_topk(rd.from_arrow(t), k=25).to_pandas()
