@@ -365,6 +365,16 @@ def q_minhash_dedup(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dedup_keep_best(sf_dir: str):
+    """Near-dup collapse keeping the highest-quality doc per cluster
+    (minhash clusters x quality_score x per-cluster top-1)."""
+    from pyrosm_ray.stages.dedup import near_dup_keep_best
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = near_dup_keep_best(ds, threshold=0.5).to_pandas()[
+        ["doc_id", "dup_of", "quality_score"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_simhash_pairs(sf_dir: str):
     from pyrosm_ray.stages.dedup import simhash_dedup
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -824,6 +834,23 @@ def _minhash_dedup_sql(threshold: float = 0.5, num_perm: int = 64,
         ORDER BY d.doc_id"""
 
 
+def _dedup_keep_best_sql(threshold: float = 0.5) -> str:
+    """Twin of near_dup_keep_best: the minhash dup_of labels (reused as a
+    subquery) joined to quality_score, top-1 per cluster by (score DESC,
+    doc_id)."""
+    from pyrosm_ray.stages.text import quality_score_sql
+    return f"""
+        WITH q AS (SELECT doc_id, {quality_score_sql('text')}
+                       AS quality_score FROM documents),
+        dup AS ({_minhash_dedup_sql(threshold=threshold)}),
+        r AS (SELECT dup.doc_id, dup.dup_of, q.quality_score,
+                     ROW_NUMBER() OVER (PARTITION BY dup.dup_of
+                         ORDER BY q.quality_score DESC, dup.doc_id) AS rn
+              FROM dup JOIN q USING (doc_id))
+        SELECT doc_id, dup_of, quality_score FROM r WHERE rn = 1
+        ORDER BY doc_id"""
+
+
 def _relation_ring_edges_parquet(fx: str) -> str:
     """Side table for the q_pip_join SQL oracle: building-RELATION ring
     edges (relation_id, x1, y1, x2, y2) as parquet.
@@ -1019,6 +1046,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "q_lang_id": _lang_id_sql(),
         "q_minhash_dedup": _minhash_dedup_sql(threshold=0.5),
+        "q_dedup_keep_best": _dedup_keep_best_sql(threshold=0.5),
         "q_simhash_pairs": _simhash_pairs_sql(max_hamming=10),
         "q_ngram_jaccard": _ngram_jaccard_sql(threshold=0.6),
         "q_embedding_near_dup": _embedding_near_dup_sql(threshold=0.4),
@@ -1412,6 +1440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
         "q_minhash_dedup": q_minhash_dedup,
+        "q_dedup_keep_best": q_dedup_keep_best,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_near_dup": q_embedding_near_dup,

@@ -1163,3 +1163,46 @@ def embedding_near_dup(ds, id_col: str = "vec_id",
     if len(pair_items) > 1:
         pairs = pairs.repartition(min(len(pair_items), 256))
     return pairs.map_batches(compute, batch_format="numpy")
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster + keep-best representative
+# ---------------------------------------------------------------------------
+
+def near_dup_keep_best(ds, id_col: str = "doc_id", text_col: str = "text",
+                       threshold: float = 0.5, num_partitions: int = 8,
+                       **minhash_kwargs):
+    """Near-dup collapse with quality-based representative selection —
+    the full production dedup shape (RefinedWeb/Dolma keep the "best"
+    cluster member, not the lowest id): :func:`minhash_dedup` labels
+    every doc with its cluster (``dup_of``), each doc is scored by
+    :func:`pyrosm_ray.stages.text.quality_score`, and one keyed groupby
+    keeps the top-scoring doc per cluster (ties break ascending id via
+    :func:`pyrosm_ray.stages.sampling.topk_per_group`).
+
+    All three legs are existing scale-path operators — the composition
+    adds one hash join (labels x scores on id) and one grouped top-1; no
+    new driver state. Returns survivors: ``(doc_id, dup_of,
+    quality_score)``, one row per cluster."""
+    from pyrosm_ray.stages.blocks import shuffle_join_args
+    from pyrosm_ray.stages.sampling import topk_per_group
+    from pyrosm_ray.stages.text import quality_score
+
+    labels = minhash_dedup(ds, id_col=id_col, text_col=text_col,
+                           threshold=threshold, **minhash_kwargs)
+    scores = quality_score(ds, text_col=text_col).map_batches(
+        lambda b: b.select([id_col, "quality_score"]),
+        batch_format="pyarrow")
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return pa.table({"__sid": batch[id_col],
+                         "quality_score": batch["quality_score"]})
+
+    joined = labels.join(scores.map_batches(strip, batch_format="pyarrow"),
+                         "inner", on=(id_col,), right_on=("__sid",),
+                         **shuffle_join_args(num_partitions))
+    best = topk_per_group(joined, "dup_of", "quality_score", k=1,
+                          id_col=id_col)
+    return best.map_batches(
+        lambda b: b.select([id_col, "dup_of", "quality_score"]),
+        batch_format="pyarrow")

@@ -368,3 +368,28 @@ def test_embedding_near_dup_hierarchical_gate_subquadratic(ray_session):
     flat_grid = st["blocks"] * (st["blocks"] + 1) // 2
     checked = st["super_pairs_checked"] + st["member_pairs_checked"]
     assert checked < flat_grid / 2, st
+
+
+def test_near_dup_keep_best_picks_quality_not_min_id(ray_session):
+    # three near-identical docs: the longest (highest quality_score) has
+    # the HIGHEST id, so min-id selection would differ; plus a singleton
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away to the hills beyond the river")
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 9], pa.int64()),
+        "text": pa.array([
+            base,
+            base + " again",
+            base + " again and again and again with many more tokens "
+                   "to push the length term of the quality score higher",
+            "completely different singleton content here",
+        ]),
+    })
+    out = dedup.near_dup_keep_best(rd.from_arrow(t), threshold=0.5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # docs 1-3 cluster (dup_of == 1); survivor is 3 (best quality), not 1
+    assert list(out.doc_id) == [3, 9]
+    assert list(out.dup_of) == [1, 9]
+    from pyrosm_ray.stages.text import quality_score
+    q = quality_score(rd.from_arrow(t)).to_pandas().set_index("doc_id")
+    assert q.quality_score[3] == q.quality_score.loc[[1, 2, 3]].max()
