@@ -365,6 +365,21 @@ def q_minhash_dedup(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+MIX_WEIGHTS = {f"src{i}": (i % 3) + 1 for i in range(20) if i != 13}
+MIX_BUDGET = 40_000  # target corpus chars after mixing (sf-independent)
+
+
+def q_mix_sources(sf_dir: str):
+    """Token-budget corpus mixing: deterministic per-source sampling
+    rates hit integer weight shares of a char budget; src13 is excluded
+    (rate 0) to exercise the drop path."""
+    from pyrosm_ray.stages.sampling import mix_sources
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    df = mix_sources(ds, MIX_WEIGHTS, MIX_BUDGET).to_pandas()[
+        ["doc_id", "source", "n_chars"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Near-dup collapse keeping the highest-quality doc per cluster
     (minhash clusters x quality_score x per-cluster top-1)."""
@@ -1047,6 +1062,11 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": _lang_id_sql(),
         "q_minhash_dedup": _minhash_dedup_sql(threshold=0.5),
         "q_dedup_keep_best": _dedup_keep_best_sql(threshold=0.5),
+        "q_mix_sources": f"""
+            SELECT doc_id, source, n_chars FROM (
+                {_sampling.mix_sources_sql('documents', MIX_WEIGHTS,
+                                           MIX_BUDGET)})
+            ORDER BY doc_id""",
         "q_simhash_pairs": _simhash_pairs_sql(max_hamming=10),
         "q_ngram_jaccard": _ngram_jaccard_sql(threshold=0.6),
         "q_embedding_near_dup": _embedding_near_dup_sql(threshold=0.4),
@@ -1441,6 +1461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_audio": q_media_audio,
         "q_minhash_dedup": q_minhash_dedup,
         "q_dedup_keep_best": q_dedup_keep_best,
+        "q_mix_sources": q_mix_sources,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_near_dup": q_embedding_near_dup,

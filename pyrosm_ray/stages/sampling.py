@@ -273,3 +273,97 @@ def redact_count_sql(text_expr: str) -> str:
         parts.append(f"length(regexp_extract_all({e}, '{p}'))")
         e = f"regexp_replace({e}, '{p}', '<{tag}>', 'g')"
     return "(" + " + ".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# token-budget corpus mixing
+# ---------------------------------------------------------------------------
+
+MIX_DEN = 1_000_000  # sampling-rate denominator (ppm resolution)
+
+
+def mix_rates(source_tokens: dict[str, int], weights: dict[str, int],
+              budget: int, den: int = MIX_DEN) -> dict[str, int]:
+    """Integer per-source sampling numerators for a target token budget.
+
+    Source ``s`` should contribute ``budget * w_s / sum(w)`` tokens; with
+    ``tokens_s`` available its keep-rate is that target over supply,
+    capped at 1. Rates quantise to an integer numerator over ``den``
+    (floor) so engine and SQL twin compute the identical predicate in
+    exact integer arithmetic — no float rate can drift the sample.
+    Sources absent from ``weights`` get rate 0 (dropped)."""
+    sum_w = sum(weights.values())
+    out = {}
+    for s, toks in source_tokens.items():
+        w = weights.get(s, 0)
+        if w <= 0 or toks <= 0 or sum_w <= 0:
+            out[s] = 0
+        else:
+            out[s] = min(den, (budget * w * den) // (sum_w * toks))
+    return out
+
+
+def mix_sources(ds, weights: dict[str, int], budget: int,
+                source_col: str = "source", size_col: str = "n_chars",
+                id_col: str = "doc_id", seed: int = 13,
+                den: int = MIX_DEN):
+    """Deterministic token-budget corpus mixing (the "data mixture" step
+    between filtered corpus and training shards): sample each source at
+    the rate that lands its share of ``budget`` given integer ``weights``
+    (parts, e.g. ``{"web": 3, "books": 1}``).
+
+    Two stages in the aggregate→broadcast→filter shape:
+
+    1. per-source token supply via ``groupby(source).sum(size_col)`` —
+       sources number in the tens, the aggregate is a handful of rows;
+    2. one stateless vectorised filter: ``hash64(id, seed) % den <
+       num_source`` with the integer numerators from :func:`mix_rates`
+       mapped per row (factorize + lookup).
+
+    The sample is stable under re-runs, re-partitioning and cluster
+    size (the hash predicate owns the decision, not task boundaries).
+    Expected sampled tokens per source ≈ its target (hash uniformity);
+    the EXACT membership is pinned by the SQL twin."""
+    agg = ds.groupby(source_col).sum(size_col)
+    supply = {r[source_col]: int(r[f"sum({size_col})"])
+              for r in agg.take_all()}
+    nums = mix_rates(supply, weights, budget, den)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        srcs = np.asarray(batch[source_col].to_pylist(), dtype=object)
+        codes_uniq, inv = np.unique(srcs, return_inverse=True)
+        per_uniq = np.array([nums.get(s, 0) for s in codes_uniq],
+                            dtype=np.uint64)
+        thresh = per_uniq[inv]
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        keep = (hash64(ids.view(np.uint64), seed) % np.uint64(den)) \
+            < thresh
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow")
+
+
+def mix_sources_sql(doc_table: str, weights: dict[str, int], budget: int,
+                    source_col: str = "source", size_col: str = "n_chars",
+                    id_expr: str = "doc_id", seed: int = 13,
+                    den: int = MIX_DEN) -> str:
+    """DuckDB twin of :func:`mix_sources` (bit-identical sample)."""
+    sum_w = sum(weights.values())
+    w_case = " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in sorted(weights.items()))
+    h = hash64_sql(f"CAST({id_expr} AS UBIGINT)", seed)
+    return f"""
+        WITH supply AS (SELECT {source_col} AS s,
+                               SUM({size_col}) AS toks
+                        FROM {doc_table} GROUP BY 1),
+        rates AS (SELECT s,
+                         CASE WHEN toks <= 0 THEN 0 ELSE LEAST({den},
+                             ({budget}::HUGEINT
+                              * (CASE s {w_case} ELSE 0 END)
+                              * {den}) // ({sum_w}::HUGEINT * toks))
+                         END AS num
+                  FROM supply)
+        SELECT d.* FROM {doc_table} d JOIN rates r
+            ON d.{source_col} = r.s
+        WHERE (({h}) % {den}) < CAST(r.num AS UBIGINT)"""

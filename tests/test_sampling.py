@@ -111,3 +111,45 @@ def test_redact_pii_patterns(ray_session):
         + " AS n FROM t ORDER BY doc_id").fetchdf()
     assert list(want.r) == list(out.text_redacted)
     assert list(want.n) == list(out.n_redactions)
+
+
+def test_mix_sources_rates_and_sql_twin(ray_session):
+    rng = np.random.RandomState(5)
+    n = 300
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n) * 7 + 3, pa.int64()),
+        "source": pa.array([f"s{i % 4}" for i in range(n)]),
+        "n_chars": pa.array(rng.randint(50, 200, n), pa.int64()),
+    })
+    weights = {"s0": 3, "s1": 1, "s2": 2}  # s3 unweighted -> dropped
+    budget = 8000
+    got = sampling.mix_sources(rd.from_arrow(t), weights, budget) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.execute(
+        sampling.mix_sources_sql("docs", weights, budget)
+        + " ORDER BY doc_id").fetchdf()
+    assert list(got.doc_id) == list(want.doc_id)
+    assert not (got.source == "s3").any()
+    # each weighted source is sampled (rates are well above 0 here)
+    assert set(got.source) == {"s0", "s1", "s2"}
+    # quantised rates match the integer formula
+    supply = {f"s{i}": int(t.filter(
+        pa.compute.equal(t["source"], f"s{i}"))["n_chars"]
+        .to_pandas().sum()) for i in range(4)}
+    nums = sampling.mix_rates(supply, weights, budget)
+    assert nums["s3"] == 0 and all(0 < v <= sampling.MIX_DEN
+                                   for k, v in nums.items() if k != "s3")
+
+
+def test_mix_sources_caps_rate_at_one(ray_session):
+    # budget far above supply -> every weighted doc kept
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["a", "a", "b", "b"]),
+        "n_chars": pa.array([10, 10, 10, 10], pa.int64()),
+    })
+    out = sampling.mix_sources(rd.from_arrow(t), {"a": 1, "b": 1},
+                               budget=10_000).to_pandas()
+    assert sorted(out.doc_id) == [1, 2, 3, 4]
