@@ -380,6 +380,26 @@ def q_mix_sources(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-snapshot ingest: docs with id % 3 == 0 play the existing
+    reference corpus; the rest are the new snapshot, kept only when
+    their content is in neither the reference nor an earlier new doc."""
+    from pyrosm_ray.stages.dedup import incremental_dedup
+
+    def split(keep_ref: bool):
+        def f(b):
+            ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+            is_ref = (ids % 3) == 0
+            return b.filter(pa.array(is_ref if keep_ref else ~is_ref))
+        return f
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    new_ds = ds.map_batches(split(False), batch_format="pyarrow")
+    ref_ds = ds.map_batches(split(True), batch_format="pyarrow")
+    df = incremental_dedup(new_ds, ref_ds).to_pandas()[["doc_id"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Near-dup collapse keeping the highest-quality doc per cluster
     (minhash clusters x quality_score x per-cluster top-1)."""
@@ -1062,6 +1082,16 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": _lang_id_sql(),
         "q_minhash_dedup": _minhash_dedup_sql(threshold=0.5),
         "q_dedup_keep_best": _dedup_keep_best_sql(threshold=0.5),
+        "q_incremental_dedup": f"""
+            WITH nn AS (SELECT doc_id,
+                               md5_number_lower({_norm_text_sql()}) AS h
+                        FROM documents WHERE doc_id % 3 != 0),
+            rr AS (SELECT DISTINCT md5_number_lower({_norm_text_sql()})
+                       AS h
+                   FROM documents WHERE doc_id % 3 = 0)
+            SELECT MIN(doc_id) AS doc_id FROM nn
+            WHERE h NOT IN (SELECT h FROM rr)
+            GROUP BY h ORDER BY doc_id""",
         "q_mix_sources": f"""
             SELECT doc_id, source, n_chars FROM (
                 {_sampling.mix_sources_sql('documents', MIX_WEIGHTS,
@@ -1462,6 +1492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_dedup": q_minhash_dedup,
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_mix_sources": q_mix_sources,
+        "q_incremental_dedup": q_incremental_dedup,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_near_dup": q_embedding_near_dup,

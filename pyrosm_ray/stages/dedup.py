@@ -1206,3 +1206,58 @@ def near_dup_keep_best(ds, id_col: str = "doc_id", text_col: str = "text",
     return best.map_batches(
         lambda b: b.select([id_col, "dup_of", "quality_score"]),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot incremental dedup
+# ---------------------------------------------------------------------------
+
+def _content_hash_tbl(batch: pa.Table, id_col: str, text_col: str,
+                      is_ref: bool) -> pa.Table:
+    """(hash64-of-normalised-content, id) rows; reference rows carry the
+    -1 id sentinel so both sides share one schema through the union."""
+    texts = batch[text_col].to_pylist()
+    hs = stable64_many([" ".join((t or "").lower().split())
+                        for t in texts])
+    ids = np.full(len(texts), -1, dtype=np.int64) if is_ref else \
+        np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
+    return pa.table({"__h": pa.array(hs, pa.uint64()),
+                     "__cid": pa.array(ids, pa.int64())})
+
+
+def incremental_dedup(new_ds, ref_ds, id_col: str = "doc_id",
+                      text_col: str = "text", num_partitions: int = 8):
+    """Cross-snapshot ingest dedup: keep a NEW document iff its
+    normalised content (lower + whitespace collapse) appears in neither
+    the REFERENCE corpus nor an earlier new doc (min-id wins within the
+    snapshot — :func:`exact_dedup` semantics).
+
+    The shape that holds when the reference corpus is the 100-TB side:
+    only (hash, id) pairs shuffle — content never moves — and the
+    reference reduces to hash rows carrying a -1 sentinel, so one keyed
+    groupby decides membership and survivor selection together; winners
+    re-select their full rows by a distributed semi-join (no driver
+    keep-set, no broadcast of the big side)."""
+    from pyrosm_ray.stages.blocks import groupby_partitions
+
+    new_h = new_ds.map_batches(
+        lambda b: _content_hash_tbl(b, id_col, text_col, False),
+        batch_format="pyarrow")
+    ref_h = ref_ds.map_batches(
+        lambda b: _content_hash_tbl(b, id_col, text_col, True),
+        batch_format="pyarrow")
+
+    def pick(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["__cid"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        if (ids < 0).any():
+            return pa.table({"__keep_id": pa.array([], pa.int64())})
+        return pa.table({"__keep_id": pa.array([int(ids.min())],
+                                               pa.int64())})
+
+    keep = new_h.union(ref_h).groupby(
+        "__h", num_partitions=groupby_partitions()).map_groups(
+        pick, batch_format="pyarrow")
+    return new_ds.join(keep, "inner", on=(id_col,),
+                       right_on=("__keep_id",),
+                       **shuffle_join_args(num_partitions))

@@ -393,3 +393,26 @@ def test_near_dup_keep_best_picks_quality_not_min_id(ray_session):
     from pyrosm_ray.stages.text import quality_score
     q = quality_score(rd.from_arrow(t)).to_pandas().set_index("doc_id")
     assert q.quality_score[3] == q.quality_score.loc[[1, 2, 3]].max()
+
+
+def test_incremental_dedup_vs_reference_and_within(ray_session):
+    # ref holds "alpha"; new has a ref-dup (5), an intra-new dup pair
+    # (7 wins over 11 by min id), and a fresh doc (13)
+    ref = pa.table({
+        "doc_id": pa.array([0, 3], pa.int64()),
+        "text": pa.array(["Alpha  content", "other ref content"]),
+    })
+    new = pa.table({
+        "doc_id": pa.array([5, 7, 11, 13], pa.int64()),
+        "text": pa.array([
+            "alpha content",            # normalises to a ref dup
+            "brand new thing",
+            "brand  NEW thing",         # intra-new dup of 7
+            "unique fresh doc",
+        ]),
+    })
+    out = dedup.incremental_dedup(rd.from_arrow(new),
+                                  rd.from_arrow(ref)).to_pandas()
+    assert sorted(out.doc_id) == [7, 13]
+    # full rows survive (text column re-selected by the semi-join)
+    assert set(out.columns) >= {"doc_id", "text"}
