@@ -226,6 +226,42 @@ def q_sessionize(sf_dir: str):
     return df.sort_values(["user_id", "session_id"]).reset_index(drop=True)
 
 
+def _event_side(sf_dir: str, event_type: str):
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def keep(b: pa.Table) -> pa.Table:
+        m = pc.equal(b["event_type"], event_type)
+        return b.filter(m).select(["event_id", "ts", "user_id"])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def q_asof_purchase_view(sf_dir: str):
+    """As-of join: each purchase matched to the same user's latest view
+    at-or-before it (ties on ts -> max view event_id); lag in µs."""
+    from pyrosm_ray.stages.windows import asof_join
+    out = asof_join(_event_side(sf_dir, "purchase"),
+                    _event_side(sf_dir, "view")).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_band_join_views(sf_dir: str):
+    """Range (band) join: per purchase, the count of the same user's
+    views inside the inclusive hour before it."""
+    from pyrosm_ray.stages.windows import band_join
+    out = band_join(_event_side(sf_dir, "purchase"),
+                    _event_side(sf_dir, "view"), band_s=3600).to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_corpus_report(sf_dir: str):
+    """Per-source corpus report card (docs/tokens/chars/langs/dups)."""
+    from pyrosm_ray.stages.report import corpus_report
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+    return corpus_report(ds)
+
+
 def q_repetition(sf_dir: str):
     from pyrosm_ray.stages.text import repetition_stats
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1082,6 +1118,49 @@ def oracle_sql() -> dict[str, str]:
         "q_lang_id": _lang_id_sql(),
         "q_minhash_dedup": _minhash_dedup_sql(threshold=0.5),
         "q_dedup_keep_best": _dedup_keep_best_sql(threshold=0.5),
+        "q_asof_purchase_view": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view'),
+                 m AS (SELECT p.event_id, p.user_id,
+                              v.event_id AS matched_id,
+                              date_diff('microsecond', v.ts, p.ts)
+                                  AS lag_us,
+                              ROW_NUMBER() OVER (
+                                  PARTITION BY p.event_id
+                                  ORDER BY v.ts DESC, v.event_id DESC
+                              ) AS rn
+                       FROM p LEFT JOIN v
+                         ON p.user_id = v.user_id AND v.ts <= p.ts)
+            SELECT event_id, user_id, matched_id,
+                   CAST(lag_us AS BIGINT) AS lag_us
+            FROM m WHERE rn = 1 ORDER BY event_id""",
+        "q_band_join_views": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+                 v AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'view')
+            SELECT p.event_id, p.user_id,
+                   CAST(COUNT(v.event_id) AS BIGINT) AS n_in_band
+            FROM p LEFT JOIN v
+              ON p.user_id = v.user_id
+             AND v.ts BETWEEN p.ts - INTERVAL 3600 SECOND AND p.ts
+            GROUP BY p.event_id, p.user_id ORDER BY p.event_id""",
+        "q_corpus_report": """
+            WITH h AS (SELECT source, lang, md5_number_lower(text) AS h,
+                              CAST(len(regexp_extract_all(text, '\\S+'))
+                                  AS BIGINT) AS nt,
+                              CAST(length(text) AS BIGINT) AS nc
+                       FROM documents)
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(nt) AS BIGINT) AS n_tokens,
+                   CAST(SUM(nc) AS BIGINT) AS sum_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct,
+                   CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dups
+            FROM h GROUP BY source ORDER BY source""",
         "q_incremental_dedup": f"""
             WITH nn AS (SELECT doc_id,
                                md5_number_lower({_norm_text_sql()}) AS h
@@ -1493,6 +1572,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_keep_best": q_dedup_keep_best,
         "q_mix_sources": q_mix_sources,
         "q_incremental_dedup": q_incremental_dedup,
+        "q_asof_purchase_view": q_asof_purchase_view,
+        "q_band_join_views": q_band_join_views,
+        "q_corpus_report": q_corpus_report,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_near_dup": q_embedding_near_dup,

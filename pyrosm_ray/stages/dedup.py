@@ -1217,11 +1217,13 @@ def _content_hash_tbl(batch: pa.Table, id_col: str, text_col: str,
     """(hash64-of-normalised-content, id) rows; reference rows carry the
     -1 id sentinel so both sides share one schema through the union."""
     texts = batch[text_col].to_pylist()
+    # int64 VIEW of the uint64 hash (uint64 keys fall back to pickled
+    # objects inside Ray's hash-shuffle pandas round-trip)
     hs = stable64_many([" ".join((t or "").lower().split())
-                        for t in texts])
+                        for t in texts]).view(np.int64)
     ids = np.full(len(texts), -1, dtype=np.int64) if is_ref else \
         np.asarray(batch[id_col].to_numpy(zero_copy_only=False), np.int64)
-    return pa.table({"__h": pa.array(hs, pa.uint64()),
+    return pa.table({"__h": pa.array(hs, pa.int64()),
                      "__cid": pa.array(ids, pa.int64())})
 
 

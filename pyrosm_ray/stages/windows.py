@@ -1,4 +1,4 @@
-"""Windowed aggregates Ray Data lacks natively (custom operators).
+"""Windowed / temporal custom operators Ray Data lacks natively.
 
 ``sessionize`` — the classic session-gap window over an event stream:
 a new session starts when the gap to the previous event of the same user
@@ -6,10 +6,23 @@ exceeds ``gap_s`` (strictly). Expressed as ``groupby(user).map_groups``
 with everything inside a group numpy-vectorised (lexsort + diff + cumsum
 + ``np.add.reduceat`` — no per-event Python).
 
+``asof_join`` — for each LEFT row, the latest RIGHT row at-or-before its
+timestamp within the same key (ties on ts broken by max right id); LEFT
+join semantics (unmatched rows keep nulls).
+
+``band_join`` — the 1-D range join: for each LEFT row, the COUNT of
+RIGHT rows of the same key whose timestamp falls in
+``[left.ts - band_s, left.ts]`` (inclusive).
+
+Both joins co-partition the two inputs by key through ONE hash shuffle
+(sides unioned under a flag column, then ``groupby(key).map_groups``)
+and resolve matches per group with numpy ``searchsorted`` over the
+right side sorted once — no per-row Python, no driver materialization.
+
 Partitioning assumption (documented per the custom-operator contract):
-the hash shuffle co-locates one user's whole event stream on one worker;
-a single user's events must fit worker memory — the standard
-sessionization contract of every streaming engine.
+the hash shuffle co-locates one key's whole event stream on one worker;
+a single key's rows must fit worker memory — the standard
+sessionization / as-of contract of every streaming engine.
 
 Money-safe values: per-session sums are integer cents rounded
 half-away-from-zero (the SQL ROUND rule, so the DuckDB oracle reproduces
@@ -62,3 +75,107 @@ def sessionize(ds, gap_s: int = 1800, user_col: str = "user_id",
 
     return ds.groupby(user_col).map_groups(per_user,
                                            batch_format="pyarrow")
+
+
+def _keyed_union(left_ds, right_ds, by_col: str, ts_col: str,
+                 left_id: str, right_id: str):
+    """Union the two join sides under one schema: (key, ts-µs, id, side).
+    One hash shuffle then co-locates both sides of every key."""
+    def tag(id_col: str, side: int):
+        def f(b: pa.Table) -> pa.Table:
+            ts = b[ts_col].cast(pa.timestamp("us"))
+            n = len(b)
+            return pa.table({
+                "__k": b[by_col].cast(pa.int64()),
+                "__t": pa.array(np.asarray(
+                    ts.to_numpy(zero_copy_only=False)).astype(np.int64),
+                    pa.int64()),
+                "__id": b[id_col].cast(pa.int64()),
+                "__side": pa.array(np.full(n, side, np.int8), pa.int8()),
+            })
+        return f
+
+    return left_ds.map_batches(tag(left_id, 0), batch_format="pyarrow") \
+        .union(right_ds.map_batches(tag(right_id, 1),
+                                    batch_format="pyarrow"))
+
+
+def _split_sides(g: pa.Table):
+    """-> (left ids, left ts, right ids sorted by (ts, id), right ts)."""
+    side = np.asarray(g["__side"].to_numpy(zero_copy_only=False))
+    ts = np.asarray(g["__t"].to_numpy(zero_copy_only=False), np.int64)
+    ids = np.asarray(g["__id"].to_numpy(zero_copy_only=False), np.int64)
+    lm = side == 0
+    lt, lid = ts[lm], ids[lm]
+    rt, rid = ts[~lm], ids[~lm]
+    order = np.lexsort((rid, rt))
+    return lid, lt, rid[order], rt[order]
+
+
+def asof_join(left_ds, right_ds, by_col: str = "user_id",
+              ts_col: str = "ts", left_id: str = "event_id",
+              right_id: str = "event_id"):
+    """As-of join: one row per LEFT row with the id of the latest RIGHT
+    row of the same key at-or-before the left timestamp (ties on ts
+    resolved to the max right id) and the lag in microseconds; both null
+    when no prior right row exists. Output columns:
+    ``(left_id, by_col, matched_id, lag_us)``."""
+    def per_key(g: pa.Table) -> pa.Table:
+        lid, lt, rid, rt = _split_sides(g)
+        if len(lid) == 0:
+            return pa.table({left_id: pa.array([], pa.int64()),
+                             by_col: pa.array([], pa.int64()),
+                             "matched_id": pa.array([], pa.int64()),
+                             "lag_us": pa.array([], pa.int64())})
+        key = g["__k"][0].as_py()
+        if len(rt) == 0:
+            matched = np.zeros(len(lid), np.int64)
+            lag = np.zeros(len(lid), np.int64)
+            miss = np.ones(len(lid), bool)
+        else:
+            idx = np.searchsorted(rt, lt, side="right") - 1
+            hit = idx >= 0
+            matched = np.where(hit, rid[np.maximum(idx, 0)], 0)
+            lag = np.where(hit, lt - rt[np.maximum(idx, 0)], 0)
+            miss = ~hit
+        return pa.table({
+            left_id: pa.array(lid, pa.int64()),
+            by_col: pa.array(np.full(len(lid), key, np.int64), pa.int64()),
+            "matched_id": pa.array(matched, pa.int64(), mask=miss),
+            "lag_us": pa.array(lag, pa.int64(), mask=miss),
+        })
+
+    from pyrosm_ray.stages.blocks import groupby_partitions
+    u = _keyed_union(left_ds, right_ds, by_col, ts_col, left_id, right_id)
+    return u.groupby("__k", num_partitions=groupby_partitions()) \
+        .map_groups(per_key, batch_format="pyarrow")
+
+
+def band_join(left_ds, right_ds, band_s: int, by_col: str = "user_id",
+              ts_col: str = "ts", left_id: str = "event_id",
+              right_id: str = "event_id"):
+    """1-D range (band) join: one row per LEFT row with the COUNT of
+    RIGHT rows of the same key whose ts lies in
+    ``[left.ts - band_s, left.ts]`` (inclusive both ends). Output
+    columns: ``(left_id, by_col, n_in_band)``."""
+    band_us = int(band_s) * 1_000_000
+
+    def per_key(g: pa.Table) -> pa.Table:
+        lid, lt, _rid, rt = _split_sides(g)
+        if len(lid) == 0:
+            return pa.table({left_id: pa.array([], pa.int64()),
+                             by_col: pa.array([], pa.int64()),
+                             "n_in_band": pa.array([], pa.int64())})
+        key = g["__k"][0].as_py()
+        lo = np.searchsorted(rt, lt - band_us, side="left")
+        hi = np.searchsorted(rt, lt, side="right")
+        return pa.table({
+            left_id: pa.array(lid, pa.int64()),
+            by_col: pa.array(np.full(len(lid), key, np.int64), pa.int64()),
+            "n_in_band": pa.array(hi - lo, pa.int64()),
+        })
+
+    from pyrosm_ray.stages.blocks import groupby_partitions
+    u = _keyed_union(left_ds, right_ds, by_col, ts_col, left_id, right_id)
+    return u.groupby("__k", num_partitions=groupby_partitions()) \
+        .map_groups(per_key, batch_format="pyarrow")

@@ -49,3 +49,23 @@ def test_repetition_matches_duckdb_oracle(ray_session):
                           ora["dup_line_frac"].values)
     assert np.array_equal(got["top_bigram_frac"].values,
                           ora["top_bigram_frac"].values)
+
+
+def test_corpus_report_counts(ray_session):
+    from pyrosm_ray.stages.report import corpus_report
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b c", "a b c", "x  y", "solo doc here",
+                          "unico"]),
+        "lang": pa.array(["en", "en", "fr", "en", "es"]),
+        "source": pa.array(["s1", "s1", "s1", "s2", "s2"]),
+    })
+    out = corpus_report(rd.from_arrow(t)).set_index("source")
+    assert out.loc["s1"].n_docs == 3
+    assert out.loc["s1"].n_tokens == 3 + 3 + 2
+    assert out.loc["s1"].sum_chars == 5 + 5 + 4
+    assert out.loc["s1"].n_langs == 2
+    # docs 0 and 1 are byte-identical -> 2 distinct contents, 1 dup
+    assert out.loc["s1"].n_distinct == 2 and out.loc["s1"].n_dups == 1
+    assert out.loc["s2"].n_docs == 2 and out.loc["s2"].n_dups == 0
+    assert out.loc["s2"].n_langs == 2

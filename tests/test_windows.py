@@ -1,6 +1,7 @@
 """Session-gap window: handcrafted truth + boundary semantics."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -42,3 +43,48 @@ def test_sessionize_truth(ray_session):
         "2024-01-01T00:30:00", "us")
     u2 = out[out.user_id == 2]
     assert list(u2.n_events) == [1] and list(u2.value_cents) == [777]
+
+
+def _sides():
+    from pyrosm_ray.stages.windows import asof_join  # noqa: F401
+    def t(s):
+        return np.datetime64(f"2024-01-01T{s}", "us")
+    left = pa.table({
+        "event_id": pa.array([100, 101, 102, 103], pa.int64()),
+        "ts": pa.array([t("01:00:00"), t("02:00:00"), t("00:10:00"),
+                        t("01:00:00")], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+    })
+    right = pa.table({
+        "event_id": pa.array([7, 8, 9, 10], pa.int64()),
+        "ts": pa.array([t("00:30:00"), t("00:59:59"), t("00:59:59"),
+                        t("03:00:00")], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+    })
+    return left, right
+
+
+def test_asof_join_latest_prior_max_id_tiebreak(ray_session):
+    from pyrosm_ray.stages.windows import asof_join
+    left, right = _sides()
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right)) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert list(out.event_id) == [100, 101, 102, 103]
+    # 100 @01:00 -> tie at 00:59:59 between ids 8 and 9 -> max id 9
+    assert out.matched_id[0] == 9 and out.lag_us[0] == 1_000_000
+    # 101 @02:00 -> still 9 (the 03:00 row is in the future)
+    assert out.matched_id[1] == 9
+    # 102 @00:10 -> no prior view: nulls
+    assert pd.isna(out.matched_id[2]) and pd.isna(out.lag_us[2])
+    # 103 is user 2 with no right rows at all: nulls
+    assert pd.isna(out.matched_id[3])
+
+
+def test_band_join_inclusive_bounds(ray_session):
+    from pyrosm_ray.stages.windows import band_join
+    left, right = _sides()
+    out = band_join(rd.from_arrow(left), rd.from_arrow(right),
+                    band_s=1800).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    # 100 @01:00, band [00:30, 01:00]: 00:30 inclusive + both 00:59:59
+    assert list(out.n_in_band) == [3, 0, 0, 0]
