@@ -495,6 +495,23 @@ def q_topk_cosine(sf_dir: str):
     return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_filtered_topk(sf_dir: str):
+    """Metadata-filtered vector search: top-k cosine restricted to
+    vectors whose document (vec_id = doc_id) is English — the filter
+    side co-partitions with the vectors via a hash semi-join."""
+    from pyrosm_ray.stages.similarity import filtered_topk_cosine
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def en_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["lang"], "en")).select(["doc_id"])
+
+    allowed = docs.map_batches(en_only, batch_format="pyarrow")
+    out = filtered_topk_cosine(emb, allowed, _query_vectors(sf_dir), k=10)
+    df = out.to_pandas()[["query_id", "vec_id", "rank"]]
+    return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def q_ivf_topk(sf_dir: str):
     """Write-time-partitioned IVF: the index is Parquet partitioned by
     cluster cell; queries read only probed partitions. nprobe=n_clusters
@@ -835,7 +852,10 @@ def _embedding_near_dup_sql(threshold: float = 0.4) -> str:
         ORDER BY a, b"""
 
 
-def _topk_cosine_sql(k: int = 10, nq: int = 3) -> str:
+def _topk_cosine_sql(k: int = 10, nq: int = 3,
+                     corpus: str = "SELECT * FROM embeddings") -> str:
+    """``corpus`` restricts the searched side (queries always come from
+    the unfiltered table, matching the engine's query matrix)."""
     cos = ("list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),"
            " CAST(e.embedding AS DOUBLE[]))")
     return f"""
@@ -847,7 +867,7 @@ def _topk_cosine_sql(k: int = 10, nq: int = 3) -> str:
           SELECT q.query_id, e.vec_id,
                  ROW_NUMBER() OVER (PARTITION BY q.query_id
                      ORDER BY {cos} DESC, e.vec_id ASC) AS rank
-          FROM q CROSS JOIN embeddings e)
+          FROM q CROSS JOIN ({corpus}) e)
         SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {k}
         ORDER BY query_id, rank"""
 
@@ -1182,6 +1202,10 @@ def oracle_sql() -> dict[str, str]:
         "q_topk_cosine": _topk_cosine_sql(k=10, nq=3),
         # nprobe == n_clusters probes every cell -> IVF output is exact
         "q_ivf_topk": _topk_cosine_sql(k=10, nq=3),
+        "q_filtered_topk": _topk_cosine_sql(k=10, nq=3, corpus="""
+            SELECT e.* FROM embeddings e
+            JOIN documents d ON e.vec_id = d.doc_id
+            WHERE d.lang = 'en'"""),
         "q_fingerprint_md5": """
             SELECT doc_id, md5(text) AS md5 FROM documents ORDER BY doc_id""",
         "q_exact_dedup": """
@@ -1580,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_topk_cosine": q_topk_cosine,
         "q_ivf_topk": q_ivf_topk,
+        "q_filtered_topk": q_filtered_topk,
         "q_tile_assignment": q_tile_assignment,
         "q_tile_counts": q_tile_counts,
         "q_pages_in_bbox": q_pages_in_bbox,

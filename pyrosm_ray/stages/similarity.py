@@ -64,20 +64,72 @@ def topk_cosine(ds, queries: np.ndarray, k: int = 10,
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = {"query_id": [], "vec_id": [], "score": [], "rank": []}
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k)
-        out["query_id"].extend([int(qid)] * len(g))
-        out["vec_id"].extend(int(v) for v in g.vec_id)
-        out["score"].extend(np.round(g.score.values, 4))
-        out["rank"].extend(range(1, len(g) + 1))
-    return pa.table({
-        "query_id": pa.array(out["query_id"], pa.int64()),
-        "vec_id": pa.array(out["vec_id"], pa.int64()),
-        "score": pa.array(out["score"], pa.float64()),
-        "rank": pa.array(out["rank"], pa.int64()),
-    })
+    return _merge_topk(parts, k)
+
+
+def filtered_topk_cosine(ds, allowed_ds, queries: np.ndarray, k: int = 10,
+                         id_col: str = "vec_id",
+                         allowed_id_col: str = "doc_id",
+                         emb_col: str = "embedding",
+                         num_partitions: int | None = None):
+    """Metadata-filtered vector search: :func:`topk_cosine` restricted to
+    vectors whose id appears in ``allowed_ds`` (the already-filtered
+    metadata side — e.g. documents of one language).
+
+    The vector-DB shape at scale: the filter side reduces to bare id
+    rows and co-partitions with the vectors through a distributed hash
+    semi-join — no driver id set, no broadcast of either side; the
+    brute-force matmul then runs only over surviving rows. Every id in
+    ``allowed_ds`` must be unique (a metadata PRIMARY KEY), else the
+    semi-join would duplicate vectors.
+
+    Arrow's hash join rejects ``list<float>`` payload columns, so each
+    vector rides through the shuffle as ONE fixed-size-binary value
+    (zero-copy views both ways — no per-row Python)."""
+    from pyrosm_ray.stages.blocks import shuffle_join_args
+
+    def pack(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        m = _emb_matrix(batch, emb_col)
+        width = m.shape[1] * 8 if n else 0
+        offsets = (np.arange(n + 1, dtype=np.int32) * width)
+        ebin = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(m).tobytes())])
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "__ebin": ebin})
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        col = batch["__ebin"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off = np.frombuffer(col.buffers()[1], np.int32)[
+            col.offset:col.offset + len(col) + 1]
+        data = np.frombuffer(col.buffers()[2] or b"", np.uint8)
+        flat = data[off[0] if len(off) else 0:off[-1] if len(off) else 0] \
+            .view(np.float64) if len(off) else np.empty(0, np.float64)
+        list_off = ((off - (off[0] if len(off) else 0)) // 8).astype(
+            np.int32) if len(off) else np.zeros(1, np.int32)
+        emb = pa.ListArray.from_arrays(
+            pa.array(list_off, pa.int32()), pa.array(flat, pa.float64()))
+        return pa.table({id_col: batch[id_col], emb_col: emb})
+
+    # planner-level projection (NOT map_batches): keeps the schema even
+    # when the filter side is empty, so the join still sees __fid; the
+    # scrub drops the zero-column blocks an all-empty side would feed
+    # the join partitioner (see blocks.scrub_empty_blocks)
+    from pyrosm_ray.stages.blocks import nonempty
+    keep = nonempty(
+        allowed_ds.select_columns([allowed_id_col])
+        .rename_columns({allowed_id_col: "__fid"}),
+        pa.table({"__fid": pa.array([], pa.int64())}))
+    filtered = ds.map_batches(pack, batch_format="pyarrow") \
+        .join(keep, "inner", on=(id_col,), right_on=("__fid",),
+              **shuffle_join_args(num_partitions)) \
+        .map_batches(unpack, batch_format="pyarrow")
+    return topk_cosine(filtered, queries, k=k, id_col=id_col,
+                       emb_col=emb_col)
 
 
 def _kmeans(sample: np.ndarray, n_clusters: int, iters: int = 10,
@@ -211,6 +263,11 @@ def ivf_topk_partitioned(index_dir: str, queries: np.ndarray, k: int = 10,
 
 def _merge_topk(parts, k: int) -> pa.Table:
     out = {"query_id": [], "vec_id": [], "score": [], "rank": []}
+    if len(parts) == 0 or "query_id" not in parts.columns:
+        # an all-empty corpus (e.g. a filter that kept nothing) yields a
+        # column-less empty frame — return the typed empty result
+        parts = parts.iloc[0:0].reindex(
+            columns=["query_id", "vec_id", "score"])
     for qid, g in parts.groupby("query_id"):
         g = g.sort_values(["score", "vec_id"], ascending=[False, True],
                           kind="stable").head(k)
@@ -283,17 +340,4 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
         })
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out = {"query_id": [], "vec_id": [], "score": [], "rank": []}
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["score", "vec_id"], ascending=[False, True],
-                          kind="stable").head(k)
-        out["query_id"].extend([int(qid)] * len(g))
-        out["vec_id"].extend(int(v) for v in g.vec_id)
-        out["score"].extend(np.round(g.score.values, 4))
-        out["rank"].extend(range(1, len(g) + 1))
-    return pa.table({
-        "query_id": pa.array(out["query_id"], pa.int64()),
-        "vec_id": pa.array(out["vec_id"], pa.int64()),
-        "score": pa.array(out["score"], pa.float64()),
-        "rank": pa.array(out["rank"], pa.int64()),
-    })
+    return _merge_topk(parts, k)
