@@ -156,6 +156,50 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("minhash_dedup", lambda: minhash_dedup(docs,
                                                  threshold=0.5).count())
 
+    # corpus-curation + temporal-join family (webtext side of the graft):
+    # all-small at sandbox scale, benched for throughput evidence; the
+    # events/documents tables live only in the provided testdata dirs
+    ev_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    if not os.path.exists(ev_path):
+        ev_path = "/root/testdata/sf0.1/events.parquet"
+    from pyrosm_ray.stages.windows import asof_join
+
+    def _typed_events(event_type):
+        import pyarrow.compute as pc
+        ev = read_parquet_split(
+            ev_path, columns=["event_id", "ts", "user_id", "event_type"])
+        return ev.map_batches(
+            lambda b, et=event_type: b.filter(
+                pc.equal(b["event_type"], et)).select(
+                ["event_id", "ts", "user_id"]),
+            batch_format="pyarrow")
+    timed("asof_join",
+          lambda: asof_join(_typed_events("purchase"),
+                            _typed_events("view")).count(), repeats=2)
+
+    from pyrosm_ray.stages.dedup import incremental_dedup
+
+    def _docs_split(keep_ref):
+        import numpy as np
+        import pyarrow as pa
+        d = read_parquet_split(docs_path, columns=["doc_id", "text"])
+
+        def f(b):
+            ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False))
+            m = (ids % 3) == 0
+            return b.filter(pa.array(m if keep_ref else ~m))
+        return d.map_batches(f, batch_format="pyarrow")
+    timed("incremental_dedup",
+          lambda: incremental_dedup(_docs_split(False),
+                                    _docs_split(True)).count())
+
+    from pyrosm_ray.stages.report import corpus_report
+    docs_full_path = docs_path
+    docs_full = read_parquet_split(
+        docs_full_path, columns=["doc_id", "text", "lang", "source"])
+    timed("corpus_report",
+          lambda: int(corpus_report(docs_full)["n_docs"].sum()))
+
     # co-partitioned PIP (the beyond-broadcast path): key-only cover rows
     # + per-polygon compact geometry join. join_payload=False so the
     # timing covers the join core (cell join + bbox prune + exact PIP),
@@ -215,6 +259,13 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                 ("knn_part_pages_per_s", "knn_join_partitioned", n_pages),
                 ("history_rows_per_s", "history_latest",
                  counts.get("history_latest", 0)),
+                # webtext curation family (events/docs tables)
+                ("asof_rows_per_s", "asof_join",
+                 counts.get("asof_join", 0)),
+                ("incr_dedup_docs_per_s", "incremental_dedup",
+                 counts.get("incremental_dedup", 0)),
+                ("corpus_report_docs_per_s", "corpus_report",
+                 counts.get("corpus_report", 0)),
             ) if stage in timings
         },
     }
