@@ -582,6 +582,20 @@ def q_pages_in_bbox(sf_dir: str):
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_extract_text(sf_dir: str):
+    """The input_hint per-row invariant made a query: extract visible
+    text from the html BINARY column (the stored text column is never
+    read on this side) while the SQL twin selects the stored column —
+    a hash match proves byte-identical extraction per url."""
+    from pyrosm_ray.stages.extract import extract_text
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url", "html"])
+    df = extract_text(pages, out_col="extracted").map_batches(
+        lambda b: b.select(["url", "extracted"]),
+        batch_format="pyarrow").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_pip_join(sf_dir: str):
     """PIP join pages x buildings (no SQL oracle — geometry containment)."""
     import ray.data as rd
@@ -1335,6 +1349,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE {lon_sql} BETWEEN {x0} AND {x1}
               AND {lat_sql} BETWEEN {y0} AND {y1}
             ORDER BY url""",
+        "q_extract_text": f"""
+            SELECT url, text AS extracted FROM {pages} ORDER BY url""",
         "q_osm_buildings_ways": f"""
             SELECT w.id, map_extract(w.tags, 'building')[1] AS building
             FROM {ways_p} w
@@ -1608,6 +1624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_tile_assignment": q_tile_assignment,
         "q_tile_counts": q_tile_counts,
         "q_pages_in_bbox": q_pages_in_bbox,
+        "q_extract_text": q_extract_text,
         "q_pip_join": q_pip_join,
         "q_pip_join_ways": q_pip_join_ways,
         "q_pip_join_partitioned": q_pip_join_partitioned,

@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = 5  # bump when generated content changes
+GENERATOR_VERSION = 6  # bump when generated content changes
 
 # fixture world (lon_min, lat_min, lon_max, lat_max) — Helsinki-ish
 WORLD = (24.80, 60.10, 25.20, 60.30)
@@ -143,9 +143,31 @@ def _gen_pages_chunk(pid: np.ndarray) -> pa.Table:
     texts = pc.binary_join_element_wise(
         "Page ", pid_s, " from site", site_s, " in ", langs,
         ". Synthetic sentence ", s1_s, " about place ", s2_s, ".", "")
+    # html wraps the text so that stages.extract's contract (drop
+    # head/script/style/comments, decode char refs, strip inline tags,
+    # collapse whitespace) recovers the stored text BYTE-IDENTICALLY —
+    # the input_hint invariant q_extract_text asserts. Four rotating
+    # variants exercise the parser paths:
+    #   0: numeric char ref (&#32;)          1: inline tags + named ref
+    #   2: comment + newline noise (&nbsp;)  3: script/noscript + empty div
+    v0 = pc.replace_substring(texts, ". Synthetic", ".&#32;Synthetic")
+    v1 = pc.replace_substring(pc.replace_substring(
+        texts, " from site", " from <b>site"), " in ", "</b>&#32;in ")
+    v2 = pc.replace_substring(pc.replace_substring(
+        texts, " about ", " <!-- boilerplate -->\n about "),
+        " sentence ", "&nbsp;sentence ")
+    v3 = texts
+    m01 = pa.array(pid % 4 < 2)
+    body = pc.if_else(m01, pc.if_else(pa.array(pid % 4 == 0), v0, v1),
+                      pc.if_else(pa.array(pid % 4 == 2), v2, v3))
+    noise = pc.if_else(
+        pa.array(pid % 4 == 3),
+        pa.scalar("<script>var x=1;</script><noscript>no js</noscript>"),
+        pa.scalar(""))
     htmls = pc.cast(pc.binary_join_element_wise(
-        "<html><head><title>p", pid_s, "</title></head><body><p>", texts,
-        "</p></body></html>", ""), pa.binary())
+        "<html><head><title>p", pid_s,
+        "</title><style>body{margin:0}</style></head><body>", noise,
+        "<p>", body, "</p><div>  </div></body></html>", ""), pa.binary())
     return pa.table({
         "url": urls,
         "warc_ts": pa.array(ts, pa.timestamp("s")),
