@@ -284,6 +284,27 @@ def q_exact_dedup(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_line_dedup(sf_dir: str):
+    """Corpus-wide line-level dedup (the C4/CCNet/RefinedWeb boilerplate
+    rule) over the pages table: every third page carries its site's
+    cookie-banner sentence; only the globally first occurrence — ordered
+    by (page_id, line position) — of each distinct '. '-delimited line
+    survives, and documents reassemble from their surviving lines."""
+    from pyrosm_ray.stages.dedup import line_dedup
+    from pyrosm_ray.stages.spatial import extract_page_id
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url", "text"])
+
+    def add_pid(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "pid", pa.array(extract_page_id(b["url"]), pa.int64()))
+
+    out = line_dedup(pages.map_batches(add_pid, batch_format="pyarrow"),
+                     id_col="pid", text_col="text", carry_cols=["url"])
+    df = out.to_pandas()[["url", "text_dedup", "n_lines"]]
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_hash_sample(sf_dir: str):
     """Deterministic ~30% corpus sample (hash64(doc_id) % 10 < 3) — the
     re-run/partitioning-stable replacement for random_sample."""
@@ -1057,7 +1078,7 @@ def _relation_ring_edges_parquet(fx: str) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
-    from pyrosm_ray.fixtures import TEST_BBOX, geocode_sql
+    from pyrosm_ray.fixtures import TEST_BBOX, geocode_sql, page_id_sql
     from pyrosm_ray.stages import sampling as _sampling
     from pyrosm_ray.stages.decontam import \
         decontaminate_sql as _decontaminate_sql
@@ -1227,6 +1248,25 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(list_aggregate(regexp_extract_all(lower(text),
                 '\\S+'), 'string_agg', ' '))
             ORDER BY doc_id""",
+        "q_line_dedup": f"""
+            WITH ex AS (
+              SELECT url, {page_id_sql()} AS pid,
+                     unnest(string_split(text, '. ')) AS line,
+                     generate_subscripts(string_split(text, '. '), 1)
+                         AS ord
+              FROM {pages}
+            ), keyed AS (
+              SELECT url, line, ord, pid * 1048576 + ord AS ordkey
+              FROM ex
+            ), firsts AS (
+              SELECT line, MIN(ordkey) AS keep FROM keyed GROUP BY line
+            )
+            SELECT k.url,
+                   string_agg(k.line, '. ' ORDER BY k.ord) AS text_dedup,
+                   COUNT(*) AS n_lines
+            FROM keyed k
+            JOIN firsts f ON k.line = f.line AND k.ordkey = f.keep
+            GROUP BY k.url ORDER BY k.url""",
         "q_hash_sample": (
             "SELECT doc_id, lang FROM documents WHERE "
             + _sampling.hash_sample_sql("doc_id", 3, 10, seed=7)
@@ -1601,6 +1641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_sessionize": q_sessionize,
         "q_url_canonical": q_url_canonical,
         "q_exact_dedup": q_exact_dedup,
+        "q_line_dedup": q_line_dedup,
         "q_hash_sample": q_hash_sample,
         "q_topk_per_lang": q_topk_per_lang,
         "q_shuffle_rank": q_shuffle_rank,

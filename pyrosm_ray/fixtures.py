@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = 6  # bump when generated content changes
+GENERATOR_VERSION = 7  # bump when generated content changes
 
 # fixture world (lon_min, lat_min, lon_max, lat_max) — Helsinki-ish
 WORLD = (24.80, 60.10, 25.20, 60.30)
@@ -143,6 +143,15 @@ def _gen_pages_chunk(pid: np.ndarray) -> pa.Table:
     texts = pc.binary_join_element_wise(
         "Page ", pid_s, " from site", site_s, " in ", langs,
         ". Synthetic sentence ", s1_s, " about place ", s2_s, ".", "")
+    # every third page carries a per-site boilerplate sentence (cookie-
+    # banner analogue) so corpus-wide line-level dedup is non-degenerate:
+    # ~n/(97*3) exact repeats per site. Appended BEFORE the html variants
+    # are derived, so the extract-text byte-identity invariant still holds.
+    texts = pc.if_else(
+        pa.array(pid % 3 == 0),
+        pc.binary_join_element_wise(
+            texts, " Cookie notice applies on site", site_s, ".", ""),
+        texts)
     # html wraps the text so that stages.extract's contract (drop
     # head/script/style/comments, decode char refs, strip inline tags,
     # collapse whitespace) recovers the stored text BYTE-IDENTICALLY —

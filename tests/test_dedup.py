@@ -416,3 +416,74 @@ def test_incremental_dedup_vs_reference_and_within(ray_session):
     assert sorted(out.doc_id) == [7, 13]
     # full rows survive (text column re-selected by the semi-join)
     assert set(out.columns) >= {"doc_id", "text"}
+
+
+def test_line_dedup_keep_first_semantics(ray_session):
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "url": ["u1", "u2", "u3", "u4", "u5"],
+        "text": ["a. b. c", "b. d", "a", "x. x. y", ""],
+    })
+    out = dedup.line_dedup(rd.from_arrow(t), carry_cols=["url"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # doc 1 keeps everything (all first occurrences, original order);
+    # doc 2 loses "b"; doc 3 ("a" only — a later dup) drops entirely;
+    # doc 4 loses its IN-DOC repeat of "x"; doc 5 keeps its empty line
+    # (first occurrence of "" corpus-wide).
+    assert out["doc_id"].tolist() == [1, 2, 4, 5]
+    assert out["text_dedup"].tolist() == ["a. b. c", "d", "x. y", ""]
+    assert out["n_lines"].tolist() == [3, 1, 2, 1]
+    assert out["url"].tolist() == ["u1", "u2", "u4", "u5"]
+
+
+def test_line_dedup_cross_partition_order(ray_session):
+    # first occurrence must be decided by GLOBAL (id, pos) order even
+    # when the duplicate lands in an earlier-read partition: doc 10
+    # (later id) is in block 0, doc 2 (earlier id) in block 1.
+    a = pa.table({"doc_id": pa.array([10], pa.int64()),
+                  "text": ["shared line. ten only"]})
+    b = pa.table({"doc_id": pa.array([2], pa.int64()),
+                  "text": ["two only. shared line"]})
+    ds = rd.from_arrow(a).union(rd.from_arrow(b))
+    out = dedup.line_dedup(ds).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [2, 10]
+    assert out["text_dedup"].tolist() == ["two only. shared line",
+                                          "ten only"]
+
+
+def test_line_dedup_duckdb_twin(ray_session):
+    """Exact parity with a DuckDB twin of the oracle shape on an
+    adversarial corpus (in-doc repeats, cross-doc repeats, empties)."""
+    import duckdb
+    rng = np.random.default_rng(11)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [". ".join(rng.choice(vocab, size=rng.integers(1, 6)))
+             for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = dedup.line_dedup(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("docs", t)
+    ora = con.execute("""
+        WITH ex AS (
+          SELECT doc_id,
+                 unnest(string_split(text, '. ')) AS line,
+                 generate_subscripts(string_split(text, '. '), 1) AS ord
+          FROM docs
+        ), keyed AS (
+          SELECT doc_id, line, ord, doc_id * 1048576 + ord AS ordkey
+          FROM ex
+        ), firsts AS (
+          SELECT line, MIN(ordkey) AS keep FROM keyed GROUP BY line
+        )
+        SELECT k.doc_id,
+               string_agg(k.line, '. ' ORDER BY k.ord) AS text_dedup,
+               COUNT(*) AS n_lines
+        FROM keyed k
+        JOIN firsts f ON k.line = f.line AND k.ordkey = f.keep
+        GROUP BY k.doc_id ORDER BY k.doc_id""").fetch_df()
+    assert got["doc_id"].tolist() == ora["doc_id"].tolist()
+    assert got["text_dedup"].tolist() == ora["text_dedup"].tolist()
+    assert got["n_lines"].tolist() == ora["n_lines"].tolist()
