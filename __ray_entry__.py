@@ -324,6 +324,19 @@ def q_topk_per_lang(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quantile_filter(sf_dir: str):
+    """Per-language exact-median length floor: keep docs whose
+    whitespace-token count clears their language's quantile_disc(0.5),
+    computed by the compact-histogram distributed quantile (no sort,
+    no sketch)."""
+    from pyrosm_ray.stages.quantiles import quantile_filter
+    from pyrosm_ray.stages.text import token_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    kept = quantile_filter(token_stats(ds), "lang", "n_tokens", 0.5)
+    df = kept.to_pandas()[["doc_id", "lang", "n_tokens"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_shuffle_rank(sf_dir: str):
     """Global deterministic pseudo-random training order (two-pass
     distributed rank — no global sort, no driver-side data)."""
@@ -1279,6 +1292,19 @@ def oracle_sql() -> dict[str, str]:
                          AS grp_rank
               FROM documents)
             WHERE grp_rank <= 40 ORDER BY doc_id""",
+        "q_quantile_filter": """
+            WITH m AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                         AS n_tokens
+              FROM documents
+            ), th AS (
+              SELECT lang, quantile_disc(n_tokens, 0.5) AS thr
+              FROM m GROUP BY lang
+            )
+            SELECT m.doc_id, m.lang, m.n_tokens
+            FROM m JOIN th ON m.lang = th.lang
+            WHERE m.n_tokens >= th.thr ORDER BY m.doc_id""",
         "q_shuffle_rank": (
             "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
             + _sampling.shuffle_rank_order_sql("doc_id", seed=11)
@@ -1644,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_line_dedup": q_line_dedup,
         "q_hash_sample": q_hash_sample,
         "q_topk_per_lang": q_topk_per_lang,
+        "q_quantile_filter": q_quantile_filter,
         "q_shuffle_rank": q_shuffle_rank,
         "q_pack_sequences": q_pack_sequences,
         "q_redact_pii": q_redact_pii,

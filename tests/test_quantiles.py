@@ -1,0 +1,82 @@
+"""Exact distributed quantiles (stages/quantiles.py) vs DuckDB
+quantile_disc — the operator's semantic contract."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pyrosm_ray.stages import quantiles as Q
+
+
+def test_quantile_disc_index_matches_duckdb_exhaustive():
+    con = duckdb.connect()
+    rng = np.random.default_rng(3)
+    for n in [1, 2, 3, 4, 5, 7, 10, 33]:
+        vals = np.sort(rng.integers(0, 50, size=n))
+        lst = ", ".join(str(v) for v in vals)
+        for q in [0.1, 0.2, 0.25, 0.33, 0.5, 0.6, 0.75, 0.9, 0.99, 1.0]:
+            want = con.execute(
+                f"SELECT quantile_disc(x, {q!r}) FROM "
+                f"(SELECT unnest([{lst}]) AS x)").fetchone()[0]
+            got = int(vals[Q.quantile_disc_index(n, q)])
+            assert got == want, (n, q, vals)
+
+
+def test_group_quantiles_multi_q(ray_session):
+    t = pa.table({
+        "g": ["a"] * 4 + ["b"] * 5,
+        "v": pa.array([4, 1, 3, 2, 50, 10, 40, 30, 20], pa.int64()),
+    })
+    out = Q.group_quantiles(rd.from_arrow(t), "g", "v", [0.25, 0.5, 0.75]) \
+        .to_pandas().set_index("group").sort_index()
+    # a=[1,2,3,4]: q.25->1 q.5->2 q.75->3 ; b=[10..50]: 20/30/40
+    assert out.loc["a"].tolist() == [1, 2, 3]
+    assert out.loc["b"].tolist() == [20, 30, 40]
+
+
+def test_group_quantiles_duplicate_values_merge(ray_session):
+    # duplicates split across input blocks must merge before the cumsum
+    a = pa.table({"g": ["x"] * 3, "v": pa.array([5, 5, 1], pa.int64())})
+    b = pa.table({"g": ["x"] * 2, "v": pa.array([5, 9], pa.int64())})
+    ds = rd.from_arrow(a).union(rd.from_arrow(b))
+    out = Q.group_quantiles(ds, "g", "v", 0.5).to_pandas()
+    # sorted [1,5,5,5,9], median idx ceil(2.5)-1=2 -> 5
+    assert out["q0"].tolist() == [5]
+
+
+@pytest.mark.parametrize("keep,expect", [
+    ("ge", [2, 3, 4]), ("gt", [3, 4]), ("le", [1, 2]), ("lt", [1])])
+def test_quantile_filter_keep_modes(ray_session, keep, expect):
+    t = pa.table({"g": ["a"] * 4, "v": pa.array([1, 2, 3, 4], pa.int64()),
+                  "id": pa.array([1, 2, 3, 4], pa.int64())})
+    out = Q.quantile_filter(rd.from_arrow(t), "g", "v", 0.5, keep=keep) \
+        .to_pandas()
+    assert sorted(out["id"]) == expect
+
+
+def test_quantile_filter_random_vs_duckdb(ray_session):
+    rng = np.random.default_rng(17)
+    n = 500
+    t = pa.table({
+        "g": pa.array(rng.choice(["de", "en", "fr"], size=n)),
+        "v": pa.array(rng.integers(0, 40, size=n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    got = Q.quantile_filter(rd.from_arrow(t), "g", "v", 0.25) \
+        .to_pandas().sort_values("id")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        WITH th AS (SELECT g, quantile_disc(v, 0.25) AS thr
+                    FROM t GROUP BY g)
+        SELECT t.id FROM t JOIN th ON t.g = th.g
+        WHERE t.v >= th.thr ORDER BY t.id""").fetch_df()
+    assert got["id"].tolist() == want["id"].tolist()
+
+
+def test_quantile_filter_bad_keep(ray_session):
+    t = pa.table({"g": ["a"], "v": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError):
+        Q.quantile_filter(rd.from_arrow(t), "g", "v", 0.5, keep="eq")
