@@ -324,6 +324,30 @@ def q_topk_per_lang(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+_GOPHER_RULES = dict(min_words=30, max_words=90, min_word_len=3.5,
+                     min_stop_hits=2)
+
+
+def _gopher_sql() -> dict:
+    from pyrosm_ray.stages.gopher import gopher_stats_sql
+    return gopher_stats_sql("text", **_GOPHER_RULES)
+_GOPHER_COLS = ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
+                "alpha_ratio", "bullet_ratio", "ellipsis_ratio",
+                "stop_hits", "pass_n_words", "pass_word_len",
+                "pass_symbol", "pass_alpha", "pass_bullet",
+                "pass_ellipsis", "pass_stop", "gopher_pass"]
+
+
+def q_gopher_rules(sf_dir: str):
+    """Gopher-style quality rule battery over documents: every metric
+    and 0/1 pass flag, thresholds tightened so the rules bite on the
+    fixture's 10-99-word docs."""
+    from pyrosm_ray.stages.gopher import gopher_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = gopher_stats(ds, **_GOPHER_RULES).to_pandas()[_GOPHER_COLS]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_quantile_filter(sf_dir: str):
     """Per-language exact-median length floor: keep docs whose
     whitespace-token count clears their language's quantile_disc(0.5),
@@ -1292,6 +1316,11 @@ def oracle_sql() -> dict[str, str]:
                          AS grp_rank
               FROM documents)
             WHERE grp_rank <= 40 ORDER BY doc_id""",
+        "q_gopher_rules": (
+            "SELECT doc_id, "
+            + ", ".join(
+                f"{_gopher_sql()[c]} AS {c}" for c in _GOPHER_COLS[1:])
+            + " FROM documents ORDER BY doc_id"),
         "q_quantile_filter": """
             WITH m AS (
               SELECT doc_id, lang,
@@ -1671,6 +1700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_sample": q_hash_sample,
         "q_topk_per_lang": q_topk_per_lang,
         "q_quantile_filter": q_quantile_filter,
+        "q_gopher_rules": q_gopher_rules,
         "q_shuffle_rank": q_shuffle_rank,
         "q_pack_sequences": q_pack_sequences,
         "q_redact_pii": q_redact_pii,
