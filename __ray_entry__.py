@@ -324,6 +324,31 @@ def q_topk_per_lang(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+_BLOCKED_HOSTS = [f"site{k}.example" for k in range(0, 97, 13)]
+
+
+def q_host_filter(sf_dir: str):
+    """Domain-blocklist filter over pages (broadcast np.isin route):
+    drop every page whose URL host is on the 8-host blocklist."""
+    from pyrosm_ray.stages.urls import host_filter
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url", "lang"])
+    df = host_filter(pages, _BLOCKED_HOSTS).to_pandas()
+    return df[["url", "lang"]].sort_values("url").reset_index(drop=True)
+
+
+def q_host_reputation(sf_dir: str):
+    """Domain-reputation floor: keep pages whose host's total token
+    count clears the exact median over hosts (aggregate -> exact
+    quantile -> broadcast semi-join back)."""
+    from pyrosm_ray.stages.urls import host_reputation_filter
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url", "text"])
+    df = host_reputation_filter(pages).to_pandas()
+    return df[["url", "host", "host_tokens"]] \
+        .sort_values("url").reset_index(drop=True)
+
+
 _GOPHER_RULES = dict(min_words=30, max_words=90, min_word_len=3.5,
                      min_stop_hits=2)
 
@@ -331,6 +356,15 @@ _GOPHER_RULES = dict(min_words=30, max_words=90, min_word_len=3.5,
 def _gopher_sql() -> dict:
     from pyrosm_ray.stages.gopher import gopher_stats_sql
     return gopher_stats_sql("text", **_GOPHER_RULES)
+
+
+def _host_sql() -> str:
+    from pyrosm_ray.stages.urls import extract_host_sql
+    return extract_host_sql("url")
+
+
+def _blocked_sql() -> str:
+    return ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
 _GOPHER_COLS = ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
                 "alpha_ratio", "bullet_ratio", "ellipsis_ratio",
                 "stop_hits", "pass_n_words", "pass_word_len",
@@ -1316,6 +1350,25 @@ def oracle_sql() -> dict[str, str]:
                          AS grp_rank
               FROM documents)
             WHERE grp_rank <= 40 ORDER BY doc_id""",
+        "q_host_filter": f"""
+            SELECT url, lang FROM {pages}
+            WHERE {_host_sql()} NOT IN ({_blocked_sql()})
+            ORDER BY url""",
+        "q_host_reputation": f"""
+            WITH h AS (
+              SELECT url, {_host_sql()} AS host,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                         AS nt
+              FROM {pages}
+            ), s AS (
+              SELECT host, CAST(SUM(nt) AS BIGINT) AS host_tokens
+              FROM h GROUP BY host
+            ), th AS (
+              SELECT quantile_disc(host_tokens, 0.5) AS thr FROM s
+            )
+            SELECT h.url, h.host, s.host_tokens
+            FROM h JOIN s ON h.host = s.host, th
+            WHERE s.host_tokens >= th.thr ORDER BY h.url""",
         "q_gopher_rules": (
             "SELECT doc_id, "
             + ", ".join(
@@ -1701,6 +1754,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_lang": q_topk_per_lang,
         "q_quantile_filter": q_quantile_filter,
         "q_gopher_rules": q_gopher_rules,
+        "q_host_filter": q_host_filter,
+        "q_host_reputation": q_host_reputation,
         "q_shuffle_rank": q_shuffle_rank,
         "q_pack_sequences": q_pack_sequences,
         "q_redact_pii": q_redact_pii,
