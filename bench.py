@@ -200,6 +200,34 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("corpus_report",
           lambda: int(corpus_report(docs_full)["n_docs"].sum()))
 
+    # corpus-wide line-level dedup (C4-rule boilerplate removal) over the
+    # pages table: explode -> keyed first-occurrence groupby -> survivor
+    # semi-join -> one-shuffle reassembly. The heaviest webtext op added
+    # in round 4; benched on the text column end-to-end.
+    from pyrosm_ray.stages.dedup import line_dedup
+    from pyrosm_ray.stages.spatial import extract_page_id
+
+    def _line_dedup():
+        import pyarrow as pa
+        p = read_parquet_split(pages_path, columns=["url", "text"],
+                               num_blocks=int(pages_blocks))
+
+        def add_pid(b):
+            return b.append_column(
+                "pid", pa.array(extract_page_id(b["url"]),
+                                pa.int64()))
+        return line_dedup(p.map_batches(add_pid, batch_format="pyarrow"),
+                          id_col="pid", text_col="text",
+                          carry_cols=["url"]).count()
+    timed("line_dedup", _line_dedup)
+
+    # Gopher rule battery: the canonical stateless curation filter —
+    # benched as the vectorised-scan throughput yardstick
+    from pyrosm_ray.stages.gopher import gopher_stats
+    timed("gopher_rules",
+          lambda: gopher_stats(read_parquet_split(
+              docs_path, columns=["doc_id", "text"])).count())
+
     # co-partitioned PIP (the beyond-broadcast path): key-only cover rows
     # + per-polygon compact geometry join. join_payload=False so the
     # timing covers the join core (cell join + bbox prune + exact PIP),
@@ -266,6 +294,9 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                  counts.get("incremental_dedup", 0)),
                 ("corpus_report_docs_per_s", "corpus_report",
                  counts.get("corpus_report", 0)),
+                ("line_dedup_pages_per_s", "line_dedup", n_pages),
+                ("gopher_docs_per_s", "gopher_rules",
+                 counts.get("gopher_rules", 0)),
             ) if stage in timings
         },
     }

@@ -1342,7 +1342,8 @@ def _reassemble_lines(group: pa.Table, id_col: str, delim: str,
 
 def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                delim: str = ". ", out_col: str = "text_dedup",
-               carry_cols=(), num_partitions: int | None = None):
+               carry_cols=(), num_partitions: int | None = None,
+               shuffle_key: str = "hash"):
     """Corpus-wide line-level dedup — the C4 / CCNet / RefinedWeb
     boilerplate rule: split ``text_col`` on ``delim``, keep ONLY the
     globally first occurrence (order = (doc id, line position)) of every
@@ -1351,28 +1352,64 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     original order. Documents whose every line is a later duplicate drop
     out entirely.
 
-    Scale shape: the explode is a stateless vectorised ``map_batches``;
-    the first-occurrence decision is ONE ``groupby`` keyed on the line
-    string itself (exact — no hash-collision caveat; at extreme scale
-    swap the key for a 128-bit content hash to cut shuffle bytes);
-    survivor selection is a distributed inner join on the unique int64
-    ``(id << 20) | pos`` order key; reassembly is one hash shuffle into
-    ~2x-CPU buckets with the in-bucket work fully vectorised (lexsort +
-    offset-sliced ListArray + ``binary_join``) — no per-document task or
-    Python loop anywhere. Contract: ids in [0, 2^43), < 2^20 lines/doc.
+    Two routes, identical semantics (parity-pinned in tests):
+
+    * ``shuffle_key="hash"`` (default — the 100-TB shape): the
+      first-occurrence decision groups on the line's 128-bit md5
+      (:func:`hashing.stable128_many`; collision odds ~2^-64 at 10^12
+      distinct lines), so only three int64s per line cross the wire;
+      line TEXT moves exactly once — survivors and exploded lines
+      co-bucket by doc-id hash (a keep-key's doc IS its surviving doc:
+      ``ordkey >> 20``) in ONE union+groupby shuffle whose in-group fold
+      is a sorted ``np.isin`` + the vectorised reassembly.
+    * ``shuffle_key="line"``: groups on the raw line string — exact with
+      no hash caveat, at the cost of shuffling text in the groupby and
+      the survivor join. The bit-replicable oracle route.
+
+    Everything else is shared: stateless vectorised explode (CSR
+    positions, no Python loops), the unique int64 ``(id << 20) | pos``
+    total-order key, reassembly via lexsort + offset-sliced ListArray +
+    ``binary_join``. Contract: ids in [0, 2^43), < 2^20 lines/doc,
+    ``carry_cols`` string-typed.
     """
     carry_cols = list(carry_cols)
+    if shuffle_key == "hash":
+        return _line_dedup_hash(ds, id_col, text_col, delim, out_col,
+                                carry_cols, num_partitions)
+    if shuffle_key != "line":
+        raise ValueError(f"shuffle_key must be 'hash' or 'line', "
+                         f"got {shuffle_key!r}")
+    nb = num_partitions or groupby_partitions()
     ex = ds.map_batches(
         lambda b: _explode_lines(b, id_col, text_col, delim, carry_cols),
         batch_format="pyarrow")
+
+    # first-occurrence decision: bucket by the LINE's hash (all copies of
+    # a line co-locate), fold per bucket with an in-group pandas groupby
+    # on the raw string — exact even under hash collision. Manual
+    # bucket + fold, not Ray's HashAggregate: a many-distinct-key
+    # aggregate is ~7x slower than a 64-bucket map_groups whose fold is
+    # one C-level groupby (measured at sf0.1: 21.7 s vs 3.2 s).
+    def line_bucket(b: pa.Table) -> pa.Table:
+        from pyrosm_ray.stages.hashing import stable64_many
+        h = stable64_many(b["__line"].to_pylist())
+        return b.append_column(
+            "__p", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def fold_first(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({
+            "line": g["__line"].to_pylist(),
+            "k": g["__ordkey"].to_numpy(zero_copy_only=False)})
+        m = df.groupby("line", sort=False)["k"].min()
+        return pa.table({"__keep": pa.array(m.to_numpy(np.int64))})
+
     keep = ex.select_columns(["__line", "__ordkey"]) \
-        .groupby("__line", num_partitions=groupby_partitions()) \
-        .min("__ordkey") \
-        .map_batches(lambda b: pa.table({"__keep": b["min(__ordkey)"]}),
-                     batch_format="pyarrow")
+        .map_batches(line_bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nb) \
+        .map_groups(fold_first, batch_format="pyarrow")
     surv = ex.join(keep, "inner", on=("__ordkey",), right_on=("__keep",),
                    **shuffle_join_args(num_partitions))
-    nb = groupby_partitions()
 
     def add_bucket(b: pa.Table) -> pa.Table:
         ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
@@ -1386,3 +1423,92 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         .map_groups(lambda g: _reassemble_lines(
             g, id_col, delim, out_col, carry_cols),
             batch_format="pyarrow")
+
+
+def _line_dedup_hash(ds, id_col: str, text_col: str, delim: str,
+                     out_col: str, carry_cols: list[str],
+                     num_partitions: int | None):
+    """Hash-keyed route: ints decide, text moves once (see line_dedup)."""
+    from pyrosm_ray.stages.hashing import stable128_many
+
+    nb = num_partitions or groupby_partitions()
+
+    def explode_hashed(batch: pa.Table) -> pa.Table:
+        ex = _explode_lines(batch, id_col, text_col, delim, carry_cols)
+        lo, hi = stable128_many(ex["__line"].to_pylist())
+        return ex.append_column("__h1", pa.array(lo.view(np.int64))) \
+                 .append_column("__h2", pa.array(hi.view(np.int64)))
+
+    ex = ds.map_batches(explode_hashed, batch_format="pyarrow")
+
+    # manual bucket + in-group C-level fold, not Ray's HashAggregate —
+    # see the exact route's comment (7x, measured)
+    def hash_bucket(b: pa.Table) -> pa.Table:
+        h1 = np.asarray(b["__h1"].to_numpy(zero_copy_only=False),
+                        np.int64).view(np.uint64)
+        return b.append_column(
+            "__p", pa.array((h1 % np.uint64(nb)).astype(np.int64)))
+
+    def fold_first(g: pa.Table) -> pa.Table:
+        # a keep-key's doc IS the doc that keeps the line, so the keep
+        # row routes straight to that doc's reassembly bucket
+        import pandas as pd
+        df = pd.DataFrame({
+            "h1": g["__h1"].to_numpy(zero_copy_only=False),
+            "h2": g["__h2"].to_numpy(zero_copy_only=False),
+            "k": g["__ordkey"].to_numpy(zero_copy_only=False)})
+        k = df.groupby(["h1", "h2"], sort=False)["k"].min() \
+            .to_numpy(np.int64)
+        docs = (k >> _ORD_BITS).astype(np.uint64)
+        return pa.table({
+            "__bucket": pa.array(
+                (hash64(docs, 7) % np.uint64(nb)).astype(np.int64)),
+            "__side": pa.array(np.ones(len(k), np.int64)),
+            "__ordkey": pa.array(k),
+            id_col: pa.nulls(len(k), pa.int64()),
+            "__ord": pa.nulls(len(k), pa.int64()),
+            "__line": pa.nulls(len(k), pa.string()),
+            **{c: pa.nulls(len(k), pa.string()) for c in carry_cols},
+        })
+
+    keep = ex.select_columns(["__h1", "__h2", "__ordkey"]) \
+        .map_batches(hash_bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nb) \
+        .map_groups(fold_first, batch_format="pyarrow")
+
+    def lines_bucketed(b: pa.Table) -> pa.Table:
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                         np.uint64)
+        cols = {
+            "__bucket": pa.array(
+                (hash64(ids, 7) % np.uint64(nb)).astype(np.int64)),
+            "__side": pa.array(np.zeros(len(b), np.int64)),
+            "__ordkey": b["__ordkey"],
+            id_col: b[id_col],
+            "__ord": b["__ord"],
+            "__line": b["__line"],
+        }
+        for c in carry_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    both = ex.map_batches(lines_bucketed, batch_format="pyarrow") \
+        .union(keep)
+
+    def fold(g: pa.Table) -> pa.Table:
+        side = np.asarray(g["__side"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        ok = np.asarray(g["__ordkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        keepset = np.sort(ok[side == 1])
+        rows = g.filter(pa.array(side == 0))
+        hit = np.isin(
+            np.asarray(rows["__ordkey"].to_numpy(zero_copy_only=False),
+                       np.int64),
+            keepset, assume_unique=False)
+        surv = rows.filter(pa.array(hit)) \
+            .select([id_col, "__ord", "__line"] + carry_cols)
+        return _reassemble_lines(surv, id_col, delim, out_col, carry_cols)
+
+    return both.groupby("__bucket", num_partitions=nb) \
+        .map_groups(fold, batch_format="pyarrow")

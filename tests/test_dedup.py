@@ -418,13 +418,15 @@ def test_incremental_dedup_vs_reference_and_within(ray_session):
     assert set(out.columns) >= {"doc_id", "text"}
 
 
-def test_line_dedup_keep_first_semantics(ray_session):
+@pytest.mark.parametrize("route", ["hash", "line"])
+def test_line_dedup_keep_first_semantics(ray_session, route):
     t = pa.table({
         "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
         "url": ["u1", "u2", "u3", "u4", "u5"],
         "text": ["a. b. c", "b. d", "a", "x. x. y", ""],
     })
-    out = dedup.line_dedup(rd.from_arrow(t), carry_cols=["url"]) \
+    out = dedup.line_dedup(rd.from_arrow(t), carry_cols=["url"],
+                           shuffle_key=route) \
         .to_pandas().sort_values("doc_id").reset_index(drop=True)
     # doc 1 keeps everything (all first occurrences, original order);
     # doc 2 loses "b"; doc 3 ("a" only — a later dup) drops entirely;
@@ -464,6 +466,11 @@ def test_line_dedup_duckdb_twin(ray_session):
                   "text": pa.array(texts, pa.string())})
     got = dedup.line_dedup(rd.from_arrow(t)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
+    # route parity: the int-shuffle hash route and the exact raw-string
+    # route must agree row-for-row
+    alt = dedup.line_dedup(rd.from_arrow(t), shuffle_key="line") \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert got["text_dedup"].tolist() == alt["text_dedup"].tolist()
     con = duckdb.connect()
     con.register("docs", t)
     ora = con.execute("""
