@@ -123,6 +123,21 @@ def groupby_partitions(n_keys: int | None = None) -> int:
     return p
 
 
+def sized_partitions(*dss, rows_per_part: int = 250_000) -> int:
+    """Shuffle width sized to the DATA, capped at the cluster width
+    (each hash-shuffle partition spins up an aggregator actor; 64
+    partitions over 100 k rows is pure actor spin-up — the
+    latest_at_bucketed precedent, stages/history.py). count() is
+    metadata-only on fresh reads, one cheap extra pass otherwise."""
+    import numpy as np
+    try:
+        n = sum(int(d.count()) for d in dss)
+        return int(np.clip(n // rows_per_part + 1, 2,
+                           groupby_partitions()))
+    except Exception:
+        return groupby_partitions()
+
+
 def shuffle_join_args(num_partitions: int | None = None) -> dict:
     """Join/shuffle kwargs sized so aggregator actors can never starve the
     map side: the pool reserves at most ~half the cluster's CPUs.

@@ -1237,11 +1237,13 @@ def incremental_dedup(new_ds, ref_ds, id_col: str = "doc_id",
 
     The shape that holds when the reference corpus is the 100-TB side:
     only (hash, id) pairs shuffle — content never moves — and the
-    reference reduces to hash rows carrying a -1 sentinel, so one keyed
-    groupby decides membership and survivor selection together; winners
-    re-select their full rows by a distributed semi-join (no driver
-    keep-set, no broadcast of the big side)."""
-    from pyrosm_ray.stages.blocks import groupby_partitions
+    reference reduces to hash rows carrying a -1 sentinel; hashes bucket
+    by ``hash % nb`` so the decision fold runs once per BUCKET with one
+    C-level groupby-min inside (a -1 min marks a reference hit), not
+    once per distinct hash; winners re-select their full rows by a
+    distributed semi-join (no driver keep-set, no broadcast of the big
+    side)."""
+    from pyrosm_ray.stages.blocks import sized_partitions
 
     new_h = new_ds.map_batches(
         lambda b: _content_hash_tbl(b, id_col, text_col, False),
@@ -1249,17 +1251,25 @@ def incremental_dedup(new_ds, ref_ds, id_col: str = "doc_id",
     ref_h = ref_ds.map_batches(
         lambda b: _content_hash_tbl(b, id_col, text_col, True),
         batch_format="pyarrow")
+    nbk = sized_partitions(new_ds, ref_ds)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = np.asarray(b["__h"].to_numpy(zero_copy_only=False),
+                       np.int64).view(np.uint64)
+        return b.append_column(
+            "__p", pa.array((h % np.uint64(nbk)).astype(np.int64)))
 
     def pick(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["__cid"].to_numpy(zero_copy_only=False),
-                         np.int64)
-        if (ids < 0).any():
-            return pa.table({"__keep_id": pa.array([], pa.int64())})
-        return pa.table({"__keep_id": pa.array([int(ids.min())],
-                                               pa.int64())})
+        import pandas as pd
+        df = pd.DataFrame({
+            "h": group["__h"].to_numpy(zero_copy_only=False),
+            "i": group["__cid"].to_numpy(zero_copy_only=False)})
+        m = df.groupby("h", sort=False)["i"].min().to_numpy(np.int64)
+        return pa.table({"__keep_id": pa.array(m[m >= 0], pa.int64())})
 
-    keep = new_h.union(ref_h).groupby(
-        "__h", num_partitions=groupby_partitions()).map_groups(
+    keep = new_h.union(ref_h) \
+        .map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nbk).map_groups(
         pick, batch_format="pyarrow")
     return new_ds.join(keep, "inner", on=(id_col,),
                        right_on=("__keep_id",),
@@ -1379,7 +1389,10 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     if shuffle_key != "line":
         raise ValueError(f"shuffle_key must be 'hash' or 'line', "
                          f"got {shuffle_key!r}")
-    nb = num_partitions or groupby_partitions()
+    from pyrosm_ray.stages.blocks import sized_partitions
+    # size to the data: line rows multiply doc rows ~3-10x, so the
+    # per-partition row budget shrinks accordingly
+    nb = num_partitions or sized_partitions(ds, rows_per_part=100_000)
     ex = ds.map_batches(
         lambda b: _explode_lines(b, id_col, text_col, delim, carry_cols),
         batch_format="pyarrow")
@@ -1429,9 +1442,10 @@ def _line_dedup_hash(ds, id_col: str, text_col: str, delim: str,
                      out_col: str, carry_cols: list[str],
                      num_partitions: int | None):
     """Hash-keyed route: ints decide, text moves once (see line_dedup)."""
+    from pyrosm_ray.stages.blocks import sized_partitions
     from pyrosm_ray.stages.hashing import stable128_many
 
-    nb = num_partitions or groupby_partitions()
+    nb = num_partitions or sized_partitions(ds, rows_per_part=100_000)
 
     def explode_hashed(batch: pa.Table) -> pa.Table:
         ex = _explode_lines(batch, id_col, text_col, delim, carry_cols)

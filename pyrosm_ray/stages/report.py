@@ -94,9 +94,9 @@ def corpus_report(ds, source_col: str = "source", text_col: str = "text",
     n_langs, n_distinct, n_dups`` (n_dups = docs minus distinct raw
     contents). Small by definition — the only driver-side state is the
     final #sources × #partitions-row merge."""
-    from pyrosm_ray.stages.blocks import groupby_partitions
+    from pyrosm_ray.stages.blocks import sized_partitions
 
-    nparts = groupby_partitions()
+    nparts = sized_partitions(ds)
     folded = ds.map_batches(
         lambda b: _partial(b, source_col, text_col, lang_col, nparts),
         batch_format="pyarrow").groupby(

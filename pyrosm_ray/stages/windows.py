@@ -2,9 +2,7 @@
 
 ``sessionize`` — the classic session-gap window over an event stream:
 a new session starts when the gap to the previous event of the same user
-exceeds ``gap_s`` (strictly). Expressed as ``groupby(user).map_groups``
-with everything inside a group numpy-vectorised (lexsort + diff + cumsum
-+ ``np.add.reduceat`` — no per-event Python).
+exceeds ``gap_s`` (strictly).
 
 ``asof_join`` — for each LEFT row, the latest RIGHT row at-or-before its
 timestamp within the same key (ties on ts broken by max right id); LEFT
@@ -14,15 +12,30 @@ join semantics (unmatched rows keep nulls).
 RIGHT rows of the same key whose timestamp falls in
 ``[left.ts - band_s, left.ts]`` (inclusive).
 
-Both joins co-partition the two inputs by key through ONE hash shuffle
-(sides unioned under a flag column, then ``groupby(key).map_groups``)
-and resolve matches per group with numpy ``searchsorted`` over the
-right side sorted once — no per-row Python, no driver materialization.
+Execution shape (all three): ONE hash shuffle co-partitions every key's
+whole stream — keys bucket by ``hash64(key) % nb`` so the downstream
+``map_groups`` fold runs once per BUCKET (~2x cluster CPUs of them), not
+once per key, and the fold is segmented numpy over ALL keys in the
+bucket at once: lexsort by (key, ts, …), key-run boundaries via
+``diff``, segmented forward-fill / cumulative counts for the join
+matches, ``np.add.reduceat`` for the session sums. No per-key Python
+call anywhere — with 10^8 users the old per-key fold would make 10^8
+interpreter round-trips; this shape makes ~2x-CPUs. The joins union the
+two sides under a flag column first so one shuffle moves both.
+
+The as-of match itself is the sorted-merge trick: order rows by
+(key, ts, rights-before-lefts, id), mark right rows with their
+position, ``np.maximum.accumulate`` forward-fills "latest right seen",
+and a key-equality check against each left row invalidates fills that
+leaked across a key boundary. The band count is the same scan run twice
+(inclusive upper, exclusive shifted lower) with cumulative right-counts
+baselined per key run.
 
 Partitioning assumption (documented per the custom-operator contract):
-the hash shuffle co-locates one key's whole event stream on one worker;
-a single key's rows must fit worker memory — the standard
-sessionization / as-of contract of every streaming engine.
+a bucket's rows must fit worker memory; salt ``nb`` up for pathological
+single-key skew — correctness only needs all rows of ONE key in one
+bucket, which the key-hash guarantees at any nb. Key columns must be
+integer-typed (they ride the shuffle as int64).
 
 Money-safe values: per-session sums are integer cents rounded
 half-away-from-zero (the SQL ROUND rule, so the DuckDB oracle reproduces
@@ -34,64 +47,108 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from pyrosm_ray.stages.blocks import sized_partitions
+from pyrosm_ray.stages.hashing import hash64
+
+
+def _bucket_of(keys: np.ndarray, nb: int) -> np.ndarray:
+    return (hash64(keys.astype(np.int64).view(np.uint64), 5)
+            % np.uint64(nb)).astype(np.int64)
+
+
+def _run_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    """Indices where a new key run begins in a key-sorted array."""
+    if len(sorted_keys) == 0:
+        return np.empty(0, np.int64)
+    return np.concatenate((
+        [0], np.flatnonzero(np.diff(sorted_keys)) + 1)).astype(np.int64)
+
 
 def sessionize(ds, gap_s: int = 1800, user_col: str = "user_id",
                ts_col: str = "ts", value_col: str = "value",
-               order_col: str = "event_id"):
+               order_col: str = "event_id",
+               num_partitions: int | None = None):
     """-> one row per (user, session): start/end ts, event count, integer
     cent sum. Session ids number 1.. per user in (ts, order_col) order."""
     gap_us = int(gap_s) * 1_000_000
+    nb = num_partitions or sized_partitions(ds)
 
-    def per_user(g: pa.Table) -> pa.Table:
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[user_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        return b.append_column("__p", pa.array(_bucket_of(u, nb)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        utype = g[user_col].type
+        if g.num_rows == 0:
+            return pa.table({
+                user_col: pa.array([], utype),
+                "session_id": pa.array([], pa.int64()),
+                "session_start": pa.array([], pa.timestamp("us")),
+                "session_end": pa.array([], pa.timestamp("us")),
+                "n_events": pa.array([], pa.int64()),
+                "value_cents": pa.array([], pa.int64()),
+            })
+        u = np.asarray(g[user_col].to_numpy(zero_copy_only=False),
+                       np.int64)
         ts = np.asarray(g[ts_col].cast(pa.timestamp("us")).to_numpy(
             zero_copy_only=False)).astype("datetime64[us]")
         oid = np.asarray(g[order_col].to_numpy(zero_copy_only=False))
-        order = np.lexsort((oid, ts))
-        ts = ts[order]
         val = np.asarray(g[value_col].to_numpy(zero_copy_only=False),
-                         dtype=np.float64)[order]
+                         np.float64)
+        order = np.lexsort((oid, ts, u))
+        u, ts, val = u[order], ts[order], val[order]
         t_i = ts.astype(np.int64)
-        new_s = np.ones(len(t_i), dtype=np.int64)
-        if len(t_i) > 1:
-            new_s[1:] = (np.diff(t_i) > gap_us).astype(np.int64)
-        sid = np.cumsum(new_s)
-        starts = np.nonzero(new_s)[0]
-        last = np.append(starts[1:], len(t_i)) - 1
+        n = len(t_i)
+        new_user = np.ones(n, bool)
+        new_user[1:] = u[1:] != u[:-1]
+        new_s = new_user.copy()
+        new_s[1:] |= np.diff(t_i) > gap_us
+        starts = np.flatnonzero(new_s)
+        # per-user session numbering: distance to the user's first
+        # session, via a forward-filled "first session index of my user"
+        s_idx = np.arange(len(starts), dtype=np.int64)
+        first_of_user = np.where(new_user[starts], s_idx, -1)
+        session_id = s_idx - np.maximum.accumulate(first_of_user) + 1
+        ends = np.append(starts[1:], n) - 1
         # half-away-from-zero, matching SQL ROUND (np.rint is half-even:
         # 112.5 would round to 112 and diverge from the oracle)
         cents = np.trunc(val * 100.0 + 0.5 * np.sign(val)).astype(np.int64)
-        uid = g[user_col][0].as_py()
         return pa.table({
-            user_col: pa.array([uid] * len(starts), g[user_col].type),
-            "session_id": pa.array(sid[starts], pa.int64()),
+            user_col: pa.array(u[starts], pa.int64()).cast(utype),
+            "session_id": pa.array(session_id, pa.int64()),
             "session_start": pa.array(ts[starts], pa.timestamp("us")),
-            "session_end": pa.array(ts[last], pa.timestamp("us")),
+            "session_end": pa.array(ts[ends], pa.timestamp("us")),
             "n_events": pa.array(
-                np.diff(np.append(starts, len(t_i))), pa.int64()),
-            "value_cents": pa.array(
-                np.add.reduceat(cents, starts) if len(starts) else
-                np.empty(0, np.int64), pa.int64()),
+                np.diff(np.append(starts, n)), pa.int64()),
+            "value_cents": pa.array(np.add.reduceat(cents, starts),
+                                    pa.int64()),
         })
 
-    return ds.groupby(user_col).map_groups(per_user,
-                                           batch_format="pyarrow")
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nb) \
+        .map_groups(per_bucket, batch_format="pyarrow")
 
 
 def _keyed_union(left_ds, right_ds, by_col: str, ts_col: str,
-                 left_id: str, right_id: str):
-    """Union the two join sides under one schema: (key, ts-µs, id, side).
-    One hash shuffle then co-locates both sides of every key."""
+                 left_id: str, right_id: str, nb: int):
+    """Union the two join sides under one schema: (key, ts-µs, id, side,
+    bucket). One hash shuffle on ``bucket`` then co-locates both sides
+    of every key."""
     def tag(id_col: str, side: int):
         def f(b: pa.Table) -> pa.Table:
             ts = b[ts_col].cast(pa.timestamp("us"))
             n = len(b)
+            k = np.asarray(b[by_col].cast(pa.int64())
+                           .to_numpy(zero_copy_only=False), np.int64)
             return pa.table({
-                "__k": b[by_col].cast(pa.int64()),
+                "__k": pa.array(k, pa.int64()),
                 "__t": pa.array(np.asarray(
                     ts.to_numpy(zero_copy_only=False)).astype(np.int64),
                     pa.int64()),
                 "__id": b[id_col].cast(pa.int64()),
                 "__side": pa.array(np.full(n, side, np.int8), pa.int8()),
+                "__p": pa.array(_bucket_of(k, nb)),
             })
         return f
 
@@ -100,82 +157,123 @@ def _keyed_union(left_ds, right_ds, by_col: str, ts_col: str,
                                     batch_format="pyarrow"))
 
 
-def _split_sides(g: pa.Table):
-    """-> (left ids, left ts, right ids sorted by (ts, id), right ts)."""
+def _bucket_arrays(g: pa.Table):
     side = np.asarray(g["__side"].to_numpy(zero_copy_only=False))
     ts = np.asarray(g["__t"].to_numpy(zero_copy_only=False), np.int64)
     ids = np.asarray(g["__id"].to_numpy(zero_copy_only=False), np.int64)
-    lm = side == 0
-    lt, lid = ts[lm], ids[lm]
-    rt, rid = ts[~lm], ids[~lm]
-    order = np.lexsort((rid, rt))
-    return lid, lt, rid[order], rt[order]
+    keys = np.asarray(g["__k"].to_numpy(zero_copy_only=False), np.int64)
+    return keys, ts, ids, side == 1
 
 
 def asof_join(left_ds, right_ds, by_col: str = "user_id",
               ts_col: str = "ts", left_id: str = "event_id",
-              right_id: str = "event_id"):
+              right_id: str = "event_id",
+              num_partitions: int | None = None):
     """As-of join: one row per LEFT row with the id of the latest RIGHT
     row of the same key at-or-before the left timestamp (ties on ts
     resolved to the max right id) and the lag in microseconds; both null
     when no prior right row exists. Output columns:
     ``(left_id, by_col, matched_id, lag_us)``."""
-    def per_key(g: pa.Table) -> pa.Table:
-        lid, lt, rid, rt = _split_sides(g)
-        if len(lid) == 0:
-            return pa.table({left_id: pa.array([], pa.int64()),
-                             by_col: pa.array([], pa.int64()),
-                             "matched_id": pa.array([], pa.int64()),
-                             "lag_us": pa.array([], pa.int64())})
-        key = g["__k"][0].as_py()
-        if len(rt) == 0:
-            matched = np.zeros(len(lid), np.int64)
-            lag = np.zeros(len(lid), np.int64)
-            miss = np.ones(len(lid), bool)
-        else:
-            idx = np.searchsorted(rt, lt, side="right") - 1
-            hit = idx >= 0
-            matched = np.where(hit, rid[np.maximum(idx, 0)], 0)
-            lag = np.where(hit, lt - rt[np.maximum(idx, 0)], 0)
-            miss = ~hit
+    empty = pa.table({left_id: pa.array([], pa.int64()),
+                      by_col: pa.array([], pa.int64()),
+                      "matched_id": pa.array([], pa.int64()),
+                      "lag_us": pa.array([], pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k, t, ids, isr = _bucket_arrays(g)
+        if not isr.any() or isr.all():
+            lefts = ~isr
+            n_l = int(lefts.sum())
+            if n_l == 0:
+                return empty
+            miss = np.ones(n_l, bool)
+            return pa.table({
+                left_id: pa.array(ids[lefts], pa.int64()),
+                by_col: pa.array(k[lefts], pa.int64()),
+                "matched_id": pa.array(np.zeros(n_l, np.int64),
+                                       pa.int64(), mask=miss),
+                "lag_us": pa.array(np.zeros(n_l, np.int64),
+                                   pa.int64(), mask=miss),
+            })
+        # rights sort BEFORE lefts at equal (key, ts) — "at-or-before"
+        # includes equality — and among equal rights the max id comes
+        # last, so the forward-fill lands on it
+        srt = np.lexsort((ids, ~isr, t, k))
+        ks, ts_, ids_, isr_ = k[srt], t[srt], ids[srt], isr[srt]
+        pos = np.arange(len(ks), dtype=np.int64)
+        last_r = np.maximum.accumulate(np.where(isr_, pos, -1))
+        li = pos[~isr_]
+        m = last_r[li]
+        safe = np.maximum(m, 0)
+        valid = (m >= 0) & (ks[safe] == ks[li])
         return pa.table({
-            left_id: pa.array(lid, pa.int64()),
-            by_col: pa.array(np.full(len(lid), key, np.int64), pa.int64()),
-            "matched_id": pa.array(matched, pa.int64(), mask=miss),
-            "lag_us": pa.array(lag, pa.int64(), mask=miss),
+            left_id: pa.array(ids_[li], pa.int64()),
+            by_col: pa.array(ks[li], pa.int64()),
+            "matched_id": pa.array(np.where(valid, ids_[safe], 0),
+                                   pa.int64(), mask=~valid),
+            "lag_us": pa.array(np.where(valid, ts_[li] - ts_[safe], 0),
+                               pa.int64(), mask=~valid),
         })
 
-    from pyrosm_ray.stages.blocks import groupby_partitions
-    u = _keyed_union(left_ds, right_ds, by_col, ts_col, left_id, right_id)
-    return u.groupby("__k", num_partitions=groupby_partitions()) \
-        .map_groups(per_key, batch_format="pyarrow")
+    nb = num_partitions or sized_partitions(left_ds, right_ds)
+    u = _keyed_union(left_ds, right_ds, by_col, ts_col, left_id,
+                     right_id, nb)
+    return u.groupby("__p", num_partitions=nb) \
+        .map_groups(per_bucket, batch_format="pyarrow")
+
+
+def _rights_before(k, t, isr, left_eval_t, inclusive: bool):
+    """For every LEFT row: count of RIGHT rows of the same key with
+    ts <= eval_t (inclusive) or < eval_t (exclusive), via one sort +
+    cumulative count baselined at each key run start."""
+    n = len(k)
+    ev = t.copy()
+    ev[~isr] = left_eval_t
+    # inclusive: rights first at equal ts (they count); exclusive:
+    # lefts first (equal rights don't count)
+    side_rank = (~isr if inclusive else isr).astype(np.int8)
+    srt = np.lexsort((side_rank, ev, k))
+    ks, isr_ = k[srt], isr[srt]
+    cumr = np.cumsum(isr_.astype(np.int64))
+    starts = _run_starts(ks)
+    run_len = np.diff(np.append(starts, n))
+    base = np.repeat(np.where(starts > 0, cumr[starts - 1], 0), run_len)
+    cnt_sorted = cumr - base
+    # scatter counts back to original row order, keep left rows
+    cnt = np.empty(n, np.int64)
+    cnt[srt] = cnt_sorted
+    return cnt[~isr]
 
 
 def band_join(left_ds, right_ds, band_s: int, by_col: str = "user_id",
               ts_col: str = "ts", left_id: str = "event_id",
-              right_id: str = "event_id"):
+              right_id: str = "event_id",
+              num_partitions: int | None = None):
     """1-D range (band) join: one row per LEFT row with the COUNT of
     RIGHT rows of the same key whose ts lies in
     ``[left.ts - band_s, left.ts]`` (inclusive both ends). Output
     columns: ``(left_id, by_col, n_in_band)``."""
     band_us = int(band_s) * 1_000_000
+    empty = pa.table({left_id: pa.array([], pa.int64()),
+                      by_col: pa.array([], pa.int64()),
+                      "n_in_band": pa.array([], pa.int64())})
 
-    def per_key(g: pa.Table) -> pa.Table:
-        lid, lt, _rid, rt = _split_sides(g)
-        if len(lid) == 0:
-            return pa.table({left_id: pa.array([], pa.int64()),
-                             by_col: pa.array([], pa.int64()),
-                             "n_in_band": pa.array([], pa.int64())})
-        key = g["__k"][0].as_py()
-        lo = np.searchsorted(rt, lt - band_us, side="left")
-        hi = np.searchsorted(rt, lt, side="right")
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k, t, ids, isr = _bucket_arrays(g)
+        lefts = ~isr
+        if not lefts.any():
+            return empty
+        lt = t[lefts]
+        upper = _rights_before(k, t, isr, lt, inclusive=True)
+        lower = _rights_before(k, t, isr, lt - band_us, inclusive=False)
         return pa.table({
-            left_id: pa.array(lid, pa.int64()),
-            by_col: pa.array(np.full(len(lid), key, np.int64), pa.int64()),
-            "n_in_band": pa.array(hi - lo, pa.int64()),
+            left_id: pa.array(ids[lefts], pa.int64()),
+            by_col: pa.array(k[lefts], pa.int64()),
+            "n_in_band": pa.array(upper - lower, pa.int64()),
         })
 
-    from pyrosm_ray.stages.blocks import groupby_partitions
-    u = _keyed_union(left_ds, right_ds, by_col, ts_col, left_id, right_id)
-    return u.groupby("__k", num_partitions=groupby_partitions()) \
-        .map_groups(per_key, batch_format="pyarrow")
+    nb = num_partitions or sized_partitions(left_ds, right_ds)
+    u = _keyed_union(left_ds, right_ds, by_col, ts_col, left_id,
+                     right_id, nb)
+    return u.groupby("__p", num_partitions=nb) \
+        .map_groups(per_bucket, batch_format="pyarrow")
