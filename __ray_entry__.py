@@ -395,6 +395,19 @@ def q_quantile_filter(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quantile_bins(sf_dir: str):
+    """Per-language quality tiers: every doc tagged with its quartile
+    bin (0-3) of whitespace-token count within its language, edges
+    computed by the exact compact-histogram quantile."""
+    from pyrosm_ray.stages.quantiles import quantile_bins
+    from pyrosm_ray.stages.text import token_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    out = quantile_bins(token_stats(ds), "lang", "n_tokens",
+                        [0.25, 0.5, 0.75])
+    df = out.to_pandas()[["doc_id", "lang", "n_tokens", "bin"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_shuffle_rank(sf_dir: str):
     """Global deterministic pseudo-random training order (two-pass
     distributed rank — no global sort, no driver-side data)."""
@@ -1387,6 +1400,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, m.lang, m.n_tokens
             FROM m JOIN th ON m.lang = th.lang
             WHERE m.n_tokens >= th.thr ORDER BY m.doc_id""",
+        "q_quantile_bins": """
+            WITH m AS (
+              SELECT doc_id, lang,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                         AS n_tokens
+              FROM documents
+            ), e AS (
+              SELECT lang,
+                     quantile_disc(n_tokens, 0.25) AS q0,
+                     quantile_disc(n_tokens, 0.5) AS q1,
+                     quantile_disc(n_tokens, 0.75) AS q2
+              FROM m GROUP BY lang
+            )
+            SELECT m.doc_id, m.lang, m.n_tokens,
+                   CAST(CASE WHEN m.n_tokens <= e.q0 THEN 0
+                             WHEN m.n_tokens <= e.q1 THEN 1
+                             WHEN m.n_tokens <= e.q2 THEN 2
+                             ELSE 3 END AS BIGINT) AS bin
+            FROM m JOIN e ON m.lang = e.lang ORDER BY m.doc_id""",
         "q_shuffle_rank": (
             "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
             + _sampling.shuffle_rank_order_sql("doc_id", seed=11)
@@ -1753,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hash_sample": q_hash_sample,
         "q_topk_per_lang": q_topk_per_lang,
         "q_quantile_filter": q_quantile_filter,
+        "q_quantile_bins": q_quantile_bins,
         "q_gopher_rules": q_gopher_rules,
         "q_host_filter": q_host_filter,
         "q_host_reputation": q_host_reputation,

@@ -139,6 +139,67 @@ def quantile_filter(ds, group_col: str, value_col: str, q: float,
     return ds.map_batches(pick, batch_format="pyarrow")
 
 
+def quantile_bins(ds, group_col: str, value_col: str, qs: list[float],
+                  out_col: str = "bin"):
+    """Assign every row the index of its per-group quantile bin — the
+    "quality tier" move (e.g. qs=[0.25, 0.5, 0.75] -> tiers 0..3 per
+    language). Bin b means ``value > edge[b-1] and value <= edge[b]``
+    with edges the exact per-group discrete quantiles; bin 0 is
+    everything at-or-below the first edge, the last bin everything
+    above the last edge (``searchsorted(edges, v, side="left")``
+    semantics on ascending edges).
+
+    Same cost model as :func:`quantile_filter`: histogram scan + tiny
+    shuffle for the edges, broadcast dict, stateless vectorised assign.
+    """
+    import ray
+
+    qs = sorted(qs)
+    edges_tbl = group_quantiles(ds, group_col, value_col, qs).to_pandas()
+    edges = {g: np.array([row[f"q{j}"] for j in range(len(qs))],
+                         dtype=np.int64)
+             for g, row in edges_tbl.set_index("group").iterrows()}
+    edges_ref = ray.put(edges)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        ed = ray.get(edges_ref)
+        groups = batch[group_col].to_pylist()
+        vals = np.asarray(batch[value_col].to_numpy(zero_copy_only=False),
+                          np.int64)
+        out = np.empty(len(vals), np.int64)
+        df = pd.DataFrame({"g": groups, "i": np.arange(len(vals))})
+        for gname, sub in df.groupby("g", sort=False):
+            idx = sub["i"].to_numpy()
+            out[idx] = np.searchsorted(ed[gname], vals[idx], side="left")
+        return batch.append_column(out_col, pa.array(out, pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def quantile_bins_sql(table: str, group_col: str, value_expr: str,
+                      qs: list[float], out_col: str = "bin") -> str:
+    """DuckDB twin of :func:`quantile_bins`'s bin index for one row:
+    a CASE ladder over the same exact per-group quantile edges
+    (correlated via a grouped CTE named ``__qb_edges`` you must join)."""
+    qs = sorted(qs)
+    cases = " ".join(
+        f"WHEN {value_expr} <= e.q{j} THEN {j}" for j in range(len(qs)))
+    return f"(CASE {cases} ELSE {len(qs)} END)"
+
+
+def quantile_edges_sql(table: str, group_col: str, value_expr: str,
+                       qs: list[float]) -> str:
+    """The grouped-edges CTE body pairing with
+    :func:`quantile_bins_sql` (alias it ``e`` and join on group)."""
+    qs = sorted(qs)
+    cols = ", ".join(
+        f"quantile_disc({value_expr}, {q!r}) AS q{j}"
+        for j, q in enumerate(qs))
+    return (f"SELECT {group_col}, {cols} FROM {table} "
+            f"GROUP BY {group_col}")
+
+
 def quantile_disc_sql(value_expr: str, q: float) -> str:
     """DuckDB twin of one exact discrete quantile."""
     return f"quantile_disc({value_expr}, {q!r})"

@@ -80,3 +80,35 @@ def test_quantile_filter_bad_keep(ray_session):
     t = pa.table({"g": ["a"], "v": pa.array([1], pa.int64())})
     with pytest.raises(ValueError):
         Q.quantile_filter(rd.from_arrow(t), "g", "v", 0.5, keep="eq")
+
+
+def test_quantile_bins_vs_duckdb(ray_session):
+    rng = np.random.default_rng(23)
+    n = 400
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], size=n)),
+        "v": pa.array(rng.integers(0, 30, size=n), pa.int64()),
+        "id": pa.array(np.arange(n), pa.int64()),
+    })
+    got = Q.quantile_bins(rd.from_arrow(t), "g", "v", [0.25, 0.5, 0.75]) \
+        .to_pandas().sort_values("id")
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        WITH e AS (SELECT g, quantile_disc(v, 0.25) AS q0,
+                          quantile_disc(v, 0.5) AS q1,
+                          quantile_disc(v, 0.75) AS q2 FROM t GROUP BY g)
+        SELECT t.id, CASE WHEN v <= e.q0 THEN 0 WHEN v <= e.q1 THEN 1
+                          WHEN v <= e.q2 THEN 2 ELSE 3 END AS bin
+        FROM t JOIN e ON t.g = e.g ORDER BY t.id""").fetch_df()
+    assert got["bin"].tolist() == want["bin"].tolist()
+
+
+def test_quantile_bins_duplicate_edges(ray_session):
+    # all-equal values collapse every edge to the same number; every row
+    # must land in bin 0 on both sides of the contract
+    t = pa.table({"g": ["x"] * 5, "v": pa.array([7] * 5, pa.int64()),
+                  "id": pa.array(range(5), pa.int64())})
+    out = Q.quantile_bins(rd.from_arrow(t), "g", "v", [0.25, 0.5, 0.75]) \
+        .to_pandas()
+    assert out["bin"].tolist() == [0] * 5
