@@ -365,6 +365,11 @@ def _host_sql() -> str:
 
 def _blocked_sql() -> str:
     return ", ".join(f"'{h}'" for h in _BLOCKED_HOSTS)
+
+
+def _heavy_hitters_sql() -> str:
+    from pyrosm_ray.stages.sketches import heavy_hitters_sql
+    return heavy_hitters_sql("documents", 0.03)
 _GOPHER_COLS = ["doc_id", "n_words", "mean_word_len", "symbol_ratio",
                 "alpha_ratio", "bullet_ratio", "ellipsis_ratio",
                 "stop_hits", "pass_n_words", "pass_word_len",
@@ -393,6 +398,15 @@ def q_quantile_filter(sf_dir: str):
     kept = quantile_filter(token_stats(ds), "lang", "n_tokens", 0.5)
     df = kept.to_pandas()[["doc_id", "lang", "n_tokens"]]
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_heavy_hitters(sf_dir: str):
+    """Bounded-memory heavy hitters: every word with corpus frequency
+    >= 3% of all tokens, via Misra-Gries batch summaries + an exact
+    verification pass (output exact; state O(2/phi) per batch)."""
+    from pyrosm_ray.stages.sketches import heavy_hitters
+    ds = _read(sf_dir, "documents", ["text"])
+    return heavy_hitters(ds, phi=0.03)
 
 
 def q_quantile_bins(sf_dir: str):
@@ -1400,6 +1414,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT m.doc_id, m.lang, m.n_tokens
             FROM m JOIN th ON m.lang = th.lang
             WHERE m.n_tokens >= th.thr ORDER BY m.doc_id""",
+        "q_heavy_hitters": _heavy_hitters_sql(),
         "q_quantile_bins": """
             WITH m AS (
               SELECT doc_id, lang,
@@ -1786,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_per_lang": q_topk_per_lang,
         "q_quantile_filter": q_quantile_filter,
         "q_quantile_bins": q_quantile_bins,
+        "q_heavy_hitters": q_heavy_hitters,
         "q_gopher_rules": q_gopher_rules,
         "q_host_filter": q_host_filter,
         "q_host_reputation": q_host_reputation,
