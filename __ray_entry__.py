@@ -216,6 +216,42 @@ def q_url_canonical(sf_dir: str):
         .reset_index(drop=True)
 
 
+# multilingual augmentation phrases for q_normalize_text — shared verbatim
+# with the SQL twin (no single quotes; includes a decomposed-jamo case so
+# the Hangul recompose path is exercised at driver scale)
+_NORM_PHRASES = [
+    "Café ÉLÈVE",
+    "İstanbul ŞEHİRLERİ",
+    "ΣΟΦΟΣ Σ",
+    "한국어 조합",
+    "한국 vs 한국",  # decomposed jamo
+    "naïve ḝ x̣ ǅungla ß ẞ",
+]
+
+
+def q_normalize_text(sf_dir: str):
+    """Unicode corpus canonicalisation (NFC + strip accents + simple lower
+    + whitespace collapse) over text deterministically augmented with
+    multilingual phrases; the oracle reproduces augmentation and chain in
+    DuckDB (nfc_normalize/strip_accents/lower share utf8proc semantics)."""
+    from pyrosm_ray.stages.text import normalize_text
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        texts = batch["text"].to_pylist()
+        aug = [f"  {t}\t{_NORM_PHRASES[i % len(_NORM_PHRASES)]} "
+               for t, i in zip(texts, ids)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(aug, pa.string())})
+
+    df = normalize_text(ds.map_batches(augment, batch_format="pyarrow")) \
+        .to_pandas()
+    return df[["doc_id", "text_norm"]].sort_values("doc_id") \
+        .reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str):
     """Session-gap window over the events stream (30-min gap): one row
     per (user, session) with start/end, count, integer-cent value sum."""
@@ -1775,6 +1811,13 @@ def oracle_sql() -> dict[str, str]:
     out["q_url_canonical"] = (
         f"SELECT doc_id, {canonicalize_sql(_MESSY_URL_SQL)} AS url_canon "
         f"FROM documents ORDER BY doc_id")
+    from pyrosm_ray.stages.text import normalize_text_sql
+    phrase_list = ", ".join(f"'{p}'" for p in _NORM_PHRASES)
+    aug_expr = (f"'  ' || text || chr(9) || "
+                f"[{phrase_list}][1 + doc_id % {len(_NORM_PHRASES)}] || ' '")
+    out["q_normalize_text"] = (
+        f"SELECT doc_id, {normalize_text_sql(aug_expr)} "
+        f"FROM documents ORDER BY doc_id")
     return out
 
 
@@ -1795,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_repetition": q_repetition,
         "q_sessionize": q_sessionize,
         "q_url_canonical": q_url_canonical,
+        "q_normalize_text": q_normalize_text,
         "q_exact_dedup": q_exact_dedup,
         "q_line_dedup": q_line_dedup,
         "q_hash_sample": q_hash_sample,

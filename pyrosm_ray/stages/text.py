@@ -402,3 +402,77 @@ def unigram_logprob_sql(doc_table: str = "documents") -> str:
                    AS sum_logprob_micro
         FROM {doc_table} d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id"""
+
+
+# ---------------------------------------------------------------------------
+# Unicode text normalisation (corpus canonicalisation)
+# ---------------------------------------------------------------------------
+
+def _strip_accents_py(strs) -> list[str]:
+    """Exact twin of DuckDB ``strip_accents(nfc_normalize(x))``.
+
+    utf8proc semantics: canonical-decompose, drop nonspacing marks (Mn),
+    recompose to NFC (DuckDB recomposes Hangul jamo; pyarrow's
+    ``utf8_normalize`` does not, which is why the non-ASCII subset takes
+    this Python path).
+    """
+    import unicodedata
+
+    out = []
+    for s in strs:
+        d = unicodedata.normalize("NFD", unicodedata.normalize("NFC", s))
+        d = "".join(c for c in d if unicodedata.category(c) != "Mn")
+        out.append(unicodedata.normalize("NFC", d))
+    return out
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         out_col: str = "text_norm") -> pa.Table:
+    """NFC + strip accents + simple lowercase + whitespace collapse + trim.
+
+    ASCII rows (the bulk of a web corpus) stay on pure Arrow kernels; only
+    rows containing a non-ASCII byte take the exact Python unicodedata
+    path, merged back with one concat+take (no full-column materialise).
+    Lowercasing is ``pc.utf8_lower`` — utf8proc simple case mapping, the
+    SAME mapping DuckDB's ``lower`` uses (parity pinned in
+    tests/test_text.py on dotted-I / final-sigma / Hangul cases).
+    """
+    col = batch[text_col].combine_chunks()
+    if len(col) == 0:
+        return batch.append_column(out_col, pa.array([], pa.string()))
+    # pure-ASCII rows have byte length == codepoint length
+    non_ascii = pc.fill_null(
+        pc.not_equal(pc.binary_length(col), pc.utf8_length(col)), False)
+    mask = np.asarray(non_ascii.to_numpy(zero_copy_only=False), dtype=bool)
+    if mask.any():
+        idx = np.nonzero(mask)[0]
+        sub = pa.array(_strip_accents_py(col.take(pa.array(idx)).to_pylist()),
+                       pa.string())
+        take_idx = np.arange(len(col), dtype=np.int64)
+        take_idx[idx] = len(col) + np.arange(len(idx), dtype=np.int64)
+        col = pa.concat_arrays([col, sub]).take(pa.array(take_idx))
+    out = pc.utf8_lower(col)
+    out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+    # DuckDB trim() strips ASCII space only — match it exactly (the \s+
+    # collapse already reduced edge runs to a single ' ')
+    out = pc.utf8_trim(out, characters=" ")
+    return batch.append_column(out_col, out)
+
+
+def normalize_text(ds, text_col: str = "text", out_col: str = "text_norm"):
+    """Corpus text canonicalisation as one stateless ``map_batches`` pass.
+
+    The standard pre-dedup normalisation step (CCNet / Dolma style):
+    Unicode NFC, accent stripping, locale-free lowercasing, whitespace
+    collapse. Scale-safe: no shuffle, no state, zero-copy Arrow in/out.
+    """
+    return ds.map_batches(
+        lambda b: normalize_text_batch(b, text_col, out_col),
+        batch_format="pyarrow")
+
+
+def normalize_text_sql(text_expr: str = "text",
+                       out_col: str = "text_norm") -> str:
+    """DuckDB twin expression for :func:`normalize_text`."""
+    return (f"trim(regexp_replace(lower(strip_accents("
+            f"nfc_normalize({text_expr}))), '\\s+', ' ', 'g')) AS {out_col}")

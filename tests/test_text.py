@@ -69,3 +69,54 @@ def test_corpus_report_counts(ray_session):
     assert out.loc["s1"].n_distinct == 2 and out.loc["s1"].n_dups == 1
     assert out.loc["s2"].n_docs == 2 and out.loc["s2"].n_dups == 0
     assert out.loc["s2"].n_langs == 2
+
+
+# ---------------------------------------------------------------------------
+# normalize_text: adversarial unicode battery vs the live DuckDB chain
+# ---------------------------------------------------------------------------
+
+NASTY = [
+    "éà plain accents",
+    "İstanbul ŞEHİRLERİ",          # dotted I: simple-lower divergence trap
+    "Σ ΣΟΦΟΣ",                     # final sigma: full-casemap trap
+    "ḝ x̣ stacked marks",           # multi-mark decompositions
+    "Ω Å ﬁ compat singletons",     # NFC singletons, ligature untouched
+    "한국어 조합",                  # precomposed Hangul
+    "한 vs 한",  # precomposed vs decomposed jamo
+    "  a\t\tb\nc  ",               # whitespace collapse + trim
+    "ǅungla ß ẞ",                  # titlecase digraph, sharp s
+    "ñoño — café nbsp",       # nbsp must NOT collapse (RE2 \s is ASCII)
+    "",
+    "plain ascii stays put",
+]
+
+
+def test_normalize_text_matches_duckdb(ray_session):
+    from pyrosm_ray.stages.text import normalize_text, normalize_text_sql
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(NASTY)), pa.int64()),
+        "text": pa.array(NASTY, pa.string()),
+    })
+    got = normalize_text(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("docs", tbl)
+    ora = con.execute(
+        f"SELECT doc_id, {normalize_text_sql('text')} FROM docs "
+        "ORDER BY doc_id").fetch_df()
+    assert got["text_norm"].tolist() == ora["text_norm"].tolist()
+
+
+def test_normalize_text_block_split_invariant(ray_session):
+    """Same output whether the table arrives as 1 block or 6."""
+    from pyrosm_ray.stages.text import normalize_text
+    tbl = pa.table({
+        "doc_id": pa.array(range(len(NASTY)), pa.int64()),
+        "text": pa.array(NASTY, pa.string()),
+    })
+    one = normalize_text(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("doc_id")["text_norm"].tolist()
+    many = normalize_text(
+        rd.from_arrow(tbl).repartition(6)).to_pandas() \
+        .sort_values("doc_id")["text_norm"].tolist()
+    assert one == many
