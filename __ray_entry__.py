@@ -629,6 +629,18 @@ def q_embedding_near_dup(sf_dir: str):
     return df.sort_values(["a", "b"]).reset_index(drop=True)
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup: coarse-cluster embeddings (k lowest-id vectors as fixed
+    centroids — the SQL-expressible mode; the distributed-Lloyd's fit is
+    pinned by pytest), then drop within-cluster rows that have a
+    lower-id neighbor at cosine >= threshold."""
+    from pyrosm_ray.stages.dedup import semantic_dedup
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = semantic_dedup(ds, n_clusters=8, threshold=0.4).to_pandas()
+    return df[["vec_id", "cluster"]].sort_values("vec_id") \
+        .reset_index(drop=True)
+
+
 def _query_vectors(sf_dir: str, n=3) -> np.ndarray:
     """The n lowest-vec_id embeddings (deterministic on both sides: the
     SQL oracle selects the same rows with ORDER BY vec_id LIMIT n)."""
@@ -1021,6 +1033,11 @@ def _embedding_near_dup_sql(threshold: float = 0.4) -> str:
         ORDER BY a, b"""
 
 
+def _semantic_dedup_sql_entry() -> str:
+    from pyrosm_ray.stages.dedup import semantic_dedup_sql
+    return semantic_dedup_sql(n_clusters=8, threshold=0.4)
+
+
 def _topk_cosine_sql(k: int = 10, nq: int = 3,
                      corpus: str = "SELECT * FROM embeddings") -> str:
     """``corpus`` restricts the searched side (queries always come from
@@ -1368,6 +1385,7 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash_pairs": _simhash_pairs_sql(max_hamming=10),
         "q_ngram_jaccard": _ngram_jaccard_sql(threshold=0.6),
         "q_embedding_near_dup": _embedding_near_dup_sql(threshold=0.4),
+        "q_semantic_dedup": _semantic_dedup_sql_entry(),
         "q_topk_cosine": _topk_cosine_sql(k=10, nq=3),
         # nprobe == n_clusters probes every cell -> IVF output is exact
         "q_ivf_topk": _topk_cosine_sql(k=10, nq=3),
@@ -1864,6 +1882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_embedding_near_dup": q_embedding_near_dup,
+        "q_semantic_dedup": q_semantic_dedup,
         "q_topk_cosine": q_topk_cosine,
         "q_ivf_topk": q_ivf_topk,
         "q_filtered_topk": q_filtered_topk,

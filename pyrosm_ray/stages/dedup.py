@@ -1526,3 +1526,92 @@ def _line_dedup_hash(ds, id_col: str, text_col: str, delim: str,
 
     return both.groupby("__bucket", num_partitions=nb) \
         .map_groups(fold, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup via cluster-then-prune (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(ds, n_clusters: int = 8, threshold: float = 0.4,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   fit_iters: int = 0):
+    """Cluster embeddings, then drop within-cluster near-duplicates.
+
+    The SemDeDup shape: a coarse clustering makes the O(n^2) pairwise
+    cosine tractable by confining it to clusters (~n/k rows each); within
+    a cluster a row is dropped iff some LOWER-id row of the same cluster
+    has cosine >= ``threshold`` (the same pair rule as
+    :func:`embedding_near_dup`, so the survivor set is the min-id star
+    cover of the near-dup graph restricted to clusters).
+
+    ``fit_iters=0`` uses the k lowest-id vectors directly as fixed
+    centroids — fully deterministic and SQL-expressible (the driver
+    oracle). ``fit_iters>0`` runs :func:`similarity.kmeans_fit`
+    (distributed spherical Lloyd's) first — the production path, pinned
+    by a numpy-twin pytest instead of SQL.
+
+    Scale contract: one broadcast of k x d centroids, one hash shuffle on
+    ``cluster``, one O(g^2) float64 matmul per group (one cluster's rows
+    fit a worker — size k to the corpus as SemDeDup does). Returns
+    (id, cluster) survivors.
+    """
+    from pyrosm_ray.stages.similarity import assign_clusters, kmeans_fit, \
+        lowest_id_vectors
+
+    if fit_iters > 0:
+        centers = kmeans_fit(ds, n_clusters, iters=fit_iters,
+                             id_col=id_col, emb_col=emb_col)
+    else:
+        centers = lowest_id_vectors(ds, n_clusters, id_col, emb_col)
+    assigned = assign_clusters(ds, centers, id_col, emb_col)
+
+    def prune(g: pa.Table) -> pa.Table:
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        order = np.argsort(ids, kind="stable")
+        emb = _emb_matrix(g, emb_col)[order]
+        nrm = np.maximum(np.linalg.norm(emb, axis=1), 1e-12)
+        cos = (emb @ emb.T) / np.outer(nrm, nrm)
+        # row i dropped iff any earlier (lower-id) row is >= threshold
+        drop = (np.tril(cos >= threshold, k=-1)).any(axis=1)
+        keep_ids = ids[order][~drop]
+        return pa.table({
+            id_col: pa.array(keep_ids, pa.int64()),
+            "cluster": pa.array(
+                np.full(len(keep_ids),
+                        int(g["cluster"][0].as_py()) if len(g) else 0),
+                pa.int64()),
+        })
+
+    return assigned.groupby(
+        "cluster", num_partitions=groupby_partitions(n_clusters)) \
+        .map_groups(prune, batch_format="pyarrow")
+
+
+def semantic_dedup_sql(emb_table: str = "embeddings",
+                       n_clusters: int = 8,
+                       threshold: float = 0.4) -> str:
+    """DuckDB twin of :func:`semantic_dedup` with ``fit_iters=0``."""
+    cos_xs = ("list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+              "CAST(s.embedding AS DOUBLE[]))")
+    cos_xy = ("list_cosine_similarity(CAST(x.embedding AS DOUBLE[]), "
+              "CAST(y.embedding AS DOUBLE[]))")
+    return f"""
+        WITH seeds AS (SELECT vec_id, embedding,
+                              ROW_NUMBER() OVER (ORDER BY vec_id) - 1
+                                  AS seed_rank
+                       FROM {emb_table} ORDER BY vec_id
+                       LIMIT {n_clusters}),
+        assign AS (SELECT e.vec_id, e.embedding, s.seed_rank,
+                          ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos_xs} DESC, s.seed_rank ASC)
+                              AS rn
+                   FROM {emb_table} e CROSS JOIN seeds s),
+        a AS (SELECT vec_id, embedding, seed_rank AS cluster
+              FROM assign WHERE rn = 1)
+        SELECT x.vec_id, x.cluster FROM a x
+        WHERE NOT EXISTS (SELECT 1 FROM a y
+                          WHERE y.cluster = x.cluster
+                            AND y.vec_id < x.vec_id
+                            AND {cos_xy} >= {threshold})
+        ORDER BY x.vec_id"""

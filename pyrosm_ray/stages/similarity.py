@@ -341,3 +341,117 @@ def ivf_topk(ds, queries: np.ndarray, k: int = 10, n_clusters: int = 16,
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     return _merge_topk(parts, k)
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (spherical Lloyd's) + cluster assignment
+# ---------------------------------------------------------------------------
+
+def lowest_id_vectors(ds, k: int, id_col: str = "vec_id",
+                      emb_col: str = "embedding") -> np.ndarray:
+    """The ``k`` lowest-id embedding rows as a (k, d) float64 matrix.
+
+    Deterministic seed selection without a global sort: each block emits
+    its own k lowest ids (a partial top-k), the driver merges the tiny
+    partials (k rows per block, not the data).
+    """
+    def part(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.select([id_col, emb_col])
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         dtype=np.int64)
+        keep = np.sort(np.argsort(ids, kind="stable")[:k])
+        return batch.select([id_col, emb_col]).take(pa.array(keep))
+
+    parts = pa.concat_tables(
+        ray.get(ds.map_batches(part, batch_format="pyarrow")
+                .to_arrow_refs()))
+    ids = np.asarray(parts[id_col].to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.argsort(ids, kind="stable")[:k]
+    return _emb_matrix(parts.combine_chunks(), emb_col)[order]
+
+
+def kmeans_fit(ds, n_clusters: int = 16, iters: int = 10,
+               id_col: str = "vec_id", emb_col: str = "embedding"
+               ) -> np.ndarray:
+    """Distributed spherical k-means over the FULL dataset.
+
+    Lloyd's iterations in the broadcast-partials shape: centroids go out
+    once per iteration via ``ray.put``; one stateless ``map_batches``
+    pass assigns rows (argmax cosine) and emits per-block partial
+    (cluster, count, float64 sum-vector) rows — k rows per block, never
+    the data. The driver reduces k x d floats per iteration in a
+    DETERMINISTIC order (sorted by cluster, then block min-id) so a
+    rerun over the same blocking reproduces centroids bit-for-bit.
+    Init = the k lowest-id vectors (no RNG; resumable). Empty clusters
+    keep their previous centroid. Scale: driver holds
+    O(n_clusters x dim x num_blocks) partials per iteration — the same
+    contract as Spark MLlib's treeAggregate root.
+    """
+    centers = _normalize(lowest_id_vectors(ds, n_clusters, id_col,
+                                           emb_col))
+    for _ in range(iters):
+        ref = ray.put(np.ascontiguousarray(centers))
+
+        def stats(batch: pa.Table) -> pa.Table:
+            cm = ray.get(ref)
+            if batch.num_rows == 0:
+                return pa.table({
+                    "cluster": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.binary()),
+                    "bkey": pa.array([], pa.int64())})
+            emb = _emb_matrix(batch, emb_col)
+            lab = np.argmax(_normalize(emb) @ cm.T, axis=1)
+            order = np.argsort(lab, kind="stable")
+            sl, se = lab[order], emb[order]
+            starts = np.nonzero(np.r_[True, sl[1:] != sl[:-1]])[0]
+            sums = np.add.reduceat(se, starts, axis=0)
+            cnts = np.diff(np.r_[starts, len(sl)])
+            bkey = int(np.min(np.asarray(
+                batch[id_col].to_numpy(zero_copy_only=False))))
+            return pa.table({
+                "cluster": pa.array(sl[starts], pa.int32()),
+                "n": pa.array(cnts, pa.int64()),
+                "vsum": pa.array([r.tobytes() for r in sums],
+                                 pa.binary()),
+                "bkey": pa.array(np.full(len(starts), bkey), pa.int64()),
+            })
+
+        parts = ds.map_batches(stats, batch_format="pyarrow").to_pandas()
+        if not len(parts):
+            break
+        parts = parts.sort_values(["cluster", "bkey"], kind="stable")
+        dim = centers.shape[1]
+        new = centers.copy()
+        for c, grp in parts.groupby("cluster", sort=True):
+            s = np.zeros(dim, dtype=np.float64)
+            for buf in grp["vsum"]:
+                s += np.frombuffer(buf, dtype=np.float64)
+            new[int(c)] = s / max(int(grp["n"].sum()), 1)
+        centers = _normalize(new)
+    return centers
+
+
+def assign_clusters(ds, centers: np.ndarray, id_col: str = "vec_id",
+                    emb_col: str = "embedding",
+                    out_col: str = "cluster"):
+    """Append nearest-centroid (max raw-dot/norms cosine, ties -> lowest
+    centroid index) as an int64 column. Centroids broadcast once."""
+    cn = np.linalg.norm(centers, axis=1)
+    ref = ray.put((np.ascontiguousarray(centers.astype(np.float64)),
+                   np.maximum(cn, 1e-12)))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm, cnorm = ray.get(ref)
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64()))
+        emb = _emb_matrix(batch, emb_col)
+        en = np.maximum(np.linalg.norm(emb, axis=1), 1e-12)
+        cos = (emb @ cm.T) / np.outer(en, cnorm)
+        return batch.append_column(
+            out_col, pa.array(np.argmax(cos, axis=1).astype(np.int64),
+                              pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

@@ -494,3 +494,69 @@ def test_line_dedup_duckdb_twin(ray_session):
     assert got["doc_id"].tolist() == ora["doc_id"].tolist()
     assert got["text_dedup"].tolist() == ora["text_dedup"].tolist()
     assert got["n_lines"].tolist() == ora["n_lines"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup (SemDeDup)
+# ---------------------------------------------------------------------------
+
+def _sem_vecs():
+    """Two direction clusters; ids 1/2 and 10/11 are near-identical pairs,
+    id 20 is a lone opposite direction."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0 -> dropped
+        (2, [0.98, 0.02, 0.01, 0.0]),  # near-dup of 0 -> dropped
+        (3, [0.1, 0.9, 0.1, 0.0]),
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.01, 0.99, 0.0, 0.0]),  # near-dup of 10 (or 3)
+        (20, [0.0, 0.0, -1.0, 0.2]),
+    ]
+    return pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+    })
+
+
+def test_semantic_dedup_matches_duckdb_twin(ray_session):
+    import duckdb
+
+    from pyrosm_ray.stages.dedup import semantic_dedup, semantic_dedup_sql
+    t = _sem_vecs()
+    got = semantic_dedup(rd.from_arrow(t).repartition(3), n_clusters=2,
+                         threshold=0.95).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    ora = con.execute(semantic_dedup_sql(n_clusters=2, threshold=0.95)) \
+        .fetch_df()
+    assert got["vec_id"].tolist() == ora["vec_id"].tolist()
+    assert got["cluster"].tolist() == ora["cluster"].tolist()
+
+
+def test_semantic_dedup_kmeans_route(ray_session):
+    """fit_iters>0 (distributed Lloyd's) prunes the same near-dup pairs
+    as the fixed-seed route when the two lowest ids already sit in
+    different direction clusters (so both routes produce the same
+    clustering; cluster IDS may permute, survivor SET must not)."""
+    from pyrosm_ray.stages.dedup import semantic_dedup
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),     # seed of the x cluster
+        (1, [0.0, 1.0, 0.0, 0.0]),     # seed of the y cluster
+        (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 0 -> dropped
+        (3, [0.01, 0.99, 0.0, 0.0]),   # near-dup of 1 -> dropped
+        (4, [0.7, 0.3, 0.0, 0.0]),     # x cluster, below threshold
+        (20, [0.0, 0.0, -1.0, 0.2]),   # lone direction
+    ]
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    base = semantic_dedup(rd.from_arrow(t).repartition(2), n_clusters=2,
+                          threshold=0.95)
+    fit = semantic_dedup(rd.from_arrow(t).repartition(2), n_clusters=2,
+                         threshold=0.95, fit_iters=3)
+    assert sorted(base.to_pandas()["vec_id"]) == [0, 1, 4, 20]
+    assert sorted(fit.to_pandas()["vec_id"]) == [0, 1, 4, 20]

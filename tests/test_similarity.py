@@ -61,3 +61,66 @@ def test_filtered_topk_empty_filter(ray_session):
     got = filtered_topk_cosine(rd.from_arrow(t), rd.from_arrow(allowed),
                                m[:1], k=3).to_pandas()
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (spherical Lloyd's)
+# ---------------------------------------------------------------------------
+
+def _clustered_vecs(n_per=20, dim=8, seed=9):
+    """Three well-separated direction clusters, ids INTERLEAVED round-robin
+    (labels = id % 3) so the lowest-id k-means init lands one seed per
+    cluster."""
+    rng = np.random.default_rng(seed)
+    anchors = np.eye(dim)[:3] * 10.0
+    blocks = [a + rng.normal(0, 0.05, (n_per, dim)) for a in anchors]
+    pts = np.stack(blocks, axis=1).reshape(3 * n_per, dim)
+    t = pa.table({
+        "vec_id": pa.array(range(len(pts)), pa.int64()),
+        "embedding": pa.array(pts.astype(np.float32).tolist(),
+                              pa.list_(pa.float32())),
+    })
+    return t, pts.astype(np.float32).astype(np.float64)
+
+
+def _numpy_spherical_lloyds(m, k, iters):
+    """Driver twin: same init (k lowest ids), same update rule."""
+    def norm(x):
+        return x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True),
+                              1e-12)
+    centers = norm(m[:k].copy())
+    for _ in range(iters):
+        lab = np.argmax(norm(m) @ centers.T, axis=1)
+        for c in range(k):
+            sel = m[lab == c]
+            if len(sel):
+                centers[c] = sel.sum(axis=0) / len(sel)
+        centers = norm(centers)
+    return centers
+
+
+def test_kmeans_fit_matches_numpy_twin(ray_session):
+    from pyrosm_ray.stages.similarity import assign_clusters, kmeans_fit
+    t, m = _clustered_vecs()
+    got = kmeans_fit(rd.from_arrow(t), n_clusters=3, iters=5)
+    want = _numpy_spherical_lloyds(m, 3, 5)
+    assert np.allclose(got, want, atol=1e-9)
+    # every point lands with its construction cluster-mates (id % 3)
+    lab = assign_clusters(rd.from_arrow(t), got).to_pandas() \
+        .sort_values("vec_id")["cluster"].to_numpy()
+    for g in range(3):
+        assert len(set(lab[g::3])) == 1
+    assert len(set(lab[:3])) == 3
+
+
+def test_kmeans_fit_block_split_invariant(ray_session):
+    """Well-separated data: same labels whether 1 block or 7."""
+    from pyrosm_ray.stages.similarity import assign_clusters, kmeans_fit
+    t, _ = _clustered_vecs()
+    lab1 = assign_clusters(
+        rd.from_arrow(t), kmeans_fit(rd.from_arrow(t), 3, iters=4)) \
+        .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    ds7 = rd.from_arrow(t).repartition(7)
+    lab7 = assign_clusters(ds7, kmeans_fit(ds7, 3, iters=4)) \
+        .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    assert np.array_equal(lab1, lab7)
