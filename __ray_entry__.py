@@ -320,6 +320,48 @@ def q_exact_dedup(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_warc_roundtrip(sf_dir: str):
+    """WARC source/sink over the documents table: write the corpus as
+    sharded member-per-record .warc.gz (distributed sink, deterministic
+    bytes), read it back with the range-split WARC datasource, and prove
+    the text payload survives byte-identical per url (the north star's
+    invariant). Shards cache keyed on the source file's size+mtime."""
+    import os
+
+    from pyrosm_ray.sources.warc import read_warc, write_warc
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    out_dir = ("/tmp/geograft_warc/"
+               + os.path.basename(sf_dir.rstrip("/"))
+               + f"-{st.st_size}-{int(st.st_mtime_ns)}")
+    done = os.path.join(out_dir, "_MANIFEST_OK")
+    if not os.path.exists(done):
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def add_url(b: pa.Table) -> pa.Table:
+            urls = [f"https://docs.example/{int(i)}"
+                    for i in b["doc_id"].to_pylist()]
+            return pa.table({"url": pa.array(urls, pa.string()),
+                             "payload": b["text"]})
+        write_warc(docs.map_batches(add_url, batch_format="pyarrow"),
+                   out_dir, warc_type="response")
+        open(done, "w").write("ok")
+    # small ranges force multi-task splits even at oracle scale
+    ds = read_warc(out_dir, target_bytes=1 << 18)
+
+    def back(b: pa.Table) -> pa.Table:
+        ids = [int(u.rsplit("/", 1)[1]) for u in b["url"].to_pylist()]
+        pay = b["payload"]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pc.cast(pay, pa.large_string()).cast(pa.string()),
+            "n_bytes": pc.binary_length(pay).cast(pa.int64()),
+        })
+
+    df = ds.map_batches(back, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_line_dedup(sf_dir: str):
     """Corpus-wide line-level dedup (the C4/CCNet/RefinedWeb boilerplate
     rule) over the pages table: every third page carries its site's
@@ -1400,6 +1442,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY md5(list_aggregate(regexp_extract_all(lower(text),
                 '\\S+'), 'string_agg', ' '))
             ORDER BY doc_id""",
+        "q_warc_roundtrip": """
+            SELECT doc_id, text,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents ORDER BY doc_id""",
         "q_line_dedup": f"""
             WITH ex AS (
               SELECT url, {page_id_sql()} AS pid,
@@ -1858,6 +1904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_url_canonical": q_url_canonical,
         "q_normalize_text": q_normalize_text,
         "q_exact_dedup": q_exact_dedup,
+        "q_warc_roundtrip": q_warc_roundtrip,
         "q_line_dedup": q_line_dedup,
         "q_hash_sample": q_hash_sample,
         "q_topk_per_lang": q_topk_per_lang,
