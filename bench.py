@@ -192,6 +192,11 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     timed("incremental_dedup",
           lambda: incremental_dedup(_docs_split(False),
                                     _docs_split(True)).count())
+    # bloom-prefiltered route (the 100-TB reference-side shape): two
+    # map-only reference scans replace its full all-to-all contribution
+    timed("incremental_dedup_bloom",
+          lambda: incremental_dedup(_docs_split(False), _docs_split(True),
+                                    bloom_bits_per_item=10).count())
 
     from pyrosm_ray.stages.report import corpus_report
     docs_full_path = docs_path

@@ -39,6 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 from pyrosm_ray.stages.similarity import _emb_matrix
 from pyrosm_ray.stages.blocks import groupby_partitions, nonempty, \
@@ -672,24 +673,35 @@ def simhash_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
 
 def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                   max_hamming: int = 3, num_partitions: int = 8):
-    """Exact Hamming-<=k pairs over 64-bit simhashes.
+    """Exact Hamming-<=k pairs over 64-bit text simhashes (see
+    :func:`hamming_pairs` for the banding machinery, shared with the
+    image-dHash near-dup)."""
+    sig = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
+                         batch_format="pyarrow").materialize()
+    return hamming_pairs(sig, id_col=id_col, hash_col="simhash",
+                         max_hamming=max_hamming,
+                         num_partitions=num_partitions)
+
+
+def hamming_pairs(sig, id_col: str = "doc_id", hash_col: str = "simhash",
+                  max_hamming: int = 3, num_partitions: int = 8):
+    """Exact Hamming-<=k pairs over a 64-bit signature column.
 
     COMPLETE banding by pigeonhole: the 64 bits split into
     ``max_hamming + 1`` bands, so any pair within the budget matches
     exactly on >=1 band; candidates verify with a true popcount. (Scale
     note: larger budgets mean narrower bands and hotter buckets — the
-    usual near-dup budget is <=3, i.e. 4 x 16-bit bands.)"""
+    usual near-dup budget is <=3, i.e. 4 x 16-bit bands.) ``sig`` should
+    be materialized by the caller if its compute is non-trivial (it is
+    consumed twice: banding + verify projection)."""
     bands = max_hamming + 1
     widths = np.full(bands, 64 // bands, dtype=np.int64)
     widths[:64 % bands] += 1
     starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
 
-    sig = ds.map_batches(lambda b: simhash_batch(b, id_col, text_col),
-                         batch_format="pyarrow").materialize()
-
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        sh = np.asarray(batch["simhash"].to_numpy(zero_copy_only=False)
+        sh = np.asarray(batch[hash_col].to_numpy(zero_copy_only=False)
                         ).astype(np.int64).view(np.uint64)
         bands_out, keys, oids = [], [], []
         for b_i in range(bands):
@@ -710,12 +722,12 @@ def simhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             batch_format="pyarrow")
     cand = _distinct_pairs(cand)
 
-    sim_proj = sig.map_batches(lambda b: b.select([id_col, "simhash"]),
+    sim_proj = sig.map_batches(lambda b: b.select([id_col, hash_col]),
                                batch_format="pyarrow")
 
     def rn(batch: pa.Table, name: str) -> pa.Table:
-        cols = {c: batch[c] for c in batch.column_names if c != "simhash"}
-        cols[name] = batch["simhash"]
+        cols = {c: batch[c] for c in batch.column_names if c != hash_col}
+        cols[name] = batch[hash_col]
         return pa.table(cols)
 
     j = cand.join(sim_proj, "inner", on=("a",), right_on=(id_col,),
@@ -1228,8 +1240,85 @@ def _content_hash_tbl(batch: pa.Table, id_col: str, text_col: str,
                      "__cid": pa.array(ids, pa.int64())})
 
 
+# ---- Bloom membership filter (sketch-proposed, exact-output) --------------
+#
+# The bloom's job in incremental_dedup is map-side shuffle suppression on
+# the 100-TB reference side: a bit miss PROVES non-membership (no false
+# negatives), so reference hash rows whose hash cannot match any new-doc
+# candidate are dropped before the all-to-all; survivors go through the
+# same exact fold as the base route, so the OUTPUT is bit-identical.
+
+_BLOOM_MIX = np.uint64(0x9E3779B97F4A7C15)  # splitmix64 golden-ratio odd
+
+
+def _bloom_params(n_items: int, bits_per_item: int = 10):
+    """Power-of-two bit count (cheap masking) + the optimal k = ln2·m/n,
+    capped at 8 probes. 10 bits/item ≈ 1% false-positive rate."""
+    m = 1 << max(14, int(np.ceil(np.log2(max(n_items, 1)
+                                         * bits_per_item))))
+    k = max(1, min(8, int(round(0.693 * m / max(n_items, 1)))))
+    return m, k
+
+
+def _bloom_positions(h: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(k, n) bit positions via double hashing (Kirsch-Mitzenmacher):
+    pos_i = h1 + i*h2 mod m, h2 forced odd so probes cycle the table."""
+    h1 = h.view(np.uint64) if h.dtype == np.int64 else h
+    h2 = (h1 * _BLOOM_MIX) | np.uint64(1)
+    mask = np.uint64(m - 1)
+    return np.stack([(h1 + np.uint64(i) * h2) & mask for i in range(k)])
+
+
+def bloom_build(hash_ds, m: int, k: int, col: str = "__h") -> np.ndarray:
+    """Bitmap (uint64 words) over a Dataset of int64 hashes: map-only
+    per-block partial bitmaps OR-folded on the driver one at a time
+    (streamed — never all partials resident). m/8 bytes of driver state;
+    no shuffle."""
+    nwords = m // 64
+
+    def part(b: pa.Table) -> pa.Table:
+        words = np.zeros(nwords, np.uint64)
+        if b.num_rows:
+            pos = _bloom_positions(np.asarray(
+                b[col].to_numpy(zero_copy_only=False), np.int64), m, k)
+            np.bitwise_or.at(words, (pos >> np.uint64(6)).ravel()
+                             .astype(np.int64),
+                             np.uint64(1) << (pos.ravel() & np.uint64(63)))
+        return pa.table({"w": pa.array([words.tobytes()], pa.binary())})
+
+    agg = np.zeros(nwords, np.uint64)
+    for batch in hash_ds.map_batches(part, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        for blob in batch["w"].to_pylist():
+            agg |= np.frombuffer(blob, np.uint64)
+    return agg
+
+
+def _bloom_hits(h: np.ndarray, words: np.ndarray, m: int,
+                k: int) -> np.ndarray:
+    """Boolean mask: all k probed bits set (possible member)."""
+    pos = _bloom_positions(np.asarray(h, np.int64), m, k)
+    bits = (words[(pos >> np.uint64(6)).astype(np.int64)]
+            >> (pos & np.uint64(63))) & np.uint64(1)
+    return bits.all(axis=0)
+
+
+def _bloom_filter_ds(hash_ds, words_ref, m: int, k: int, keep_hits: bool):
+    """Map-side bloom filter over a (hash, id) Dataset; the bitmap ships
+    once via ray.put and is read zero-copy in every task."""
+    def f(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return b
+        words = ray.get(words_ref)
+        hit = _bloom_hits(
+            b["__h"].to_numpy(zero_copy_only=False), words, m, k)
+        return b.filter(pa.array(hit if keep_hits else ~hit))
+    return hash_ds.map_batches(f, batch_format="pyarrow")
+
+
 def incremental_dedup(new_ds, ref_ds, id_col: str = "doc_id",
-                      text_col: str = "text", num_partitions: int = 8):
+                      text_col: str = "text", num_partitions: int = 8,
+                      bloom_bits_per_item: int = 0):
     """Cross-snapshot ingest dedup: keep a NEW document iff its
     normalised content (lower + whitespace collapse) appears in neither
     the REFERENCE corpus nor an earlier new doc (min-id wins within the
@@ -1242,7 +1331,15 @@ def incremental_dedup(new_ds, ref_ds, id_col: str = "doc_id",
     C-level groupby-min inside (a -1 min marks a reference hit), not
     once per distinct hash; winners re-select their full rows by a
     distributed semi-join (no driver keep-set, no broadcast of the big
-    side)."""
+    side).
+
+    ``bloom_bits_per_item > 0`` adds the map-side Bloom prefilter (see
+    module note above): the reference side is scanned twice map-only —
+    once to build its bitmap, once filtered against the NEW-candidate
+    bitmap — but contributes only ~fpp of its rows to the all-to-all
+    instead of all of them. Output is bit-identical to the base route
+    (parity-pinned); the bitmaps broadcast once (m/8 bytes, sized by
+    ``_bloom_params``), which is the route's documented ceiling."""
     from pyrosm_ray.stages.blocks import sized_partitions
 
     new_h = new_ds.map_batches(
@@ -1252,6 +1349,21 @@ def incremental_dedup(new_ds, ref_ds, id_col: str = "doc_id",
         lambda b: _content_hash_tbl(b, id_col, text_col, True),
         batch_format="pyarrow")
     nbk = sized_partitions(new_ds, ref_ds)
+
+    if bloom_bits_per_item > 0:
+        # pass 1 (map-only): candidate hashes = new docs possibly in ref
+        new_h = new_h.materialize()
+        n_new = new_h.count()
+        mr, kr = _bloom_params(max(ref_ds.count(), 1),
+                               bloom_bits_per_item)
+        ref_words = ray.put(bloom_build(ref_h, mr, kr))
+        cand_h = _bloom_filter_ds(new_h, ref_words, mr, kr,
+                                  keep_hits=True).materialize()
+        # pass 2 (map-only): reference rows that can touch a candidate
+        mc, kc = _bloom_params(max(n_new, 1), bloom_bits_per_item)
+        cand_words = ray.put(bloom_build(cand_h, mc, kc))
+        ref_h = _bloom_filter_ds(ref_h, cand_words, mc, kc,
+                                 keep_hits=True)
 
     def bucket(b: pa.Table) -> pa.Table:
         h = np.asarray(b["__h"].to_numpy(zero_copy_only=False),

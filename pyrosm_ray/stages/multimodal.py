@@ -116,6 +116,65 @@ def extract_image_features(media_ds, resize_to: int | None = 32,
         concurrency=concurrency)
 
 
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash of an HxWx3 uint8 image: integer luma
+    ((299R+587G+114B)//1000), nearest-neighbour sample to an 8x9 grid
+    (the same index rule as ``ImageFeatureExtractor._resize``), bit
+    (i,j) = right neighbour brighter. Deterministic — no float rounding
+    anywhere — so the pytest twin reproduces it from the closed-form
+    fixture pixels."""
+    h, w = img.shape[:2]
+    luma = ((299 * img[:, :, 0].astype(np.int64)
+             + 587 * img[:, :, 1].astype(np.int64)
+             + 114 * img[:, :, 2].astype(np.int64)) // 1000)
+    yi = (np.arange(8) * h // 8).clip(0, h - 1)
+    xi = (np.arange(9) * w // 9).clip(0, w - 1)
+    g = luma[np.ix_(yi, xi)]
+    bits = (g[:, 1:] > g[:, :-1]).ravel()
+    return int(np.uint64(
+        (bits.astype(np.uint64)
+         << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)))
+
+
+class ImageDHasher(ImageFeatureExtractor):
+    """Actor-pool stage: per-image 64-bit dHash (decoder state inherited
+    — built once per actor in ``__init__``)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        hashes = np.zeros(batch.num_rows, dtype=np.uint64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            if p is not None:
+                hashes[i] = dhash64(self._decode(p))
+        return pa.table({
+            "id": batch["id"],
+            "dhash": pa.array(hashes.view(np.int64), pa.int64()),
+        })
+
+
+def image_dhash(media_ds, batch_size: int = 128, concurrency=(1, 8)):
+    """(id, dhash:int64) per image — the perceptual-hash signature stage."""
+    return media_ds.map_batches(
+        ImageDHasher, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def image_near_dup(media_ds, max_hamming: int = 4,
+                   batch_size: int = 128, concurrency=(1, 8),
+                   num_partitions: int = 8):
+    """Exact Hamming-<=k pairs over image dHashes: perceptual near-dup
+    for image corpora (re-encodes, slight crops/brightness shifts keep a
+    close dHash; distinct photos diverge). Candidate generation +
+    popcount verify ride :func:`pyrosm_ray.stages.dedup.hamming_pairs`
+    (complete pigeonhole banding — same machinery as the text simhash
+    route, so scale behavior is already characterised)."""
+    from pyrosm_ray.stages.dedup import hamming_pairs
+    sig = image_dhash(media_ds, batch_size=batch_size,
+                      concurrency=concurrency).materialize()
+    return hamming_pairs(sig, id_col="id", hash_col="dhash",
+                         max_hamming=max_hamming,
+                         num_partitions=num_partitions)
+
+
 class FrameSampler:
     """Video-like payloads: sample every k-th 'frame'.
 

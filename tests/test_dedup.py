@@ -416,6 +416,53 @@ def test_incremental_dedup_vs_reference_and_within(ray_session):
     assert sorted(out.doc_id) == [7, 13]
     # full rows survive (text column re-selected by the semi-join)
     assert set(out.columns) >= {"doc_id", "text"}
+    # bloom-prefiltered route: bit-identical output
+    outb = dedup.incremental_dedup(rd.from_arrow(new),
+                                   rd.from_arrow(ref),
+                                   bloom_bits_per_item=10).to_pandas()
+    assert sorted(outb.doc_id) == [7, 13]
+
+
+def test_incremental_dedup_bloom_suppresses_ref_shuffle(ray_session):
+    """The bloom's 100-TB contract: reference rows that cannot match any
+    new-doc candidate are dropped MAP-SIDE — a mostly-disjoint reference
+    contributes ~fpp of its rows to the all-to-all, and a bit miss never
+    drops a true duplicate (exactness)."""
+    n_ref, overlap = 3000, 10
+    ref = pa.table({
+        "doc_id": pa.array(range(n_ref), pa.int64()),
+        "text": pa.array([f"ref document number {i}"
+                          for i in range(n_ref)]),
+    })
+    new_texts = ([f"ref document number {i}" for i in range(overlap)]
+                 + [f"new doc {i}" for i in range(50)])
+    new = pa.table({
+        "doc_id": pa.array(range(10_000, 10_000 + len(new_texts)),
+                           pa.int64()),
+        "text": pa.array(new_texts),
+    })
+    base = dedup.incremental_dedup(rd.from_arrow(new),
+                                   rd.from_arrow(ref)).to_pandas()
+    outb = dedup.incremental_dedup(rd.from_arrow(new),
+                                   rd.from_arrow(ref),
+                                   bloom_bits_per_item=10).to_pandas()
+    assert sorted(outb.doc_id) == sorted(base.doc_id)
+    assert len(outb) == 50  # overlap docs die, fresh docs survive
+
+    # direct suppression measurement on the same hash datasets
+    ref_h = rd.from_arrow(ref).map_batches(
+        lambda b: dedup._content_hash_tbl(b, "doc_id", "text", True),
+        batch_format="pyarrow")
+    new_h = rd.from_arrow(new).map_batches(
+        lambda b: dedup._content_hash_tbl(b, "doc_id", "text", False),
+        batch_format="pyarrow")
+    import ray as _ray
+    mc, kc = dedup._bloom_params(new.num_rows, 10)
+    words = _ray.put(dedup.bloom_build(new_h, mc, kc))
+    kept = dedup._bloom_filter_ds(ref_h, words, mc, kc,
+                                  keep_hits=True).count()
+    assert kept >= overlap            # no false negatives, ever
+    assert kept <= overlap + n_ref // 20  # ~1% fpp at 10 bits/item
 
 
 @pytest.mark.parametrize("route", ["hash", "line"])

@@ -75,3 +75,80 @@ def test_audio_extractor_unit():
     assert rate == 16_000 and wav.dtype == np.float32 and len(wav)
     wav2, _ = ex._decode(b"hello audio payload")
     assert np.array_equal(wav, wav2)
+
+
+# ---------------------------------------------------------------------------
+# image dHash near-dup (real PNG decode path)
+# ---------------------------------------------------------------------------
+
+def _png_media(imgs):
+    from pyrosm_ray.stages import codecs
+    return pa.table({
+        "id": pa.array(np.arange(len(imgs)), pa.int64()),
+        "payload": pa.array([codecs.encode_png(im) for im in imgs],
+                            pa.binary()),
+        "media_type": pa.array(["image"] * len(imgs), pa.string()),
+        "meta": pa.array([[]] * len(imgs),
+                         pa.map_(pa.string(), pa.string())),
+    })
+
+
+def _grad(h, w, phase=0, noise=0):
+    """Horizontal gradient image; dHash is driven by left-right luma
+    deltas, so gradients give stable non-trivial hashes."""
+    x = (np.arange(w) * 4 + phase) % 256
+    img = np.repeat(x[None, :], h, axis=0).astype(np.uint8)
+    if noise:
+        rng = np.random.default_rng(noise)
+        img = (img.astype(np.int64)
+               + rng.integers(-2, 3, size=img.shape)).clip(0, 255) \
+            .astype(np.uint8)
+    return np.stack([img, img, img], axis=2)
+
+
+def test_dhash64_numpy_twin():
+    """dHash recomputed from first principles on the raw pixels."""
+    from pyrosm_ray.stages.multimodal import dhash64
+    img = _grad(20, 30, phase=3)
+    h, w = img.shape[:2]
+    luma = ((299 * img[:, :, 0].astype(np.int64)
+             + 587 * img[:, :, 1].astype(np.int64)
+             + 114 * img[:, :, 2].astype(np.int64)) // 1000)
+    yi = (np.arange(8) * h // 8).clip(0, h - 1)
+    xi = (np.arange(9) * w // 9).clip(0, w - 1)
+    g = luma[np.ix_(yi, xi)]
+    want = 0
+    for k, bit in enumerate((g[:, 1:] > g[:, :-1]).ravel()):
+        want |= int(bit) << k
+    assert dhash64(img) == want
+
+
+def test_image_near_dup_pairs(ray_session):
+    """ids 0/1 identical, 2 a lightly-noised copy (small hamming), 3/4
+    reversed-gradient + flat (far)."""
+    from pyrosm_ray.stages.multimodal import dhash64, image_near_dup
+    base = _grad(32, 32)
+    far = np.stack([np.full((32, 32), 128, np.uint8)] * 3, axis=2)
+    rev = base[:, ::-1].copy()
+    imgs = [base, base.copy(), _grad(32, 32, noise=7), rev, far]
+    t = _png_media(imgs)
+    got = image_near_dup(rd.from_arrow(t), max_hamming=8,
+                         batch_size=2).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    # exact-oracle twin: all-pairs popcount on driver-side dhashes
+    hs = [dhash64(im) for im in imgs]
+    want = sorted((a, b) for a in range(5) for b in range(a + 1, 5)
+                  if bin(hs[a] ^ hs[b]).count("1") <= 8)
+    assert list(zip(got["a"], got["b"])) == want
+    assert (0, 1) in want            # identical images always pair
+    pair_ham = dict(zip(zip(got["a"], got["b"]), got["hamming"]))
+    assert pair_ham[(0, 1)] == 0
+
+
+def test_image_dhash_deterministic(ray_session):
+    from pyrosm_ray.stages.multimodal import image_dhash
+    t = _png_media([_grad(16 + i, 20 + i, phase=i) for i in range(6)])
+    a = image_dhash(rd.from_arrow(t)).to_pandas().sort_values("id")
+    b = image_dhash(rd.from_arrow(t).repartition(3)).to_pandas() \
+        .sort_values("id")
+    assert a["dhash"].tolist() == b["dhash"].tolist()
