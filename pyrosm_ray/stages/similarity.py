@@ -8,6 +8,13 @@
   driver-side, on a sample) partitions vectors into coarse cells; queries
   probe the ``nprobe`` nearest centroids and brute-force only those cells.
   Same output contract as :func:`topk_cosine` (approximate recall).
+* :func:`pq_train` / :func:`pq_encode` / :func:`pq_topk` — product
+  quantization: vectors compress to m uint8 codes, the ADC scan reads
+  ~m bytes per vector (the compressed-domain contract at 10^12 vectors),
+  and ``rerank_ds`` restores exact cosine on the returned rows.
+* :func:`kmeans_fit` / :func:`assign_clusters` — distributed spherical
+  Lloyd's over the FULL dataset (broadcast-partials shape), feeding
+  :func:`pyrosm_ray.stages.dedup.semantic_dedup`.
 
 Scores are rounded to 4 decimals in the output so result hashing tolerates
 summation-order differences vs SQL oracles (DuckDB list_cosine_similarity).
@@ -455,3 +462,150 @@ def assign_clusters(ds, centers: np.ndarray, id_col: str = "vec_id",
                               pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN (Jégou et al. 2011)
+# ---------------------------------------------------------------------------
+
+def pq_train(ds, n_subvectors: int = 4, n_centroids: int = 16,
+             sample_size: int = 10_000, emb_col: str = "embedding",
+             seed: int = 42) -> np.ndarray:
+    """Train PQ codebooks: split the (unit-normalised) vector into
+    ``n_subvectors`` contiguous subspaces and run the seeded sample
+    k-means per subspace. Returns (m, ks, d/m) float64 codebooks.
+
+    Training is driver-side on a bounded sample — the standard PQ
+    contract (Faiss trains the same way); encode/scan are the
+    distributed stages. Normalising BEFORE splitting makes the summed
+    subspace dot products approximate the cosine directly."""
+    sample, seen = [], 0
+    for b in ds.select_columns([emb_col]).iter_batches(
+            batch_size=1 << 14, batch_format="pyarrow"):
+        m = _emb_matrix(b, emb_col)
+        take = min(len(m), max(0, sample_size - seen))
+        sample.append(m[:take])
+        seen += take
+        if seen >= sample_size:
+            break
+    sm = _normalize(np.concatenate(sample)) if sample else \
+        np.empty((0, n_subvectors))
+    d = sm.shape[1]
+    if d % n_subvectors:
+        raise ValueError(f"dim {d} not divisible by m={n_subvectors}")
+    dsub = d // n_subvectors
+    return np.stack([
+        _kmeans(np.ascontiguousarray(sm[:, j * dsub:(j + 1) * dsub]),
+                n_centroids, seed=seed + j)
+        for j in range(n_subvectors)])
+
+
+def pq_encode(ds, codebooks: np.ndarray, id_col: str = "vec_id",
+              emb_col: str = "embedding"):
+    """(vec_id, pq_code: binary[m]) — each vector compressed to m uint8
+    codes (nearest codebook entry per subspace, L2 on the unit vector).
+    Codebooks broadcast once; the argmin is one small matmul per
+    subspace per batch."""
+    m, ks, dsub = codebooks.shape
+    # ||x - c||² argmin ≡ (||c||² - 2 x·c) argmin: precompute ||c||²
+    cb_ref = ray.put((np.ascontiguousarray(codebooks),
+                      (codebooks ** 2).sum(axis=2)))
+
+    def enc(batch: pa.Table) -> pa.Table:
+        cb, c2 = ray.get(cb_ref)
+        n = batch.num_rows
+        codes = np.zeros((n, m), dtype=np.uint8)
+        if n:
+            x = _normalize(_emb_matrix(batch, emb_col))
+            for j in range(m):
+                xj = x[:, j * dsub:(j + 1) * dsub]
+                codes[:, j] = (c2[j][None, :] - 2.0 * (xj @ cb[j].T)) \
+                    .argmin(axis=1).astype(np.uint8)
+        off = (np.arange(n + 1, dtype=np.int32) * m)
+        code_arr = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(off.tobytes()),
+             pa.py_buffer(codes.tobytes())])
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "pq_code": code_arr})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def _codes_matrix(batch: pa.Table, m: int) -> np.ndarray:
+    col = batch["pq_code"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    off = np.frombuffer(col.buffers()[1], np.int32)
+    lo = off[col.offset] if len(col) else 0
+    hi = off[col.offset + len(col)] if len(col) else 0
+    data = np.frombuffer(col.buffers()[2] or b"", np.uint8)[lo:hi]
+    return data.reshape(len(col), m)
+
+
+def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
+            k: int = 10, id_col: str = "vec_id",
+            rerank_ds=None, shortlist: int | None = None,
+            emb_col: str = "embedding"):
+    """ADC top-k over PQ codes: per batch the score is m table lookups +
+    a sum — no float math per vector — so the scan runs over ~m bytes
+    per vector instead of 8·d (a 64-256x read/compute shrink; the PQ
+    scale contract). Per-batch partial top-k, tiny driver merge.
+
+    With ``rerank_ds`` (the original embedding table), the ADC pass
+    returns a ``shortlist`` (default 4k) per query; the union of
+    shortlists — k·q·4 ids, tiny — broadcasts as a filter and the final
+    order is EXACT cosine over the re-read candidates (quantization
+    error affects recall only, never the reported scores)."""
+    mq, ks, dsub = codebooks.shape
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    # ADC tables: T[qi, j, c] = q_sub · codebook entry
+    tables = np.einsum("qjd,jcd->qjc",
+                       q.reshape(len(q), mq, dsub), codebooks)
+    t_ref = ray.put(np.ascontiguousarray(tables))
+    want = (shortlist or 4 * k) if rerank_ds is not None else k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = ray.get(t_ref)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+        if not len(ids):
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        codes = _codes_matrix(batch, mq)
+        cols = np.arange(mq)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(t)):
+            sim = t[qi][cols, codes].sum(axis=1)  # (n,) via lookups
+            kk = min(want, len(sim))
+            top = np.argpartition(-sim, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_v.append(ids[top])
+            out_s.append(sim[top])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64()),
+        })
+
+    parts = codes_ds.map_batches(partial,
+                                 batch_format="pyarrow").to_pandas()
+    if rerank_ds is None:
+        return _merge_topk(parts, k)
+    # exact rerank: union of per-query shortlists -> map-side filter ->
+    # exact brute-force cosine over the survivors only
+    short = _merge_topk(parts, want).to_pandas()
+    cand = np.unique(short["vec_id"].to_numpy(np.int64))
+    cand_ref = ray.put(cand)  # sorted; tiny (<= q*shortlist ids)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        pos = np.searchsorted(cs, ids).clip(0, max(len(cs) - 1, 0))
+        hit = (cs[pos] == ids) if len(cs) else np.zeros(len(ids), bool)
+        return batch.filter(pa.array(hit))
+
+    survivors = rerank_ds.map_batches(keep, batch_format="pyarrow")
+    return topk_cosine(survivors, queries, k=k, id_col=id_col,
+                       emb_col=emb_col)

@@ -124,3 +124,82 @@ def test_kmeans_fit_block_split_invariant(ray_session):
     lab7 = assign_clusters(ds7, kmeans_fit(ds7, 3, iters=4)) \
         .to_pandas().sort_values("vec_id")["cluster"].to_numpy()
     assert np.array_equal(lab1, lab7)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+def _pq_corpus(n=120, dim=8, seed=3):
+    """Vectors drawn near 4 orthogonal unit anchors — well-clustered, so
+    PQ recall is high and the exact-rerank path is checkable."""
+    rng = np.random.default_rng(seed)
+    anchors = np.eye(dim)[:4]
+    lab = np.arange(n) % 4
+    pts = anchors[lab] * 8.0 + rng.normal(0, 0.05, (n, dim))
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(pts.astype(np.float32).tolist(),
+                              pa.list_(pa.float32())),
+    })
+    return t, pts
+
+
+def test_pq_encode_deterministic_across_blocking(ray_session):
+    from pyrosm_ray.stages.similarity import pq_encode, pq_train
+    t, _ = _pq_corpus()
+    cb = pq_train(rd.from_arrow(t), n_subvectors=4, n_centroids=8)
+    a = pq_encode(rd.from_arrow(t), cb).to_pandas().sort_values("vec_id")
+    b = pq_encode(rd.from_arrow(t).repartition(5), cb).to_pandas() \
+        .sort_values("vec_id")
+    assert [bytes(x) for x in a["pq_code"]] == \
+        [bytes(x) for x in b["pq_code"]]
+    assert all(len(bytes(x)) == 4 for x in a["pq_code"])
+
+
+def test_pq_topk_recall_and_adc_scores(ray_session):
+    from pyrosm_ray.stages.similarity import (pq_encode, pq_train,
+                                              topk_cosine, pq_topk)
+    t, pts = _pq_corpus()
+    ds = rd.from_arrow(t).repartition(4)
+    cb = pq_train(ds, n_subvectors=4, n_centroids=16)
+    codes = pq_encode(ds, cb).materialize()
+    qm = pts[:3]
+    exact = topk_cosine(rd.from_arrow(t), qm, k=10).to_pandas()
+    adc = pq_topk(codes, cb, qm, k=10).to_pandas()
+    # raw ADC is the SHORTLIST generator, not the final ranking: fine
+    # intra-cluster order is quantized away, so assert useful-but-lossy
+    # recall here; exact final order is the rerank test below
+    rec = []
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a = set(adc[adc.query_id == qi].vec_id)
+        rec.append(len(e & a) / len(e))
+    assert min(rec) >= 0.5 and sum(rec) / len(rec) >= 0.7, rec
+    # and a 3x shortlist already recovers the full exact top-10 set
+    adc30 = pq_topk(codes, cb, qm, k=30).to_pandas()
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].vec_id)
+        a30 = set(adc30[adc30.query_id == qi].vec_id)
+        assert e <= a30
+
+
+def test_pq_topk_rerank_exact_scores(ray_session):
+    """The rerank path reports EXACT cosine for everything it returns:
+    each returned (query, vec) score equals the brute-force score, and
+    with a generous shortlist the whole top-k matches exactly."""
+    from pyrosm_ray.stages.similarity import (pq_encode, pq_train,
+                                              topk_cosine, pq_topk)
+    t, pts = _pq_corpus()
+    ds = rd.from_arrow(t).repartition(4)
+    cb = pq_train(ds, n_subvectors=4, n_centroids=16)
+    codes = pq_encode(ds, cb).materialize()
+    qm = pts[:3]
+    exact = topk_cosine(rd.from_arrow(t), qm, k=10).to_pandas()
+    got = pq_topk(codes, cb, qm, k=10, rerank_ds=rd.from_arrow(t),
+                  shortlist=60).to_pandas()
+    key = ["query_id", "rank"]
+    e = exact.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    assert g["vec_id"].tolist() == e["vec_id"].tolist()
+    assert np.allclose(g["score"], e["score"])
