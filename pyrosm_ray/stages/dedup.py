@@ -272,12 +272,127 @@ _PAIRS_EMPTY = pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64())})
 
 
-def _distinct_pairs(pairs_ds):
+def _distinct_pairs(pairs_ds, num_partitions: int | None = None):
     """Distinct (a, b) pairs; the single nonempty() doubles as the one
-    materialize barrier (callers' count()/join reuse the in-memory refs)."""
-    counted = pairs_ds.groupby(["a", "b"]).count().map_batches(
-        lambda t: t.select(["a", "b"]), batch_format="pyarrow")
-    return nonempty(counted, _PAIRS_EMPTY)
+    materialize barrier (callers' count()/join reuse the in-memory refs).
+
+    Manual bucket + in-group lexsort-dedupe, NOT ``groupby(["a","b"])``:
+    Ray's HashAggregate treats every distinct pair as a group key (the
+    many-distinct-key pathology measured at 7x on line_dedup); one
+    coarse hash bucket per partition does the same dedupe in one
+    C-level pass per group."""
+    from pyrosm_ray.stages.blocks import sized_partitions
+    nb = num_partitions or sized_partitions(pairs_ds,
+                                            rows_per_part=2_000_000)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), np.int64) \
+            .view(np.uint64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), np.int64) \
+            .view(np.uint64)
+        key = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        return t.append_column(
+            "__p", pa.array((key % np.uint64(nb)).astype(np.int64)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        a, b = _distinct_pairs_np(
+            np.asarray(g["a"].to_numpy(zero_copy_only=False), np.int64),
+            np.asarray(g["b"].to_numpy(zero_copy_only=False), np.int64))
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64())})
+
+    deduped = pairs_ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nb) \
+        .map_groups(fold, batch_format="pyarrow")
+    return nonempty(deduped, _PAIRS_EMPTY)
+
+
+def _keyed_pairs_bucketed(rows_ds, key_cols: list[str], id_col: str,
+                          num_partitions: int | None = None,
+                          cap: int = 1 << 30):
+    """Candidate (a, b) pairs within each exact ``key_cols`` group,
+    via ONE coarse hash shuffle: rows bucket by key-hash % nb (same-key
+    rows always co-bucket), and the per-bucket fold generates every
+    group's pairs in one vectorised pass — segment the sorted rows by
+    key, then for row j of its segment emit (all earlier ids, id_j)
+    with the standard repeat/arange construction. Groups above ``cap``
+    degrade to the consecutive chain (connectivity preserved — same
+    rule as the per-group form). Replaces
+    ``groupby(key).map_groups(_bucket_pairs)``: Ray's HashAggregate
+    pays per distinct key (band-buckets / grams are ~|corpus| distinct),
+    the fold pays per PARTITION.
+
+    Key columns of any type collapse to one 64-bit digest (ints through
+    :func:`hash64`, everything else through the stable string hash); a
+    digest collision can only ADD a candidate pair, and every caller
+    exact-verifies candidates downstream, so outputs stay exact."""
+    from pyrosm_ray.stages.blocks import sized_partitions
+    nb = num_partitions or sized_partitions(rows_ds,
+                                            rows_per_part=2_000_000)
+
+    def digest(t: pa.Table) -> np.ndarray:
+        key = np.zeros(t.num_rows, np.uint64)
+        for c in key_cols:
+            col = t[c]
+            if pa.types.is_integer(col.type):
+                h = hash64(np.asarray(
+                    col.to_numpy(zero_copy_only=False),
+                    np.int64).view(np.uint64), 11)
+            else:
+                h = stable64_many(
+                    col.cast(pa.string()).to_pylist())
+            key = key * np.uint64(0x100000001B3) ^ h
+        return key
+
+    def bucket(t: pa.Table) -> pa.Table:
+        key = digest(t)
+        return pa.table({
+            "__k": pa.array(key.view(np.int64), pa.int64()),
+            id_col: t[id_col],
+            "__p": pa.array((key % np.uint64(nb)).astype(np.int64)),
+        })
+
+    def fold(g: pa.Table) -> pa.Table:
+        keys = np.asarray(g["__k"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        order = np.lexsort((ids, keys))
+        ids, keys = ids[order], keys[order]
+        # drop duplicate (key, id) rows
+        if len(ids):
+            keep = np.ones(len(ids), bool)
+            keep[1:] = ~((keys[1:] == keys[:-1]) & (ids[1:] == ids[:-1]))
+            ids, keys = ids[keep], keys[keep]
+            seg_id = np.zeros(len(ids), np.int64)
+            seg_id[1:] = np.cumsum(keys[1:] != keys[:-1])
+        else:
+            seg_id = ids
+        n = len(ids)
+        if n == 0:
+            return _PAIRS_EMPTY
+        first = np.nonzero(np.r_[True, seg_id[1:] != seg_id[:-1]])[0]
+        seg_start = first[seg_id]                     # start row per row
+        seg_len = np.bincount(seg_id)
+        pos = np.arange(n) - seg_start                # rank in segment
+        # pairs with row j as the RIGHT element: its whole prefix, or
+        # just its predecessor when the segment exceeds cap (chain rule)
+        big = seg_len[seg_id] > cap
+        rep = np.where(big, (pos > 0).astype(np.int64), pos)
+        total = int(rep.sum())
+        if total == 0:
+            return _PAIRS_EMPTY
+        b_idx = np.repeat(np.arange(n), rep)
+        run_end = np.cumsum(rep)
+        run_off = np.arange(total) - np.repeat(run_end - rep, rep)
+        a_start = np.where(big, np.arange(n) - 1, seg_start)
+        a_idx = np.repeat(a_start, rep) + run_off
+        return pa.table({"a": pa.array(ids[a_idx], pa.int64()),
+                         "b": pa.array(ids[b_idx], pa.int64())})
+
+    return rows_ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nb) \
+        .map_groups(fold, batch_format="pyarrow")
 
 
 def _binary_u64_csr(col) -> tuple[np.ndarray, np.ndarray]:
@@ -602,9 +717,9 @@ def minhash_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         lambda b: _band_rows(b.select([id_col, "sig"]), id_col, num_perm,
                              bands),
         batch_format="pyarrow")
-    cand_raw = nonempty(banded.groupby(["band", "bucket"]).map_groups(
-        lambda g: _bucket_pairs(g, id_col, bucket_cap),
-        batch_format="pyarrow"), _PAIRS_EMPTY)
+    cand_raw = nonempty(_keyed_pairs_bucketed(
+        banded, ["band", "bucket"], id_col, cap=bucket_cap),
+        _PAIRS_EMPTY)
     n_cand = cand_raw.count()
     if n_cand == 0:
         return attach_components(ds, None, id_col, out_col="dup_of")
@@ -716,11 +831,55 @@ def hamming_pairs(sig, id_col: str = "doc_id", hash_col: str = "simhash",
             id_col: pa.array(np.concatenate(oids)),
         })
 
-    cand = sig.map_batches(band_rows, batch_format="pyarrow") \
-        .groupby(["band", "bucket"]).map_groups(
-            lambda g: _bucket_pairs(g, id_col, cap=1 << 30),
-            batch_format="pyarrow")
-    cand = _distinct_pairs(cand)
+    cand = _distinct_pairs(_keyed_pairs_bucketed(
+        sig.map_batches(band_rows, batch_format="pyarrow"),
+        ["band", "bucket"], id_col, num_partitions=num_partitions))
+
+    # broadcast verify under the standard pair threshold: popcount is
+    # pure 64-bit arithmetic, so small candidate sets verify on the
+    # driver against a map-side-filtered (id, hash) gather — the two
+    # hash-shuffle joins (dominant fixed cost at small counts) drop out
+    n_cand = cand.count()
+    if n_cand <= PAIRS_BROADCAST_MAX:
+        import ray.data as rd
+        pdf = cand.to_pandas()
+        a = np.asarray(pdf["a"], np.int64)
+        b = np.asarray(pdf["b"], np.int64)
+        involved = np.unique(np.concatenate([a, b])) if len(a) else \
+            np.empty(0, np.int64)
+        inv_ref = ray.put(involved)
+
+        def sub(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                             np.int64)
+            arr = ray.get(inv_ref)
+            pos = np.clip(np.searchsorted(arr, ids), 0,
+                          max(len(arr) - 1, 0))
+            m = arr[pos] == ids if len(arr) else np.zeros(len(ids), bool)
+            return pa.table({id_col: batch[id_col],
+                             hash_col: batch[hash_col]}) \
+                .filter(pa.array(m))
+
+        hp = sig.map_batches(sub, batch_format="pyarrow").to_pandas()
+        ids_s = np.asarray(hp[id_col], np.int64)
+        order = np.argsort(ids_s, kind="stable")
+        ids_s = ids_s[order]
+        hs = np.asarray(hp[hash_col], np.int64)[order].view(np.uint64)
+
+        def hval(x):
+            pos = np.clip(np.searchsorted(ids_s, x), 0,
+                          max(len(ids_s) - 1, 0))
+            return hs[pos] if len(ids_s) else np.zeros(len(x), np.uint64)
+
+        ham = popcount64(hval(a) ^ hval(b)) if len(a) else \
+            np.empty(0, np.int64)
+        keep = ham <= max_hamming
+        return rd.from_arrow(pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "hamming": pa.array(np.asarray(ham[keep], np.int64),
+                                pa.int64()),
+        }))
 
     sim_proj = sig.map_batches(lambda b: b.select([id_col, hash_col]),
                                batch_format="pyarrow")
@@ -800,11 +959,24 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
             id_col: pa.array(np.concatenate(ids_out)),
         })
 
-    cand = sig_ds.map_batches(prefix_rows, batch_format="pyarrow") \
-        .groupby("gram").map_groups(
-            lambda g: _bucket_pairs(g, id_col, cap=1 << 30),
-            batch_format="pyarrow")
-    cand = _distinct_pairs(cand)
+    cand = _distinct_pairs(_keyed_pairs_bucketed(
+        sig_ds.map_batches(prefix_rows, batch_format="pyarrow"),
+        ["gram"], id_col, num_partitions=num_partitions))
+    # same adaptive routing as minhash: small candidate sets verify via
+    # the broadcast CSR kernel (no join fixed costs), large ones keep
+    # the join-based distributed verify
+    n_cand = cand.count()
+    if n_cand <= PAIRS_BROADCAST_MAX:
+        import ray.data as rd
+        pdf = cand.to_pandas()
+        va, vb, vj = _verify_pairs_jaccard_broadcast(
+            np.asarray(pdf["a"], np.int64),
+            np.asarray(pdf["b"], np.int64), sig_ds, id_col, threshold)
+        return rd.from_arrow(pa.table({
+            "a": pa.array(va, pa.int64()),
+            "b": pa.array(vb, pa.int64()),
+            "jaccard": pa.array(vj, pa.float64()),
+        }))
     return _verify_pairs_jaccard(cand, sig_ds, id_col, threshold,
                                  num_partitions)
 
