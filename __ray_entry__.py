@@ -544,6 +544,112 @@ def q_redact_pii(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q_image_near_dup(sf_dir: str):
+    """Perceptual image near-dup over REAL decoded pixels: closed-form
+    PNGs per doc -> actor-pool dHash64 -> complete pigeonhole banding ->
+    exact popcount pairs. The SQL oracle recomputes the dHash from the
+    pixel law from first principles (luma -> 8x9 nearest-neighbour grid
+    -> horizontal comparisons packed into two 32-bit halves) and
+    all-pairs filters on bit_count(xor) — the whole perceptual-hash
+    chain is oracle-checked, not just pinned by pytest."""
+    from pyrosm_ray.stages.multimodal import (image_near_dup,
+                                              synth_image_media)
+    media = synth_image_media(_read(sf_dir, "documents", ["doc_id"]))
+    df = image_near_dup(media, max_hamming=20).to_pandas()
+    return df[["a", "b", "hamming"]].sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+
+
+def _image_near_dup_sql(max_hamming: int = 20) -> str:
+    """DuckDB twin of q_image_near_dup (validated bit-exact vs
+    multimodal.dhash64 on the synthesis law of synth_image_media)."""
+    def px(off: str) -> str:
+        return ("((d.doc_id*31 + (3*(((i.range*d.h)//8)*d.w + "
+                f"((j.range*d.w)//9)){off})*7919) % 256)")
+    return f"""
+        WITH dims AS (SELECT doc_id, 16 + doc_id % 17 AS h,
+                             16 + (doc_id*7) % 13 AS w
+                      FROM documents),
+        g AS (
+          SELECT d.doc_id, i.range AS i, j.range AS j,
+                 ((299*{px('')} + 587*{px(' + 1')}
+                   + 114*{px(' + 2')}) // 1000) AS luma
+          FROM dims d, range(8) i, range(9) j
+        ),
+        bits AS (
+          SELECT a.doc_id, a.i*8 + a.j AS k,
+                 CASE WHEN b.luma > a.luma
+                      THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+          FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i = a.i
+                           AND b.j = a.j + 1
+          WHERE a.j < 8
+        ),
+        dh AS (
+          SELECT doc_id,
+                 SUM(CASE WHEN k < 32 THEN bit << k ELSE 0 END) AS lo,
+                 SUM(CASE WHEN k >= 32 THEN bit << (k - 32)
+                          ELSE 0 END) AS hi
+          FROM bits GROUP BY doc_id
+        )
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.lo, y.lo))
+                    + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+        FROM dh x JOIN dh y ON y.doc_id > x.doc_id
+        WHERE bit_count(xor(x.lo, y.lo))
+              + bit_count(xor(x.hi, y.hi)) <= {max_hamming}
+        ORDER BY a, b"""
+
+
+def q_audio_near_dup(sf_dir: str):
+    """Audio near-dup over REAL decoded WAV PCM: closed-form clips per
+    doc -> actor-pool envelope fingerprint (65-window energy
+    sign-of-delta) -> pigeonhole banding -> exact popcount pairs. The
+    SQL oracle rebuilds the fingerprint from the PCM law (integer v*v
+    window sums are exact in both engines — every float64 term is
+    k^2*2^-30 with the numerator sum < 2^53) and all-pairs filters on
+    bit_count(xor)."""
+    from pyrosm_ray.stages.multimodal import (audio_near_dup,
+                                              synth_audio_media)
+    media = synth_audio_media(_read(sf_dir, "documents", ["doc_id"]))
+    df = audio_near_dup(media, max_hamming=6).to_pandas()
+    return df[["a", "b", "hamming"]].sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+
+
+def _audio_near_dup_sql(max_hamming: int = 6) -> str:
+    """DuckDB twin of q_audio_near_dup (validated bit-exact vs
+    multimodal.audio_fingerprint64 through the WAV codec; the
+    ((k+1)*65-1)//n window index is the floor-edges duality, verified
+    for every fixture clip length)."""
+    return f"""
+        WITH docs AS (SELECT doc_id, 800 + (doc_id % 5) * 160 AS n
+                      FROM documents),
+        s AS (SELECT d.doc_id, d.n, k.range AS k,
+                     ((d.doc_id*13 + k.range*31) % 4096 - 2048) AS v
+              FROM docs d, range(1440) k WHERE k.range < d.n),
+        e AS (SELECT doc_id, ((k + 1) * 65 - 1) // n AS w, SUM(v*v) AS en
+              FROM s GROUP BY doc_id, ((k + 1) * 65 - 1) // n),
+        bits AS (SELECT a.doc_id, a.w AS k,
+                        CASE WHEN b.en > a.en
+                             THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+                 FROM e a JOIN e b ON b.doc_id = a.doc_id
+                                  AND b.w = a.w + 1
+                 WHERE a.w < 64),
+        fp AS (SELECT doc_id,
+                      SUM(CASE WHEN k < 32 THEN bit << k ELSE 0 END)
+                          AS lo,
+                      SUM(CASE WHEN k >= 32 THEN bit << (k - 32)
+                               ELSE 0 END) AS hi
+               FROM bits GROUP BY doc_id)
+        SELECT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.lo, y.lo))
+                    + bit_count(xor(x.hi, y.hi)) AS BIGINT) AS hamming
+        FROM fp x JOIN fp y ON y.doc_id > x.doc_id
+        WHERE bit_count(xor(x.lo, y.lo))
+              + bit_count(xor(x.hi, y.hi)) <= {max_hamming}
+        ORDER BY a, b"""
+
+
 def q_media_image(sf_dir: str):
     """REAL image decode pipeline: synthesize closed-form PNGs per doc,
     run the actor-pool extractor (stdlib PNG decode), emit exact integer
@@ -1446,6 +1552,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents ORDER BY doc_id""",
+        "q_image_near_dup": _image_near_dup_sql(max_hamming=20),
+        "q_audio_near_dup": _audio_near_dup_sql(max_hamming=6),
         "q_line_dedup": f"""
             WITH ex AS (
               SELECT url, {page_id_sql()} AS pid,
@@ -1905,6 +2013,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_normalize_text": q_normalize_text,
         "q_exact_dedup": q_exact_dedup,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_image_near_dup": q_image_near_dup,
+        "q_audio_near_dup": q_audio_near_dup,
         "q_line_dedup": q_line_dedup,
         "q_hash_sample": q_hash_sample,
         "q_topk_per_lang": q_topk_per_lang,

@@ -284,6 +284,63 @@ def extract_audio_features(media_ds, batch_size: int = 128,
         concurrency=concurrency)
 
 
+def audio_fingerprint64(wav: np.ndarray) -> int:
+    """64-bit energy-envelope fingerprint: the waveform splits into 65
+    equal windows, window energy = sum of squares, bit i = energy rises
+    from window i to i+1 (the sign-of-delta rule — the same robustness
+    idea as image dHash: re-encodes and level shifts preserve the
+    envelope SHAPE). Waveforms shorter than 65 samples zero-pad."""
+    n = max(len(wav), 65)
+    buf = np.zeros(n, np.float64)
+    buf[:len(wav)] = np.asarray(wav, np.float64)
+    edges = (np.arange(66) * n) // 65
+    sq = np.zeros(n + 1, np.float64)
+    np.cumsum(buf * buf, out=sq[1:])
+    energy = sq[edges[1:]] - sq[edges[:-1]]
+    bits = energy[1:] > energy[:-1]
+    return int(np.uint64(
+        (bits.astype(np.uint64)
+         << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)))
+
+
+class AudioFingerprinter(AudioFeatureExtractor):
+    """Actor-pool stage: per-clip 64-bit envelope fingerprint (decoder
+    state inherited — resolved once per actor)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        fps = np.zeros(batch.num_rows, dtype=np.uint64)
+        for i, p in enumerate(batch["payload"].to_pylist()):
+            if p is not None:
+                wav, _ = self._decode(p)
+                fps[i] = audio_fingerprint64(wav)
+        return pa.table({
+            "id": batch["id"],
+            "afp": pa.array(fps.view(np.int64), pa.int64()),
+        })
+
+
+def audio_fingerprints(media_ds, batch_size: int = 128,
+                       concurrency=(1, 8)):
+    """(id, afp:int64) per clip — the audio signature stage."""
+    return media_ds.map_batches(
+        AudioFingerprinter, batch_format="pyarrow",
+        batch_size=batch_size, concurrency=concurrency)
+
+
+def audio_near_dup(media_ds, max_hamming: int = 4,
+                   batch_size: int = 128, concurrency=(1, 8),
+                   num_partitions: int = 8):
+    """Exact Hamming-<=k pairs over audio envelope fingerprints — the
+    audio twin of :func:`image_near_dup`, riding the same complete
+    pigeonhole :func:`pyrosm_ray.stages.dedup.hamming_pairs` banding."""
+    from pyrosm_ray.stages.dedup import hamming_pairs
+    sig = audio_fingerprints(media_ds, batch_size=batch_size,
+                             concurrency=concurrency).materialize()
+    return hamming_pairs(sig, id_col="id", hash_col="afp",
+                         max_hamming=max_hamming,
+                         num_partitions=num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # deterministic media synthesis (oracle-checkable REAL decode pipelines)
 # ---------------------------------------------------------------------------

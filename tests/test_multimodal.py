@@ -152,3 +152,73 @@ def test_image_dhash_deterministic(ray_session):
     b = image_dhash(rd.from_arrow(t).repartition(3)).to_pandas() \
         .sort_values("id")
     assert a["dhash"].tolist() == b["dhash"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# audio envelope fingerprint near-dup (real WAV decode path)
+# ---------------------------------------------------------------------------
+
+def _wav_media(waves, rate=8000):
+    from pyrosm_ray.stages import codecs
+    return pa.table({
+        "id": pa.array(np.arange(len(waves)), pa.int64()),
+        "payload": pa.array([codecs.encode_wav_pcm16(w, rate)
+                             for w in waves], pa.binary()),
+        "media_type": pa.array(["audio"] * len(waves), pa.string()),
+        "meta": pa.array([[]] * len(waves),
+                         pa.map_(pa.string(), pa.string())),
+    })
+
+
+def _tone(n=4000, freq=3.0, amp=0.5, seed=None):
+    """Amplitude-modulated tone: the envelope (not the carrier) drives
+    the fingerprint, so copies at other LEVELS stay close."""
+    t = np.linspace(0, 1, n, endpoint=False)
+    env = 0.5 + 0.45 * np.sin(2 * np.pi * freq * t)
+    wav = amp * env * np.sin(2 * np.pi * 440 * t)
+    if seed is not None:
+        rng = np.random.default_rng(seed)
+        wav = wav + rng.normal(0, 1e-3, n)
+    return np.clip(wav, -1, 1)
+
+
+def test_audio_fingerprint_properties(ray_session):
+    from pyrosm_ray.stages.multimodal import (audio_fingerprint64,
+                                              audio_fingerprints)
+    a = _tone()
+    same_level_shift = _tone(amp=0.25)       # same envelope shape
+    different = _tone(freq=11.0)              # different envelope
+    fa = audio_fingerprint64(a)
+    fb = audio_fingerprint64(same_level_shift)
+    fc = audio_fingerprint64(different)
+    assert fa == fb                            # scale-invariant shape
+    assert bin(fa ^ fc).count("1") > 8
+    # stage output matches the scalar function through the WAV codec
+    # (16-bit quantisation may flip boundary bits on the noised copy,
+    # so pin the exact clip only)
+    t = _wav_media([a, different])
+    got = audio_fingerprints(rd.from_arrow(t)).to_pandas() \
+        .sort_values("id")
+    from pyrosm_ray.stages import codecs
+    dec_a, _ = codecs.decode_wav(codecs.encode_wav_pcm16(a, 8000))
+    assert np.uint64(got["afp"].iloc[0]) == \
+        np.uint64(audio_fingerprint64(dec_a))
+
+
+def test_audio_near_dup_pairs(ray_session):
+    from pyrosm_ray.stages.multimodal import (audio_fingerprints,
+                                              audio_near_dup)
+    waves = [_tone(), _tone(amp=0.3), _tone(seed=5),
+             _tone(freq=11.0), _tone(freq=23.0, amp=0.9)]
+    t = _wav_media(waves)
+    got = audio_near_dup(rd.from_arrow(t), max_hamming=6,
+                         batch_size=2).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    # driver oracle: all-pairs popcount over the stage's own signatures
+    fp = audio_fingerprints(rd.from_arrow(t)).to_pandas() \
+        .sort_values("id")["afp"].to_numpy(np.int64).view(np.uint64)
+    want = sorted((a, b) for a in range(5) for b in range(a + 1, 5)
+                  if bin(int(fp[a] ^ fp[b])).count("1") <= 6)
+    assert list(zip(got["a"], got["b"])) == want
+    assert (0, 1) in want and (0, 2) in want   # envelope copies pair up
+    assert (0, 3) not in want                  # different envelope apart
