@@ -320,6 +320,54 @@ def q_exact_dedup(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_similarity_join(sf_dir: str):
+    """Cross-corpus fuzzy join (the train x eval contamination-pair
+    shape): docs with doc_id % 3 == 0 as the left corpus vs the rest,
+    exact char-3-gram Jaccard >= 0.5 pairs via the prefix-filter
+    candidate machinery (complete per PAIR, so cross-corpus exactness
+    is inherited from the single-corpus proof)."""
+    from pyrosm_ray.stages.dedup import similarity_join
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(keep_left):
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            m = (ids % 3) == 0
+            return b.filter(pa.array(m if keep_left else ~m))
+        return docs.map_batches(f, batch_format="pyarrow")
+
+    df = similarity_join(side(True), side(False),
+                         threshold=0.5).to_pandas()
+    return df[["a", "b", "jaccard"]].sort_values(["a", "b"]) \
+        .reset_index(drop=True)
+
+
+def _similarity_join_sql(threshold: float = 0.5) -> str:
+    norm = _norm_text_sql()
+    return f"""
+        WITH nt AS (SELECT doc_id, doc_id % 3 = 0 AS is_l, {norm} AS t
+                    FROM documents),
+        np_ AS (SELECT doc_id, is_l,
+                       CASE WHEN len(t) < 3 THEN rpad(t, 3, ' ') ELSE t
+                       END AS t FROM nt),
+        gi AS (SELECT doc_id, is_l, t,
+                      unnest(generate_series(1, len(t) - 2)) AS i
+               FROM np_),
+        g AS (SELECT DISTINCT doc_id, is_l,
+                     md5_number_lower(substring(t, i, 3)) AS h FROM gi),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (SELECT ga.doc_id AS a, gb.doc_id AS b, COUNT(*) AS i
+                  FROM g ga JOIN g gb ON ga.h = gb.h
+                       AND ga.is_l AND NOT gb.is_l
+                  GROUP BY 1, 2)
+        SELECT a, b,
+               ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter JOIN sz sa ON sa.doc_id = a JOIN sz sb ON sb.doc_id = b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {threshold}
+        ORDER BY a, b"""
+
+
 def q_warc_roundtrip(sf_dir: str):
     """WARC source/sink over the documents table: write the corpus as
     sharded member-per-record .warc.gz (distributed sink, deterministic
@@ -1554,6 +1602,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id""",
         "q_image_near_dup": _image_near_dup_sql(max_hamming=20),
         "q_audio_near_dup": _audio_near_dup_sql(max_hamming=6),
+        "q_similarity_join": _similarity_join_sql(threshold=0.5),
         "q_line_dedup": f"""
             WITH ex AS (
               SELECT url, {page_id_sql()} AS pid,
@@ -2013,6 +2062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_normalize_text": q_normalize_text,
         "q_exact_dedup": q_exact_dedup,
         "q_warc_roundtrip": q_warc_roundtrip,
+        "q_similarity_join": q_similarity_join,
         "q_image_near_dup": q_image_near_dup,
         "q_audio_near_dup": q_audio_near_dup,
         "q_line_dedup": q_line_dedup,

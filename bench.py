@@ -233,6 +233,57 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: gopher_stats(read_parquet_split(
               docs_path, columns=["doc_id", "text"])).count())
 
+    # embedding curation family: SemDeDup (distributed Lloyd's + within-
+    # cluster prune) and PQ ANN (encode + ADC scan + exact rerank) over
+    # the embeddings table
+    emb_path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    if not os.path.exists(emb_path):
+        emb_path = "/root/testdata/sf0.1/embeddings.parquet"
+    from pyrosm_ray.stages.dedup import semantic_dedup
+    from pyrosm_ray.stages.similarity import (pq_encode, pq_topk,
+                                              pq_train, _emb_matrix)
+
+    def _emb():
+        return read_parquet_split(emb_path,
+                                  columns=["vec_id", "embedding"])
+    timed("semantic_dedup",
+          lambda: semantic_dedup(_emb(), n_clusters=16, threshold=0.4,
+                                 fit_iters=3).count())
+
+    def _pq():
+        import pyarrow.parquet as _pq_mod
+        ds = _emb()
+        cb = pq_train(ds, n_subvectors=4, n_centroids=64)
+        codes = pq_encode(ds, cb).materialize()
+        t = _pq_mod.read_table(emb_path).slice(0, 8).combine_chunks()
+        q = _emb_matrix(t, "embedding")
+        return len(pq_topk(codes, cb, q, k=10, rerank_ds=ds,
+                           shortlist=100).to_pandas())
+    timed("pq_ann", _pq)
+
+    # multimodal near-dup family over real PNG/WAV codec paths; the
+    # synthesized media tables materialize untimed (fixture generation,
+    # not the operator — same policy as the materialized polys/pois
+    # feeding the spatial joins), so the line times decode + signature +
+    # banding + verify
+    from pyrosm_ray.stages.multimodal import (audio_near_dup,
+                                              image_near_dup,
+                                              synth_audio_media,
+                                              synth_image_media)
+
+    def _docs_ids():
+        return read_parquet_split(docs_path, columns=["doc_id"])
+    if "image_near_dup" not in skip:
+        img_media = synth_image_media(_docs_ids()).materialize()
+        timed("image_near_dup",
+              lambda: image_near_dup(img_media, max_hamming=8).count(),
+              repeats=2)
+    if "audio_near_dup" not in skip:
+        wav_media = synth_audio_media(_docs_ids()).materialize()
+        timed("audio_near_dup",
+              lambda: audio_near_dup(wav_media, max_hamming=4).count(),
+              repeats=2)
+
     # co-partitioned PIP (the beyond-broadcast path): key-only cover rows
     # + per-polygon compact geometry join. join_payload=False so the
     # timing covers the join core (cell join + bbox prune + exact PIP),

@@ -331,15 +331,18 @@ def write_warc(ds, out_dir: str, url_col: str = "url",
                default_date: str = "2026-01-01T00:00:00Z",
                warc_type: str = "resource",
                content_type: str = "text/html",
-               compress: bool = True) -> pa.Table:
+               compress: bool = True, resume: bool = False) -> pa.Table:
     """Write ``ds`` as sharded ``.warc[.gz]`` under ``out_dir``; returns
     the manifest (shard path, record/byte counts) as a small Arrow table.
 
     Each input block becomes one shard whose name is derived from its
     first url + row count — deterministic for a fixed blocking, so a
-    rerun overwrites in place instead of duplicating, and a resumed run
-    can skip shards already present. Text payload columns are UTF-8
-    encoded; binary passes through byte-identical."""
+    rerun overwrites in place instead of duplicating, and
+    ``resume=True`` skips shards already on disk WITHOUT re-encoding
+    them (the killed-run restart contract: only missing partitions pay;
+    skipped shards still appear in the manifest, flagged ``resumed``).
+    Text payload columns are UTF-8 encoded; binary passes through
+    byte-identical."""
     os.makedirs(out_dir, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 
@@ -347,7 +350,8 @@ def write_warc(ds, out_dir: str, url_col: str = "url",
         if batch.num_rows == 0:
             return pa.table({"shard": pa.array([], pa.string()),
                              "n_records": pa.array([], pa.int64()),
-                             "n_bytes": pa.array([], pa.int64())})
+                             "n_bytes": pa.array([], pa.int64()),
+                             "resumed": pa.array([], pa.bool_())})
         urls = batch[url_col].to_pylist()
         pay_arr = batch[payload_col]
         if pa.types.is_string(pay_arr.type) \
@@ -360,6 +364,14 @@ def write_warc(ds, out_dir: str, url_col: str = "url",
         tag = hashlib.md5(
             f"{urls[0]}\x00{len(urls)}".encode()).hexdigest()[:16]
         shard = os.path.join(out_dir, f"part-{tag}{ext}")
+        if resume and os.path.exists(shard):
+            return pa.table({
+                "shard": pa.array([shard], pa.string()),
+                "n_records": pa.array([len(urls)], pa.int64()),
+                "n_bytes": pa.array([os.path.getsize(shard)],
+                                    pa.int64()),
+                "resumed": pa.array([True], pa.bool_()),
+            })
         raw = io.BytesIO()
         if compress:
             # one gzip member per record (the CC split contract);
@@ -381,6 +393,7 @@ def write_warc(ds, out_dir: str, url_col: str = "url",
             "shard": pa.array([shard], pa.string()),
             "n_records": pa.array([len(urls)], pa.int64()),
             "n_bytes": pa.array([len(blob)], pa.int64()),
+            "resumed": pa.array([False], pa.bool_()),
         })
 
     # map_batches with the default batch_size=None = one call per block

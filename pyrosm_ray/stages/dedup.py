@@ -919,6 +919,47 @@ def hamming_pairs(sig, id_col: str = "doc_id", hash_col: str = "simhash",
 # n-gram jaccard + embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _ngram_sigs_tbl(batch: pa.Table, id_col: str, text_col: str,
+                    n: int, id_offset: int = 0,
+                    id_limit: int | None = None) -> pa.Table:
+    """(id, packed-sorted-unique-gram-hash blob) rows; ``id_offset``
+    relocates one corpus's id space for the cross-corpus join, and
+    ``id_limit`` enforces the pre-relocation range [0, limit)."""
+    texts = batch[text_col].to_pylist()
+    sh = _char_ngrams_many(texts, n)
+    ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                     np.int64)
+    if id_limit is not None and len(ids) and (ids.min() < 0
+                                              or ids.max() >= id_limit):
+        raise ValueError("similarity_join ids must lie in "
+                         f"[0, {id_limit})")
+    return pa.table({
+        id_col: pa.array(ids + id_offset, pa.int64()),
+        "shingles": pa.array([s.astype("<u8").tobytes() for s in sh],
+                             pa.binary()),
+    })
+
+
+def _prefix_rows_tbl(batch: pa.Table, id_col: str,
+                     threshold: float) -> pa.Table:
+    """(gram, id) rows for each doc's prefix grams only (PPJoin rule)."""
+    ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
+    if len(ids) == 0:
+        return pa.table({"gram": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64())})
+    grams_out, ids_out = [], []
+    for i, blob in enumerate(batch["shingles"].to_pylist()):
+        s = np.frombuffer(blob, dtype="<u8")  # sorted unique
+        plen = len(s) - int(np.ceil(threshold * len(s))) + 1
+        grams_out.append(s[:max(plen, 1)])
+        ids_out.append(np.full(min(max(plen, 1), len(s)), ids[i],
+                               dtype=np.int64))
+    return pa.table({
+        "gram": pa.array(np.concatenate(grams_out).view(np.int64)),
+        id_col: pa.array(np.concatenate(ids_out)),
+    })
+
+
 def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
                         n: int = 3, threshold: float = 0.8,
                         num_partitions: int = 8):
@@ -930,37 +971,14 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
     at least one indexed gram, so the candidate set is complete and the
     output equals the exact all-pairs answer (which is what the SQL oracle
     computes)."""
-    def sigs(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        sh = _char_ngrams_many(texts, n)
-        return pa.table({
-            id_col: batch[id_col],
-            "shingles": pa.array([s.astype("<u8").tobytes() for s in sh],
-                                 pa.binary()),
-        })
-
-    sig_ds = ds.map_batches(sigs, batch_format="pyarrow").materialize()
-
-    def prefix_rows(batch: pa.Table) -> pa.Table:
-        """(gram, id) rows for each doc's prefix grams only."""
-        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
-        if len(ids) == 0:
-            return pa.table({"gram": pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64())})
-        grams_out, ids_out = [], []
-        for i, blob in enumerate(batch["shingles"].to_pylist()):
-            s = np.frombuffer(blob, dtype="<u8")  # sorted unique
-            plen = len(s) - int(np.ceil(threshold * len(s))) + 1
-            grams_out.append(s[:max(plen, 1)])
-            ids_out.append(np.full(min(max(plen, 1), len(s)), ids[i],
-                                   dtype=np.int64))
-        return pa.table({
-            "gram": pa.array(np.concatenate(grams_out).view(np.int64)),
-            id_col: pa.array(np.concatenate(ids_out)),
-        })
+    sig_ds = ds.map_batches(
+        lambda b: _ngram_sigs_tbl(b, id_col, text_col, n),
+        batch_format="pyarrow").materialize()
 
     cand = _distinct_pairs(_keyed_pairs_bucketed(
-        sig_ds.map_batches(prefix_rows, batch_format="pyarrow"),
+        sig_ds.map_batches(
+            lambda b: _prefix_rows_tbl(b, id_col, threshold),
+            batch_format="pyarrow"),
         ["gram"], id_col, num_partitions=num_partitions))
     # same adaptive routing as minhash: small candidate sets verify via
     # the broadcast CSR kernel (no join fixed costs), large ones keep
@@ -979,6 +997,73 @@ def ngram_jaccard_pairs(ds, id_col: str = "doc_id", text_col: str = "text",
         }))
     return _verify_pairs_jaccard(cand, sig_ds, id_col, threshold,
                                  num_partitions)
+
+
+_SIMJOIN_OFFSET = 1 << 40  # right-corpus id relocation (ids < 2^40)
+
+
+def similarity_join(left_ds, right_ds, id_col: str = "doc_id",
+                    text_col: str = "text", n: int = 3,
+                    threshold: float = 0.8, num_partitions: int = 8):
+    """EXACT cross-corpus n-gram Jaccard join: every (left, right) pair
+    with char-n-gram Jaccard >= threshold — the train x eval
+    contamination-pair / fuzzy-join shape engines usually lack.
+
+    Rides the single-corpus machinery unchanged: the right corpus's ids
+    relocate by 2^40 (both id spaces must lie in [0, 2^40) — enforced),
+    the union runs the same prefix-filter candidate generation (the
+    PPJoin completeness theorem is per-PAIR, so it holds across corpora
+    exactly as within one), within-side candidates drop with one
+    vectorised mask, and survivors verify through the shared
+    exact-Jaccard routes. Output: (a=left id, b=right id, jaccard) —
+    a < 2^40 <= b+offset guarantees the orientation."""
+    import ray.data as rd
+
+    sig_ds = left_ds.map_batches(
+        lambda b: _ngram_sigs_tbl(b, id_col, text_col, n,
+                                  id_limit=_SIMJOIN_OFFSET),
+        batch_format="pyarrow").union(right_ds.map_batches(
+            lambda b: _ngram_sigs_tbl(b, id_col, text_col, n,
+                                      id_offset=_SIMJOIN_OFFSET,
+                                      id_limit=_SIMJOIN_OFFSET),
+            batch_format="pyarrow")).materialize()
+
+    cand = _distinct_pairs(_keyed_pairs_bucketed(
+        sig_ds.map_batches(
+            lambda b: _prefix_rows_tbl(b, id_col, threshold),
+            batch_format="pyarrow"),
+        ["gram"], id_col, num_partitions=num_partitions))
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["a"].to_numpy(zero_copy_only=False), np.int64)
+        b = np.asarray(t["b"].to_numpy(zero_copy_only=False), np.int64)
+        return t.filter(pa.array((a < _SIMJOIN_OFFSET)
+                                 & (b >= _SIMJOIN_OFFSET)))
+
+    cand = cand.map_batches(cross_only, batch_format="pyarrow")
+
+    def unshift(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "a": t["a"],
+            "b": pc.subtract(t["b"], pa.scalar(_SIMJOIN_OFFSET,
+                                               pa.int64())),
+            "jaccard": t["jaccard"],
+        })
+
+    n_cand = cand.count()
+    if n_cand <= PAIRS_BROADCAST_MAX:
+        pdf = cand.to_pandas()
+        va, vb, vj = _verify_pairs_jaccard_broadcast(
+            np.asarray(pdf["a"], np.int64),
+            np.asarray(pdf["b"], np.int64), sig_ds, id_col, threshold)
+        return rd.from_arrow(unshift(pa.table({
+            "a": pa.array(va, pa.int64()),
+            "b": pa.array(vb, pa.int64()),
+            "jaccard": pa.array(vj, pa.float64()),
+        })))
+    return _verify_pairs_jaccard(cand, sig_ds, id_col, threshold,
+                                 num_partitions) \
+        .map_batches(unshift, batch_format="pyarrow")
 
 
 _LSH_PREFIX_BITS = 16

@@ -607,3 +607,80 @@ def test_semantic_dedup_kmeans_route(ray_session):
                          threshold=0.95, fit_iters=3)
     assert sorted(base.to_pandas()["vec_id"]) == [0, 1, 4, 20]
     assert sorted(fit.to_pandas()["vec_id"]) == [0, 1, 4, 20]
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus similarity join
+# ---------------------------------------------------------------------------
+
+def test_similarity_join_cross_only_and_exact(ray_session):
+    import duckdb
+
+    left = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over the lazy cat",  # near-dup of 0 (within-left: must NOT pair)
+            "completely different text about parquet files",
+        ]),
+    })
+    right = pa.table({
+        "doc_id": pa.array([0, 7, 9], pa.int64()),  # id 0 collides with left's
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog!",  # near-dup of left 0/1
+            "completely different text about parquet files!",  # near-dup of left 2
+            "nothing like anything else here at all",
+        ]),
+    })
+    got = dedup.similarity_join(rd.from_arrow(left).repartition(2),
+                                rd.from_arrow(right).repartition(2),
+                                threshold=0.55).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    # DuckDB all-pairs twin over the same normalised 3-gram rule
+    con = duckdb.connect()
+    con.register("l", left)
+    con.register("r", right)
+    def gram_cte(tbl, gname):
+        return f"""
+        nt_{gname} AS (SELECT doc_id,
+                list_aggregate(regexp_extract_all(lower(text), '\\S+'),
+                               'string_agg', ' ') AS t FROM {tbl}),
+        np_{gname} AS (SELECT doc_id,
+                CASE WHEN len(t) < 3 THEN rpad(t, 3, ' ') ELSE t END AS t
+                FROM nt_{gname}),
+        gi_{gname} AS (SELECT doc_id, t,
+                unnest(generate_series(1, len(t) - 2)) AS i
+                FROM np_{gname}),
+        {gname} AS (SELECT DISTINCT doc_id,
+                md5_number_lower(substring(t, i, 3)) AS h
+                FROM gi_{gname})"""
+    ora = con.execute(f"""
+        WITH {gram_cte('l', 'gl')}, {gram_cte('r', 'gr')},
+        sl AS (SELECT doc_id, COUNT(*) n FROM gl GROUP BY doc_id),
+        sr AS (SELECT doc_id, COUNT(*) n FROM gr GROUP BY doc_id),
+        inter AS (SELECT gl.doc_id a, gr.doc_id b, COUNT(*) i
+                  FROM gl JOIN gr ON gl.h = gr.h GROUP BY 1, 2)
+        SELECT a, b,
+               ROUND(CAST(i AS DOUBLE) / (sl.n + sr.n - i), 6) AS jaccard
+        FROM inter JOIN sl ON sl.doc_id = a JOIN sr ON sr.doc_id = b
+        WHERE CAST(i AS DOUBLE) / (sl.n + sr.n - i) >= 0.55
+        ORDER BY a, b""").fetch_df()
+    assert got["a"].tolist() == ora["a"].tolist()
+    assert got["b"].tolist() == ora["b"].tolist()
+    assert np.allclose(got["jaccard"], ora["jaccard"])
+    # within-side near-dup (left 0 vs left 1) never appears
+    assert not ((got["a"] == 0) & (got["b"] == 1)
+                & (got["jaccard"] > 0.9)).any()
+    # cross pairs present: left 0 x right 0 and left 2 x right 7
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 0) in pairs and (2, 7) in pairs
+
+
+def test_similarity_join_id_range_enforced(ray_session):
+    bad = pa.table({"doc_id": pa.array([1 << 41], pa.int64()),
+                    "text": pa.array(["abcdef"])})
+    ok = pa.table({"doc_id": pa.array([1], pa.int64()),
+                   "text": pa.array(["abcdef"])})
+    with pytest.raises(Exception):
+        dedup.similarity_join(rd.from_arrow(bad),
+                              rd.from_arrow(ok)).to_pandas()

@@ -136,3 +136,21 @@ def test_warc_binary_payload_passthrough(ray_session, tmp_path):
                "-stream")
     got = _got(read_warc(out, target_bytes=128))
     assert got == {u: p for u, p in zip(t["url"].to_pylist(), payloads)}
+
+
+def test_warc_resume_skips_existing_shards(ray_session, tmp_path):
+    """resume=True: present shards are not re-encoded (bytes untouched,
+    manifest flags them); a deleted shard is the only one rewritten."""
+    t = _docs(n=12)
+    out = str(tmp_path / "res")
+    m1 = write_warc(rd.from_arrow(t).repartition(3), out)
+    shards = sorted(m1["shard"].to_pylist())
+    victim = shards[0]
+    os.remove(victim)
+    mtimes = {s: os.path.getmtime(s) for s in shards[1:]}
+    m2 = write_warc(rd.from_arrow(t).repartition(3), out, resume=True)
+    flags = dict(zip(m2["shard"].to_pylist(), m2["resumed"].to_pylist()))
+    assert flags[victim] is False          # rewritten
+    assert all(flags[s] for s in shards[1:])  # skipped
+    assert all(os.path.getmtime(s) == mtimes[s] for s in shards[1:])
+    assert _got(read_warc(out)) == _expected(t)
