@@ -252,6 +252,19 @@ def q_normalize_text(sf_dir: str):
         .reset_index(drop=True)
 
 
+def q_rolling_events(sf_dir: str):
+    """Trailing 5-row window aggregate per user over the events stream
+    (SQL ROWS BETWEEN 4 PRECEDING AND CURRENT ROW): one key-hash
+    shuffle + segmented-numpy fold, integer-cent sums."""
+    from pyrosm_ray.stages.windows import rolling_agg
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value"])
+    df = rolling_agg(ds, window_rows=5).to_pandas()
+    return df[["event_id", "user_id", "rolling_sum_cents",
+               "rolling_n"]].sort_values("event_id") \
+        .reset_index(drop=True)
+
+
 def q_sessionize(sf_dir: str):
     """Session-gap window over the events stream (30-min gap): one row
     per (user, session) with start/end, count, integer-cent value sum."""
@@ -1714,6 +1727,15 @@ def oracle_sql() -> dict[str, str]:
             + _sampling.redact_pii_sql("text") + " AS text_redacted, "
             + _sampling.redact_count_sql("text")
             + " AS n_redactions FROM aug ORDER BY doc_id"),
+        "q_rolling_events": """
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                        AS BIGINT) AS rolling_sum_cents,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS rolling_n
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id""",
         "q_sessionize": """
             WITH flagged AS (
               SELECT user_id, ts, event_id, value,
@@ -2057,6 +2079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,
         "q_repetition": q_repetition,
+        "q_rolling_events": q_rolling_events,
         "q_sessionize": q_sessionize,
         "q_url_canonical": q_url_canonical,
         "q_normalize_text": q_normalize_text,

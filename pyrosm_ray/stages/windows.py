@@ -277,3 +277,62 @@ def band_join(left_ds, right_ds, band_s: int, by_col: str = "user_id",
                      right_id, nb)
     return u.groupby("__p", num_partitions=nb) \
         .map_groups(per_bucket, batch_format="pyarrow")
+
+
+def rolling_agg(ds, window_rows: int, by_col: str = "user_id",
+                ts_col: str = "ts", value_col: str = "value",
+                id_col: str = "event_id",
+                num_partitions: int | None = None):
+    """Trailing row-window aggregate per key — SQL's
+    ``SUM/COUNT(...) OVER (PARTITION BY key ORDER BY ts, id ROWS
+    BETWEEN window_rows-1 PRECEDING AND CURRENT ROW)``.
+
+    Same execution shape as the other windows: one key-hash shuffle,
+    then one segmented-numpy fold per BUCKET — rows lexsort by
+    (key, ts, id), values cumsum once, and every row's window sum is
+    ``cs[i+1] - cs[max(i-w+1, run_start_i)]`` (two gathers, no loop).
+    Values aggregate as integer cents (ROUND half-away), so sums are
+    order-independent and the DuckDB oracle reproduces them exactly.
+    Output: (id, key, rolling_sum_cents, rolling_n)."""
+    w = int(window_rows)
+    if w < 1:
+        raise ValueError("window_rows must be >= 1")
+    nb = num_partitions or sized_partitions(ds)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        keys = np.asarray(b[by_col].to_numpy(zero_copy_only=False),
+                          np.int64)
+        return b.append_column("__p", pa.array(_bucket_of(keys, nb)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        k = np.asarray(g[by_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        t = np.asarray(g[ts_col].to_numpy(zero_copy_only=False))
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        val = np.asarray(g[value_col].to_numpy(zero_copy_only=False),
+                         np.float64)
+        order = np.lexsort((ids, t, k))
+        k, ids, val = k[order], ids[order], val[order]
+        cents = np.floor(np.abs(val) * 100.0 + 0.5).astype(np.int64) \
+            * np.where(val < 0, -1, 1)
+        starts = _run_starts(k)
+        flag = np.zeros(len(k), np.int64)
+        flag[starts] = 1
+        seg_start = starts[np.cumsum(flag) - 1] if len(k) else \
+            np.empty(0, np.int64)
+        cs = np.zeros(len(k) + 1, np.int64)
+        np.cumsum(cents, out=cs[1:])
+        idx = np.arange(len(k))
+        lo = np.maximum(idx - w + 1, seg_start)
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            by_col: pa.array(k, pa.int64()),
+            "rolling_sum_cents": pa.array(cs[idx + 1] - cs[lo],
+                                          pa.int64()),
+            "rolling_n": pa.array(idx - lo + 1, pa.int64()),
+        })
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nb) \
+        .map_groups(per_bucket, batch_format="pyarrow")

@@ -88,3 +88,53 @@ def test_band_join_inclusive_bounds(ray_session):
         .sort_values("event_id").reset_index(drop=True)
     # 100 @01:00, band [00:30, 01:00]: 00:30 inclusive + both 00:59:59
     assert list(out.n_in_band) == [3, 0, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# rolling_agg (trailing row window)
+# ---------------------------------------------------------------------------
+
+def test_rolling_agg_matches_duckdb_window(ray_session):
+    import duckdb
+    rng = np.random.default_rng(12)
+    n = 400
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n), pa.int64()),
+        "value": pa.array(np.round(rng.uniform(-50, 50, n), 2),
+                          pa.float64()),
+    })
+    from pyrosm_ray.stages.windows import rolling_agg
+    got = rolling_agg(rd.from_arrow(t).repartition(5), window_rows=4) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("ev", t)
+    ora = con.execute("""
+        SELECT event_id, user_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
+                   AS rolling_sum_cents,
+               COUNT(*) OVER w AS rolling_n
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""").fetch_df()
+    assert got["event_id"].tolist() == ora["event_id"].tolist()
+    assert got["rolling_sum_cents"].tolist() == \
+        ora["rolling_sum_cents"].astype(int).tolist()
+    assert got["rolling_n"].tolist() == \
+        ora["rolling_n"].astype(int).tolist()
+
+
+def test_rolling_agg_window_one_is_identity(ray_session):
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([7, 7, 7], pa.int64()),
+        "ts": pa.array([10, 20, 30], pa.int64()),
+        "value": pa.array([1.25, -2.5, 0.005], pa.float64()),
+    })
+    from pyrosm_ray.stages.windows import rolling_agg
+    got = rolling_agg(rd.from_arrow(t), window_rows=1).to_pandas() \
+        .sort_values("event_id")
+    assert got["rolling_sum_cents"].tolist() == [125, -250, 1]
+    assert got["rolling_n"].tolist() == [1, 1, 1]
