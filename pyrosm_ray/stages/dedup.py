@@ -814,6 +814,49 @@ def hamming_pairs(sig, id_col: str = "doc_id", hash_col: str = "simhash",
     widths[:64 % bands] += 1
     starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
 
+    # small-corpus fast path (same policy as minhash_dedup's
+    # driver-banding route): 16 bytes/row means BANDED_DRIVER_MAX/bands
+    # rows collect in a few MB, and the (band, bucket) shuffle's fixed
+    # cost dominates at that size. One numpy pass per band produces the
+    # IDENTICAL pair set as the distributed fold; the distributed route
+    # below stays the 10^12-doc shape.
+    n_rows = sig.count()
+    if n_rows * bands <= BANDED_DRIVER_MAX:
+        import ray.data as rd
+        parts = [pa.table(b) for b in
+                 sig.select_columns([id_col, hash_col]).iter_batches(
+                     batch_size=1 << 16, batch_format="pyarrow")]
+        tbl = pa.concat_tables(parts) if parts else None
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if tbl is None or not len(tbl):
+            return rd.from_arrow(empty)
+        ids_np = np.asarray(tbl[id_col].to_numpy(zero_copy_only=False),
+                            dtype=np.int64)
+        hs = np.asarray(tbl[hash_col].to_numpy(zero_copy_only=False)
+                        ).astype(np.int64).view(np.uint64)
+        buckets = np.empty((len(ids_np), bands), dtype=np.uint64)
+        for b_i in range(bands):
+            mask = np.uint64((1 << int(widths[b_i])) - 1)
+            buckets[:, b_i] = (hs >> np.uint64(starts[b_i])) & mask
+        a, b = _banded_pairs_np(ids_np, buckets, bands, cap=1 << 30)
+        if not len(a):
+            return rd.from_arrow(empty)
+        a, b = _distinct_pairs_np(a, b)
+        order = np.argsort(ids_np, kind="stable")
+        ids_s, hs_s = ids_np[order], hs[order]
+        ha = hs_s[np.searchsorted(ids_s, a)]
+        hb = hs_s[np.searchsorted(ids_s, b)]
+        ham = popcount64(ha ^ hb)
+        keep = ham <= max_hamming
+        return rd.from_arrow(pa.table({
+            "a": pa.array(a[keep], pa.int64()),
+            "b": pa.array(b[keep], pa.int64()),
+            "hamming": pa.array(np.asarray(ham[keep], np.int64),
+                                pa.int64()),
+        }))
+
     def band_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False))
         sh = np.asarray(batch[hash_col].to_numpy(zero_copy_only=False)

@@ -208,6 +208,31 @@ def test_simhash_pairs_complete(ray_session):
     assert got == expect
 
 
+def test_hamming_pairs_route_parity(ray_session, monkeypatch):
+    """Driver-banding fast path and the distributed (band,bucket)-shuffle
+    route must produce the identical pair set."""
+    ds = rd.from_arrow(_corpus())
+    sig = ds.map_batches(
+        lambda b: dedup.simhash_batch(b, "doc_id", "text"),
+        batch_format="pyarrow").materialize()
+
+    def pairs():
+        out = dedup.hamming_pairs(sig, id_col="doc_id",
+                                  hash_col="simhash",
+                                  max_hamming=12).to_pandas()
+        return sorted(zip(out.a, out.b, out.hamming))
+
+    fast = pairs()
+    assert fast  # the corpus has near-dup pairs at this budget
+    monkeypatch.setattr(dedup, "BANDED_DRIVER_MAX", 0)
+    dist = pairs()
+    assert fast == dist
+    # and past the broadcast-verify threshold too (full join route)
+    monkeypatch.setattr(dedup, "PAIRS_BROADCAST_MAX", 0)
+    joined = pairs()
+    assert fast == joined
+
+
 def test_ngram_jaccard_prefix_filter_complete(ray_session):
     """Prefix filtering must return EXACTLY the all-pairs answer."""
     t = _corpus()
