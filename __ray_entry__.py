@@ -157,6 +157,29 @@ def q_unigram_logprob(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+_BM25_QUERY = "hash join merge window"  # terms present in the fixture vocab
+
+
+def q_bm25_score(sf_dir: str):
+    """BM25 relevance over the corpus: two-pass aggregate->broadcast->
+    score, quantised to integer micro-units for oracle exactness."""
+    from pyrosm_ray.stages.search import bm25_score
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = bm25_score(ds, _BM25_QUERY).to_pandas()[
+        ["doc_id", "score_micro"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-25 BM25 documents (per-batch partial top-ks, deterministic
+    score-desc/id-asc tie-break)."""
+    from pyrosm_ray.stages.search import bm25_topk
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = bm25_topk(ds, _BM25_QUERY, k=25).to_pandas()[
+        ["doc_id", "score_micro"]]
+    return df.reset_index(drop=True)
+
+
 def q_quality_score(sf_dir: str):
     from pyrosm_ray.stages.text import quality_score
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1447,7 +1470,14 @@ def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.stages.text import \
         unigram_logprob_sql as _unigram_logprob_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
+    from pyrosm_ray.stages.search import bm25_score_sql, bm25_topk_sql
     from pyrosm_ray.tiles import grid
+
+    def _bm25_score_oracle():
+        return bm25_score_sql(_BM25_QUERY)
+
+    def _bm25_topk_oracle():
+        return bm25_topk_sql(_BM25_QUERY, k=25)
 
     fx = str(_fixture_dir(ORACLE_SF))
     pages = f"read_parquet('{fx}/pages.parquet')"
@@ -1527,6 +1557,8 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": _decontaminate_sql(),
         "q_vocab_topk": _vocab_topk_sql(k=50),
         "q_unigram_logprob": _unigram_logprob_sql(),
+        "q_bm25_score": _bm25_score_oracle(),
+        "q_bm25_topk": _bm25_topk_oracle(),
         "q_quality_score": f"""
             SELECT doc_id, {quality_score_sql('text')} AS quality_score
             FROM documents ORDER BY doc_id""",
@@ -2075,6 +2107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": q_decontaminate,
         "q_vocab_topk": q_vocab_topk,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_bm25_score": q_bm25_score,
+        "q_bm25_topk": q_bm25_topk,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,

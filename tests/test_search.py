@@ -1,0 +1,86 @@
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from pyrosm_ray.stages import search
+
+
+def _corpus():
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "hash join over sorted runs with hash buckets",
+            "merge join beats hash join on presorted inputs",
+            "window functions and aggregates",
+            "",                       # empty doc: counted in N, never matches
+            "the quick brown fox",    # no query terms
+        ], pa.string()),
+    })
+
+
+def _brute_bm25(tbl, query, k1=1.2, b=0.75):
+    terms = sorted(set(query.lower().split()))
+    docs = {i: (t or "").lower().split()
+            for i, t in zip(tbl["doc_id"].to_pylist(),
+                            tbl["text"].to_pylist())}
+    n = len(docs)
+    toks = sum(len(ws) for ws in docs.values())
+    avgdl = toks / n
+    out = {}
+    for t in terms:
+        df = sum(1 for ws in docs.values() if t in ws)
+        if not df:
+            continue
+        idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+        for i, ws in docs.items():
+            tf = ws.count(t)
+            if not tf:
+                continue
+            contrib = idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(ws) / avgdl))
+            out[i] = out.get(i, 0) + int(np.trunc(contrib * 1e6 + 0.5))
+    return out
+
+
+def test_bm25_score_matches_brute_force(ray_session):
+    tbl = _corpus()
+    got = search.bm25_score(rd.from_arrow(tbl), "hash join").to_pandas()
+    expect = _brute_bm25(tbl, "hash join")
+    assert dict(zip(got.doc_id, got.score_micro)) == expect
+    # doc 1 has tf(hash)=2: must outscore doc 3/4/5 (absent entirely)
+    assert set(got.doc_id) == {1, 2}
+
+
+def test_bm25_topk_order_and_ties(ray_session):
+    tbl = _corpus()
+    top = search.bm25_topk(rd.from_arrow(tbl), "hash join",
+                           k=1).to_pandas()
+    expect = _brute_bm25(tbl, "hash join")
+    best = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    assert list(zip(top.doc_id, top.score_micro)) == [best]
+
+
+def test_bm25_no_matching_terms(ray_session):
+    got = search.bm25_score(rd.from_arrow(_corpus()),
+                            "zzz qqq").to_pandas()
+    assert len(got) == 0
+    top = search.bm25_topk(rd.from_arrow(_corpus()), "zzz", k=5) \
+        .to_pandas()
+    assert len(top) == 0
+
+
+def test_build_postings(ray_session):
+    post = search.build_postings(rd.from_arrow(_corpus())).to_pandas()
+    m = {(t, d): f for t, d, f in zip(post.term, post.doc_id, post.tf)}
+    assert m[("hash", 1)] == 2
+    assert m[("join", 2)] == 2
+    assert m[("merge", 2)] == 1
+    assert ("", 4) not in m
+    # every (term, doc) pair appears once; tf sums to the token count
+    assert len(m) == len(post)
+    toks = sum(len((t or "").split())
+               for t in _corpus()["text"].to_pylist())
+    assert int(post.tf.sum()) == toks
