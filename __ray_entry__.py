@@ -157,6 +157,19 @@ def q_unigram_logprob(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pagerank(sf_dir: str):
+    """Click-graph PageRank over the event stream: consecutive events
+    per user -> distinct node edges -> 5 integer-exact iterations
+    (rank vector broadcast per iteration; edges scan in place)."""
+    from pyrosm_ray.stages.pagerank import (click_edges, event_nodes,
+                                            pagerank)
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "props"])
+    edges = click_edges(event_nodes(ds))
+    df = pagerank(edges, iters=5).to_pandas()[["node", "rank_micro"]]
+    return df.sort_values("node").reset_index(drop=True)
+
+
 _BM25_QUERY = "hash join merge window"  # terms present in the fixture vocab
 
 
@@ -1471,6 +1484,8 @@ def oracle_sql() -> dict[str, str]:
         unigram_logprob_sql as _unigram_logprob_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
     from pyrosm_ray.stages.search import bm25_score_sql, bm25_topk_sql
+    from pyrosm_ray.stages.pagerank import \
+        click_pagerank_sql as _click_pagerank_sql
     from pyrosm_ray.tiles import grid
 
     def _bm25_score_oracle():
@@ -1559,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
         "q_unigram_logprob": _unigram_logprob_sql(),
         "q_bm25_score": _bm25_score_oracle(),
         "q_bm25_topk": _bm25_topk_oracle(),
+        "q_pagerank": _click_pagerank_sql(iters=5),
         "q_quality_score": f"""
             SELECT doc_id, {quality_score_sql('text')} AS quality_score
             FROM documents ORDER BY doc_id""",
@@ -2109,6 +2125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_unigram_logprob": q_unigram_logprob,
         "q_bm25_score": q_bm25_score,
         "q_bm25_topk": q_bm25_topk,
+        "q_pagerank": q_pagerank,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,

@@ -1,0 +1,260 @@
+"""Link-graph centrality over web-scale corpora: click-graph PageRank.
+
+Web curation pipelines rank hosts/pages by graph centrality (crawl
+prioritisation, spam demotion, quality weighting for mixture sampling).
+This module derives a click graph from an event stream (consecutive
+events of the same user = a directed edge between the pages' nodes) and
+runs an integer-exact PageRank over it.
+
+Execution shape:
+
+- ``click_edges``: ONE hash shuffle co-partitions each user's whole
+  stream (the :mod:`pyrosm_ray.stages.windows` bucketed-fold pattern —
+  per-BUCKET segmented numpy, no per-user Python); consecutive-pair
+  edges then dedupe through the same coarse hash-bucket fold the dedup
+  family uses, so shuffle bytes are bounded by distinct edges.
+- ``pagerank``: the rank vector is per-NODE (hosts: ~10^8 at web scale,
+  16 B/node — the broadcast-state contract used by the coordinate
+  index), so each iteration is one stateless ``map_batches`` over the
+  partitioned EDGES (batch-local factorize+bincount partial sums per
+  dst) + one tiny node-keyed groupby; edges never re-shuffle across
+  iterations. Beyond broadcast, the same iteration body becomes a
+  rank⋈edges hash join by src — the documented scale path.
+
+Exactness contract: ranks are integer micro-units. With damping d=0.85,
+
+    r_0(v)    = 1_000_000
+    r_{k+1}(v) = 150_000 + Σ_{u→v} (85·r_k(u)) // (100·outdeg(u))
+
+— floor division and int64 sums are associative, so the DuckDB twin
+(iterations unrolled as chained CTEs) matches bit-for-bit in any
+execution order. Dangling nodes (outdeg 0) contribute nothing (the
+leaked-mass variant; both sides share the rule). Self-edges are
+dropped; edges are distinct.
+
+Public-knowledge note: PageRank per Brin & Page (1998); the reference
+repo has no graph-centrality operator — this extends the engine for the
+web-corpus tier (BASELINE.json north_rule).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+
+from pyrosm_ray.stages.blocks import sized_partitions
+from pyrosm_ray.stages.windows import _bucket_of, _run_starts
+
+R0_MICRO = 1_000_000
+TELEPORT_MICRO = 150_000     # (1-d) = 0.15
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85
+
+
+def event_nodes(ds, props_col: str = "props", out_col: str = "node"):
+    """Append the integer node id parsed from the props JSON (first
+    integer in the payload — DuckDB twin: regexp_extract(props,
+    '\\d+'))."""
+    def parse(b: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(b[props_col], r"(?P<k>\d+)")
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        return b.append_column(out_col, k)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def click_edges(ds, user_col: str = "user_id", ts_col: str = "ts",
+                node_col: str = "node", order_col: str = "event_id",
+                num_partitions: int | None = None):
+    """Distinct (src, dst) edges between consecutive events of the same
+    user ((ts, order_col) order; self-edges dropped)."""
+    nb = num_partitions or sized_partitions(ds)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[user_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        return b.append_column("__p", pa.array(_bucket_of(u, nb)))
+
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        u = np.asarray(g[user_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        ts = np.asarray(g[ts_col].to_numpy(zero_copy_only=False)
+                        ).astype("datetime64[us]").view(np.int64)
+        oid = np.asarray(g[order_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        node = np.asarray(g[node_col].to_numpy(zero_copy_only=False),
+                          np.int64)
+        order = np.lexsort((oid, ts, u))
+        u_s, n_s = u[order], node[order]
+        same_user = u_s[1:] == u_s[:-1]
+        src, dst = n_s[:-1][same_user], n_s[1:][same_user]
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        # batch-local dedupe before the wire
+        o2 = np.lexsort((dst, src))
+        src, dst = src[o2], dst[o2]
+        first = np.ones(len(src), bool)
+        first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        return pa.table({"src": pa.array(src[first], pa.int64()),
+                         "dst": pa.array(dst[first], pa.int64())})
+
+    pairs = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nb) \
+        .map_groups(per_bucket, batch_format="pyarrow")
+
+    # global distinct through the coarse-hash fold (same shape as the
+    # dedup family's _distinct_pairs; bytes bounded by distinct edges)
+    def bucket_e(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].to_numpy(zero_copy_only=False),
+                       np.int64).view(np.uint64)
+        d = np.asarray(t["dst"].to_numpy(zero_copy_only=False),
+                       np.int64).view(np.uint64)
+        h = s * np.uint64(0x9E3779B97F4A7C15) ^ d
+        return t.append_column(
+            "__q", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        s = np.asarray(g["src"].to_numpy(zero_copy_only=False), np.int64)
+        d = np.asarray(g["dst"].to_numpy(zero_copy_only=False), np.int64)
+        o = np.lexsort((d, s))
+        s, d = s[o], d[o]
+        first = np.ones(len(s), bool)
+        first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        return pa.table({"src": pa.array(s[first], pa.int64()),
+                         "dst": pa.array(d[first], pa.int64())})
+
+    return pairs.map_batches(bucket_e, batch_format="pyarrow") \
+        .groupby("__q", num_partitions=nb) \
+        .map_groups(fold, batch_format="pyarrow")
+
+
+def pagerank(edges, iters: int = 5, src_col: str = "src",
+             dst_col: str = "dst"):
+    """Integer-exact PageRank over a distinct edge Dataset.
+
+    Returns (node, rank_micro) for every node appearing as src or dst.
+    The edge Dataset is materialized once and re-scanned per iteration
+    with the current rank vector broadcast via ``ray.put`` (per-node
+    state — see module docstring for the scale contract)."""
+    edges = edges.materialize()
+
+    # node universe + outdeg: batch partials -> tiny keyed groupby
+    def deg_partial(b: pa.Table) -> pa.Table:
+        import pandas as pd
+        s = np.asarray(b[src_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        d = np.asarray(b[dst_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        codes, uniq = pd.factorize(s)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        dn = np.unique(d)
+        return pa.table({
+            "node": pa.array(np.concatenate([uniq, dn]), pa.int64()),
+            "deg": pa.array(np.concatenate(
+                [cnt, np.zeros(len(dn), np.int64)]), pa.int64()),
+        })
+
+    parts = [pa.table(b) for b in
+             edges.map_batches(deg_partial, batch_format="pyarrow")
+             .groupby("node").sum("deg")
+             .iter_batches(batch_format="pyarrow")]
+    if not parts or not sum(t.num_rows for t in parts):
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_micro": pa.array([], pa.int64())}))
+    degt = pa.concat_tables(parts)
+    nodes = np.asarray(degt["node"].to_numpy(zero_copy_only=False),
+                       np.int64)
+    deg = np.asarray(degt["sum(deg)"].to_numpy(zero_copy_only=False),
+                     np.int64)
+    o = np.argsort(nodes)
+    nodes, deg = nodes[o], deg[o]
+    rank = np.full(len(nodes), R0_MICRO, dtype=np.int64)
+
+    for _ in range(iters):
+        state = ray.put((nodes, deg, rank))
+
+        def contrib(b: pa.Table) -> pa.Table:
+            import pandas as pd
+            nds, dg, rk = ray.get(state)
+            s = np.asarray(b[src_col].to_numpy(zero_copy_only=False),
+                           np.int64)
+            d = np.asarray(b[dst_col].to_numpy(zero_copy_only=False),
+                           np.int64)
+            ps = np.searchsorted(nds, s)
+            c = (DAMP_NUM * rk[ps]) // (DAMP_DEN * dg[ps])
+            codes, uniq = pd.factorize(d)
+            # integer-exact per-dst sums (bincount weights are float —
+            # add.at keeps int64)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, codes, c)
+            return pa.table({"node": pa.array(uniq, pa.int64()),
+                             "s": pa.array(acc, pa.int64())})
+
+        agg = [pa.table(b) for b in
+               edges.map_batches(contrib, batch_format="pyarrow")
+               .groupby("node").sum("s")
+               .iter_batches(batch_format="pyarrow")]
+        new_rank = np.full(len(nodes), TELEPORT_MICRO, dtype=np.int64)
+        if agg:
+            at = pa.concat_tables(agg)
+            an = np.asarray(at["node"].to_numpy(zero_copy_only=False),
+                            np.int64)
+            av = np.asarray(at["sum(s)"].to_numpy(zero_copy_only=False),
+                            np.int64)
+            pos = np.searchsorted(nodes, an)
+            new_rank[pos] += av
+        rank = new_rank
+
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes, pa.int64()),
+        "rank_micro": pa.array(rank, pa.int64())}))
+
+
+def click_pagerank_sql(events_table: str = "events", iters: int = 5,
+                       user_col: str = "user_id", ts_col: str = "ts",
+                       props_col: str = "props",
+                       order_col: str = "event_id") -> str:
+    """DuckDB twin: click-edge derivation + ``iters`` unrolled
+    integer-exact PageRank iterations."""
+    ctes = [f"""ev AS (SELECT {user_col}, {ts_col}, {order_col},
+                    CAST(regexp_extract({props_col}, '\\d+') AS BIGINT)
+                        AS node FROM {events_table})""",
+            f"""nxt AS (SELECT node AS src,
+                     LEAD(node) OVER (PARTITION BY {user_col}
+                                      ORDER BY {ts_col}, {order_col})
+                         AS dst FROM ev)""",
+            """edges AS (SELECT DISTINCT src, dst FROM nxt
+                     WHERE dst IS NOT NULL AND dst <> src)""",
+            """nodes AS (SELECT DISTINCT n AS node FROM (
+                     SELECT src AS n FROM edges
+                     UNION ALL SELECT dst FROM edges))""",
+            """outdeg AS (SELECT src, COUNT(*) AS deg FROM edges
+                      GROUP BY src)""",
+            f"""r0 AS (SELECT node, CAST({R0_MICRO} AS BIGINT) AS r
+                   FROM nodes)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+            SELECT n.node,
+                   CAST({TELEPORT_MICRO} + COALESCE(c.s, 0) AS BIGINT)
+                       AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(({DAMP_NUM} * p.r) // ({DAMP_DEN} * d.deg))
+                           AS s
+                FROM edges e
+                JOIN r{k - 1} p ON e.src = p.node
+                JOIN outdeg d ON d.src = e.src
+                GROUP BY e.dst) c USING (node))""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT node, r AS rank_micro FROM r{iters} "
+            "ORDER BY node")

@@ -1,0 +1,67 @@
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from pyrosm_ray.stages import pagerank as pr
+
+
+def _edges_tbl(pairs):
+    a, b = zip(*pairs) if pairs else ((), ())
+    return pa.table({"src": pa.array(list(a), pa.int64()),
+                     "dst": pa.array(list(b), pa.int64())})
+
+
+def _brute_pagerank(pairs, iters):
+    nodes = sorted({n for p in pairs for n in p})
+    deg = {n: sum(1 for s, _ in pairs if s == n) for n in nodes}
+    r = {n: pr.R0_MICRO for n in nodes}
+    for _ in range(iters):
+        nxt = {n: pr.TELEPORT_MICRO for n in nodes}
+        for s, d in pairs:
+            nxt[d] += (pr.DAMP_NUM * r[s]) // (pr.DAMP_DEN * deg[s])
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_brute_force(ray_session):
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1)]  # 4 is dangling-in
+    got = pr.pagerank(rd.from_arrow(_edges_tbl(pairs)),
+                      iters=6).to_pandas()
+    expect = _brute_pagerank(pairs, 6)
+    assert dict(zip(got.node, got.rank_micro)) == expect
+    # node 4 has no in-edges: pure teleport mass after iteration 1
+    assert expect[4] == pr.TELEPORT_MICRO
+    # hub node 1 (two in-edges incl. from the cycle) outranks node 4
+    assert expect[1] > expect[4]
+
+
+def test_pagerank_empty(ray_session):
+    got = pr.pagerank(rd.from_arrow(_edges_tbl([]))).to_pandas()
+    assert len(got) == 0
+
+
+def test_click_edges_consecutive_distinct(ray_session):
+    # user 1 visits 10,11,10,10 ; user 2 visits 20,10
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(np.array([1, 2, 3, 4, 1, 2], "datetime64[us]")),
+        "event_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "node": pa.array([10, 11, 10, 10, 20, 10], pa.int64()),
+    })
+    got = pr.click_edges(rd.from_arrow(t)).to_pandas()
+    edges = set(zip(got.src, got.dst))
+    # 10->11, 11->10 (user 1; the 10->10 self-edge drops), 20->10 (user 2)
+    assert edges == {(10, 11), (11, 10), (20, 10)}
+    assert len(got) == len(edges)  # distinct
+
+
+def test_click_edges_tie_broken_by_event_id(ray_session):
+    # identical ts: order falls back to event_id
+    t = pa.table({
+        "user_id": pa.array([7, 7], pa.int64()),
+        "ts": pa.array(np.array([5, 5], "datetime64[us]")),
+        "event_id": pa.array([2, 1], pa.int64()),
+        "node": pa.array([100, 200], pa.int64()),
+    })
+    got = pr.click_edges(rd.from_arrow(t)).to_pandas()
+    assert set(zip(got.src, got.dst)) == {(200, 100)}
