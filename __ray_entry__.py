@@ -170,6 +170,17 @@ def q_pagerank(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def q_dup_spans(sf_dir: str):
+    """Lee-et-al-style duplicated-span stats: per doc, how many 8-token
+    window positions occur >=2 times corpus-wide (128-bit rolling
+    fingerprints over md5 token hashes; no window strings built)."""
+    from pyrosm_ray.stages.spans import dup_span_stats
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = dup_span_stats(ds, window=8).to_pandas()[
+        ["doc_id", "n_windows", "n_dup_windows"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 _BM25_QUERY = "hash join merge window"  # terms present in the fixture vocab
 
 
@@ -1486,6 +1497,8 @@ def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.stages.search import bm25_score_sql, bm25_topk_sql
     from pyrosm_ray.stages.pagerank import \
         click_pagerank_sql as _click_pagerank_sql
+    from pyrosm_ray.stages.spans import \
+        dup_span_stats_sql as _dup_span_stats_sql
     from pyrosm_ray.tiles import grid
 
     def _bm25_score_oracle():
@@ -1575,6 +1588,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_score": _bm25_score_oracle(),
         "q_bm25_topk": _bm25_topk_oracle(),
         "q_pagerank": _click_pagerank_sql(iters=5),
+        "q_dup_spans": _dup_span_stats_sql(window=8),
         "q_quality_score": f"""
             SELECT doc_id, {quality_score_sql('text')} AS quality_score
             FROM documents ORDER BY doc_id""",
@@ -2126,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_score": q_bm25_score,
         "q_bm25_topk": q_bm25_topk,
         "q_pagerank": q_pagerank,
+        "q_dup_spans": q_dup_spans,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,
