@@ -233,6 +233,30 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: gopher_stats(read_parquet_split(
               docs_path, columns=["doc_id", "text"])).count())
 
+    # round-4 late additions: BM25 relevance scan (two-pass aggregate->
+    # broadcast->score), duplicated-span stats (rolling 128-bit window
+    # fingerprints + one coarse-hash fold), click-graph PageRank (edge
+    # derivation + 5 broadcast iterations over the events stream)
+    from pyrosm_ray.stages.search import bm25_score
+    timed("bm25_score",
+          lambda: bm25_score(read_parquet_split(
+              docs_path, columns=["doc_id", "text"]),
+              "hash join merge window").count())
+    from pyrosm_ray.stages.spans import dup_span_stats
+    timed("dup_spans",
+          lambda: dup_span_stats(read_parquet_split(
+              docs_path, columns=["doc_id", "text"]), window=8).count())
+    from pyrosm_ray.stages.pagerank import (click_edges, event_nodes,
+                                            pagerank)
+    events_path = f"{sf_dir.rstrip('/')}/events.parquet"
+    if os.path.exists(events_path):
+        timed("pagerank",
+              lambda: pagerank(click_edges(event_nodes(
+                  read_parquet_split(events_path,
+                                     columns=["event_id", "ts",
+                                              "user_id", "props"]))),
+                  iters=5).count())
+
     # embedding curation family: SemDeDup (distributed Lloyd's + within-
     # cluster prune) and PQ ANN (encode + ADC scan + exact rerank) over
     # the embeddings table

@@ -135,15 +135,53 @@ def click_edges(ds, user_col: str = "user_id", ts_col: str = "ts",
         .map_groups(fold, batch_format="pyarrow")
 
 
+EDGES_DRIVER_MAX = 1 << 22  # 16 B/edge -> <=64 MB collects to the driver
+
+
 def pagerank(edges, iters: int = 5, src_col: str = "src",
              dst_col: str = "dst"):
     """Integer-exact PageRank over a distinct edge Dataset.
 
     Returns (node, rank_micro) for every node appearing as src or dst.
-    The edge Dataset is materialized once and re-scanned per iteration
-    with the current rank vector broadcast via ``ray.put`` (per-node
-    state — see module docstring for the scale contract)."""
+    Edge sets under :data:`EDGES_DRIVER_MAX` collect once and iterate
+    in pure numpy (one Ray job total — the shuffle/broadcast fixed cost
+    dominates at that size; same policy as the dedup family's
+    BANDED_DRIVER_MAX). Larger graphs materialize the edge Dataset once
+    and re-scan it per iteration with the current rank vector broadcast
+    via ``ray.put``; per-batch per-dst partial sums merge on the driver
+    (per-node state — the scale contract in the module docstring), so
+    no shuffle runs inside the loop. Both routes execute the identical
+    integer recurrence and are parity-tested."""
     edges = edges.materialize()
+    n_edges = edges.count()
+    if n_edges <= EDGES_DRIVER_MAX:
+        import ray.data as rd
+        parts = [pa.table(b) for b in
+                 edges.select_columns([src_col, dst_col]).iter_batches(
+                     batch_size=1 << 18, batch_format="pyarrow")]
+        tbl = pa.concat_tables(parts) if parts else None
+        if tbl is None or not len(tbl):
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], pa.int64()),
+                "rank_micro": pa.array([], pa.int64())}))
+        s = np.asarray(tbl[src_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        d = np.asarray(tbl[dst_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        nodes = np.unique(np.concatenate([s, d]))
+        deg = np.zeros(len(nodes), np.int64)
+        si = np.searchsorted(nodes, s)
+        di = np.searchsorted(nodes, d)
+        np.add.at(deg, si, 1)
+        rank = np.full(len(nodes), R0_MICRO, dtype=np.int64)
+        for _ in range(iters):
+            c = (DAMP_NUM * rank[si]) // (DAMP_DEN * deg[si])
+            nxt = np.full(len(nodes), TELEPORT_MICRO, dtype=np.int64)
+            np.add.at(nxt, di, c)
+            rank = nxt
+        return rd.from_arrow(pa.table({
+            "node": pa.array(nodes, pa.int64()),
+            "rank_micro": pa.array(rank, pa.int64())}))
 
     # node universe + outdeg: batch partials -> tiny keyed groupby
     def deg_partial(b: pa.Table) -> pa.Table:
@@ -199,19 +237,18 @@ def pagerank(edges, iters: int = 5, src_col: str = "src",
             return pa.table({"node": pa.array(uniq, pa.int64()),
                              "s": pa.array(acc, pa.int64())})
 
-        agg = [pa.table(b) for b in
-               edges.map_batches(contrib, batch_format="pyarrow")
-               .groupby("node").sum("s")
-               .iter_batches(batch_format="pyarrow")]
+        # per-batch per-dst partials merge on the driver (node-bounded;
+        # no shuffle inside the loop)
         new_rank = np.full(len(nodes), TELEPORT_MICRO, dtype=np.int64)
-        if agg:
-            at = pa.concat_tables(agg)
-            an = np.asarray(at["node"].to_numpy(zero_copy_only=False),
+        for b in edges.map_batches(contrib, batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            if not b.num_rows:
+                continue
+            an = np.asarray(b["node"].to_numpy(zero_copy_only=False),
                             np.int64)
-            av = np.asarray(at["sum(s)"].to_numpy(zero_copy_only=False),
+            av = np.asarray(b["s"].to_numpy(zero_copy_only=False),
                             np.int64)
-            pos = np.searchsorted(nodes, an)
-            new_rank[pos] += av
+            np.add.at(new_rank, np.searchsorted(nodes, an), av)
         rank = new_rank
 
     import ray.data as rd

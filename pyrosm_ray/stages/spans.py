@@ -144,10 +144,18 @@ def dup_span_stats(ds, window: int = 8, id_col: str = "doc_id",
         tot = np.zeros(gid[-1] + 1, np.int64)
         np.add.at(tot, gid, k)
         dup = tot[gid] >= 2
+        # pre-aggregate per doc before the wire: the downstream doc
+        # groupby sees <=|docs| rows per bucket, not one per window
+        import pandas as pd
+        codes, udocs = pd.factorize(ids)
+        nw = np.zeros(len(udocs), np.int64)
+        nd = np.zeros(len(udocs), np.int64)
+        np.add.at(nw, codes, k)
+        np.add.at(nd, codes, np.where(dup, k, 0))
         return pa.table({
-            id_col: pa.array(ids, pa.int64()),
-            "nw": pa.array(k, pa.int64()),
-            "nd": pa.array(np.where(dup, k, 0), pa.int64()),
+            id_col: pa.array(udocs, pa.int64()),
+            "nw": pa.array(nw, pa.int64()),
+            "nd": pa.array(nd, pa.int64()),
         })
 
     partials = ds.map_batches(explode, batch_format="pyarrow") \

@@ -35,6 +35,19 @@ def test_pagerank_matches_brute_force(ray_session):
     assert expect[1] > expect[4]
 
 
+def test_pagerank_route_parity(ray_session, monkeypatch):
+    """Driver fast path and distributed broadcast-iterate route run the
+    identical integer recurrence."""
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 2), (2, 5)]
+    fast = pr.pagerank(rd.from_arrow(_edges_tbl(pairs)),
+                       iters=4).to_pandas()
+    monkeypatch.setattr(pr, "EDGES_DRIVER_MAX", 0)
+    dist = pr.pagerank(rd.from_arrow(_edges_tbl(pairs)),
+                       iters=4).to_pandas()
+    assert dict(zip(fast.node, fast.rank_micro)) == \
+        dict(zip(dist.node, dist.rank_micro))
+
+
 def test_pagerank_empty(ray_session):
     got = pr.pagerank(rd.from_arrow(_edges_tbl([]))).to_pandas()
     assert len(got) == 0
