@@ -170,6 +170,17 @@ def q_pagerank(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def q_html_stats(sf_dir: str):
+    """Markup-structure features per page (tag/link/script counts,
+    byte/char lengths, integer text-to-markup ratio) — the
+    boilerplate-filter feature family; one vectorised RE2 pass."""
+    from pyrosm_ray.stages.extract import html_stats
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url", "html", "text"])
+    df = html_stats(pages).to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_dup_spans(sf_dir: str):
     """Lee-et-al-style duplicated-span stats: per doc, how many 8-token
     window positions occur >=2 times corpus-wide (128-bit rolling
@@ -1499,6 +1510,7 @@ def oracle_sql() -> dict[str, str]:
         click_pagerank_sql as _click_pagerank_sql
     from pyrosm_ray.stages.spans import \
         dup_span_stats_sql as _dup_span_stats_sql
+    from pyrosm_ray.stages.extract import html_stats_sql as _html_stats_sql
     from pyrosm_ray.tiles import grid
 
     def _bm25_score_oracle():
@@ -1887,6 +1899,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY url""",
         "q_extract_text": f"""
             SELECT url, text AS extracted FROM {pages} ORDER BY url""",
+        "q_html_stats": _html_stats_sql(pages),
         "q_osm_buildings_ways": f"""
             SELECT w.id, map_extract(w.tags, 'building')[1] AS building
             FROM {ways_p} w
@@ -2141,6 +2154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_topk": q_bm25_topk,
         "q_pagerank": q_pagerank,
         "q_dup_spans": q_dup_spans,
+        "q_html_stats": q_html_stats,
         "q_quality_score": q_quality_score,
         "q_lang_id": q_lang_id,
         "q_fingerprint_md5": q_fingerprint_md5,

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from html.parser import HTMLParser
 
+import numpy as np
 import pyarrow as pa
 
 _SKIP = {"script", "style", "head", "template", "noscript"}
@@ -114,3 +115,71 @@ def extract_text(ds, html_col: str = "html", out_col: str = "text"):
         return batch.append_column(out_col, texts)
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+# markup-structure feature patterns (RE2 — identical semantics in
+# pyarrow's count_substring_regex and DuckDB's regexp_extract_all)
+_TAG_RE = r"<[a-zA-Z/!]"
+_LINK_RE = r"<[aA][ >]"
+_SCRIPT_RE = r"<script"
+
+
+def html_stats(ds, html_col: str = "html", text_col: str = "text",
+               url_col: str = "url"):
+    """Markup-structure features per page — the boilerplate-filter
+    family (jusText/trafilatura-style link-density and text-ratio
+    gates hang off these).
+
+    -> (url, n_tags, n_links, n_scripts, html_bytes, text_chars,
+    text_ratio_micro). One stateless vectorised pass: RE2 counts over
+    the raw markup (zero-copy from the object store), byte/char
+    lengths, and the text-to-markup ratio as an exact integer —
+    ``(10⁶ · text_chars) // html_bytes`` — so the DuckDB twin matches
+    bit-for-bit (no float division on either side)."""
+    import pyarrow.compute as pc
+
+    def run(batch: pa.Table) -> pa.Table:
+        html_s = pc.cast(batch[html_col], pa.string())
+        hb = pc.cast(pc.binary_length(batch[html_col]), pa.int64())
+        tc = pc.cast(pc.utf8_length(batch[text_col]), pa.int64())
+        hb_np = np.asarray(hb.to_numpy(zero_copy_only=False), np.int64)
+        tc_np = np.asarray(tc.to_numpy(zero_copy_only=False), np.int64)
+        ratio = np.where(hb_np > 0, (1_000_000 * tc_np)
+                         // np.maximum(hb_np, 1), 0)
+        return pa.table({
+            url_col: batch[url_col],
+            "n_tags": pc.cast(
+                pc.count_substring_regex(html_s, _TAG_RE), pa.int64()),
+            "n_links": pc.cast(
+                pc.count_substring_regex(html_s, _LINK_RE), pa.int64()),
+            "n_scripts": pc.cast(
+                pc.count_substring_regex(html_s, _SCRIPT_RE),
+                pa.int64()),
+            "html_bytes": hb,
+            "text_chars": tc,
+            "text_ratio_micro": pa.array(ratio, pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def html_stats_sql(pages_expr: str, html_col: str = "html",
+                   text_col: str = "text", url_col: str = "url") -> str:
+    """DuckDB twin of :func:`html_stats` (``pages_expr`` is a table or
+    read_parquet expression)."""
+    h = f"decode({html_col})"
+    return f"""
+        SELECT {url_col},
+               CAST(len(regexp_extract_all({h}, '{_TAG_RE}')) AS BIGINT)
+                   AS n_tags,
+               CAST(len(regexp_extract_all({h}, '{_LINK_RE}')) AS BIGINT)
+                   AS n_links,
+               CAST(len(regexp_extract_all({h}, '{_SCRIPT_RE}'))
+                   AS BIGINT) AS n_scripts,
+               CAST(octet_length({html_col}) AS BIGINT) AS html_bytes,
+               CAST(length({text_col}) AS BIGINT) AS text_chars,
+               CAST(CASE WHEN octet_length({html_col}) > 0
+                    THEN (1000000 * length({text_col}))
+                         // octet_length({html_col})
+                    ELSE 0 END AS BIGINT) AS text_ratio_micro
+        FROM {pages_expr} ORDER BY {url_col}"""

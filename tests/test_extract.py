@@ -59,3 +59,31 @@ def test_dataset_stage_and_fixture_invariant(ray_session):
         .sort_values("url").reset_index(drop=True)
     assert len(got) == len(want) >= 200
     assert (got["extracted"].to_numpy() == want["text"].to_numpy()).all()
+
+
+def test_html_stats_counts(ray_session):
+    import duckdb
+    import pyarrow as pa
+
+    from pyrosm_ray.stages.extract import html_stats, html_stats_sql
+    html1 = (b"<html><body><a href='/x'>one</a><A HREF='/y'>two</A>"
+             b"<script>var a=1;</script><p>hello world</p></body></html>")
+    html2 = b"<div><p>plain</p></div>"
+    t = pa.table({
+        "url": pa.array(["a://1", "a://2"], pa.string()),
+        "html": pa.array([html1, html2], pa.binary()),
+        "text": pa.array(["one two hello world", "plain"], pa.string()),
+    })
+    got = html_stats(rd.from_arrow(t)).to_pandas() \
+        .sort_values("url").reset_index(drop=True)
+    assert list(got.n_links) == [2, 0]          # <a and <A both count
+    assert list(got.n_scripts) == [1, 0]
+    assert got.n_tags[0] > got.n_tags[1] > 0    # closers count too
+    assert list(got.html_bytes) == [len(html1), len(html2)]
+    # integer ratio rule
+    assert got.text_ratio_micro[0] == (1_000_000 * 19) // len(html1)
+    # DuckDB twin agrees bit-for-bit
+    con = duckdb.connect()
+    con.register("pages_t", t)
+    odf = con.execute(html_stats_sql("pages_t")).fetchdf()
+    assert got.equals(odf.astype(got.dtypes.to_dict()))
