@@ -195,6 +195,17 @@ def q_dup_spans(sf_dir: str):
 _BM25_QUERY = "hash join merge window"  # terms present in the fixture vocab
 
 
+def q_bigram_logprob(sf_dir: str):
+    """Bigram conditional-LM quality proxy: per-doc sum of exact
+    integer micro-nat transition log-probs (aggregate -> broadcast ->
+    score; prefix totals derive from the bigram vocab on the driver)."""
+    from pyrosm_ray.stages.text import bigram_logprob
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = bigram_logprob(ds).to_pandas()[
+        ["doc_id", "n_bigrams", "sum_logprob_micro"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_bm25_score(sf_dir: str):
     """BM25 relevance over the corpus: two-pass aggregate->broadcast->
     score, quantised to integer micro-units for oracle exactness."""
@@ -1504,6 +1515,8 @@ def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.stages.text import quality_score_sql
     from pyrosm_ray.stages.text import \
         unigram_logprob_sql as _unigram_logprob_sql
+    from pyrosm_ray.stages.text import \
+        bigram_logprob_sql as _bigram_logprob_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
     from pyrosm_ray.stages.search import bm25_score_sql, bm25_topk_sql
     from pyrosm_ray.stages.pagerank import \
@@ -1597,6 +1610,7 @@ def oracle_sql() -> dict[str, str]:
         "q_decontaminate": _decontaminate_sql(),
         "q_vocab_topk": _vocab_topk_sql(k=50),
         "q_unigram_logprob": _unigram_logprob_sql(),
+        "q_bigram_logprob": _bigram_logprob_sql(),
         "q_bm25_score": _bm25_score_oracle(),
         "q_bm25_topk": _bm25_topk_oracle(),
         "q_pagerank": _click_pagerank_sql(iters=5),
@@ -2150,6 +2164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": q_decontaminate,
         "q_vocab_topk": q_vocab_topk,
         "q_unigram_logprob": q_unigram_logprob,
+        "q_bigram_logprob": q_bigram_logprob,
         "q_bm25_score": q_bm25_score,
         "q_bm25_topk": q_bm25_topk,
         "q_pagerank": q_pagerank,

@@ -381,6 +381,132 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-doc corpus-bigram conditional log-probability — one step past
+    :func:`unigram_logprob` toward the KenLM-style perplexity proxy
+    (docs whose word TRANSITIONS are globally rare score low; catches
+    shuffled-word spam that unigram stats miss).
+
+    Same aggregate→broadcast→score shape: batch partials count bigram
+    occurrences ("w1 w2" joined keys — words are whitespace-split so the
+    join is unambiguous); the Zipf-bounded bigram vocabulary collects to
+    the driver, prefix totals derive from it (cp(w1) = Σ_x c(w1,x) —
+    no second aggregate), and one stateless pass scores every doc.
+    Per-bigram values quantise to integer micro-nats with the
+    ROUND-half-away rule, so per-doc sums are exact int64.
+    Output: ``(doc_id, n_bigrams, sum_logprob_micro)``.
+    """
+    import ray
+
+    import pandas as pd
+
+    from pyrosm_ray.stages.blocks import groupby_partitions
+
+    def _bigrams(texts):
+        keys: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            counts[i] = max(len(ws) - 1, 0)
+            keys.extend(ws[j] + " " + ws[j + 1]
+                        for j in range(len(ws) - 1))
+        return keys, counts
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys, _ = _bigrams(batch[text_col].to_pylist())
+        if not keys:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "n_partial": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(keys, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"bg": pa.array(uniq, pa.string()),
+                         "n_partial": pa.array(cnt.astype(np.int64))})
+
+    freq = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bg", num_partitions=groupby_partitions()) \
+        .sum("n_partial")
+    bgs_l, counts_l = [], []
+    for b in freq.iter_batches(batch_format="pyarrow"):
+        bgs_l.append(np.asarray(b["bg"].to_pylist(), dtype=object))
+        counts_l.append(b["sum(n_partial)"].to_numpy(
+            zero_copy_only=False))
+    if bgs_l:
+        vb = np.concatenate(bgs_l)
+        vc = np.concatenate(counts_l).astype(np.int64)
+        order = np.argsort(vb)
+        vb, vc = vb[order], vc[order]
+        # prefix totals per w1, aligned to the bigram table
+        w1 = np.asarray([s.split(" ", 1)[0] for s in vb], dtype=object)
+        codes, uniq = pd.factorize(w1)
+        cp_by_code = np.zeros(len(uniq), np.int64)
+        np.add.at(cp_by_code, codes, vc)
+        vcp = cp_by_code[codes]
+    else:
+        vb = np.empty(0, dtype=object)
+        vc = np.empty(0, dtype=np.int64)
+        vcp = np.empty(0, dtype=np.int64)
+    vocab_ref = ray.put((vb, vc, vcp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        vb, vc, vcp = ray.get(vocab_ref)
+        texts = batch[text_col].to_pylist()
+        keys, counts = _bigrams(texts)
+        if keys:
+            codes, uniq = pd.factorize(np.asarray(keys, dtype=object))
+            pos = np.searchsorted(vb, uniq)
+            pos = np.clip(pos, 0, max(len(vb) - 1, 0))
+            c = vc[pos] if len(vc) else np.ones(len(uniq), np.int64)
+            cp = vcp[pos] if len(vcp) else np.ones(len(uniq), np.int64)
+            lp = np.log(c.astype(np.float64) / cp)
+            micro_u = np.trunc(lp * 1e6 + 0.5 * np.sign(lp)) \
+                .astype(np.int64)
+            micro = micro_u[codes]
+        else:
+            micro = np.empty(0, dtype=np.int64)
+        off = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        cs = np.zeros(len(micro) + 1, dtype=np.int64)
+        np.cumsum(micro, out=cs[1:])
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bigrams": pa.array(counts, pa.int64()),
+            "sum_logprob_micro": pa.array(cs[off[1:]] - cs[off[:-1]],
+                                          pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bigram_logprob_sql(doc_table: str = "documents") -> str:
+    """DuckDB twin of :func:`bigram_logprob` (integer micro-nats)."""
+    toks = "regexp_extract_all(lower(text), '\\S+')"
+    return f"""
+        WITH tk AS (SELECT doc_id, unnest({toks}) AS w,
+                           generate_subscripts({toks}, 1) AS p
+                    FROM {doc_table}),
+        big AS (SELECT doc_id, w AS w1,
+                       LEAD(w) OVER (PARTITION BY doc_id ORDER BY p)
+                           AS w2
+                FROM tk),
+        bc AS (SELECT w1, w2, COUNT(*) AS c FROM big
+               WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        pf AS (SELECT w1, SUM(c) AS cp FROM bc GROUP BY w1),
+        per AS (SELECT b.doc_id,
+                       CAST(ROUND(ln(CAST(c AS DOUBLE) / cp) * 1000000)
+                            AS BIGINT) AS micro
+                FROM big b JOIN bc USING (w1, w2) JOIN pf USING (w1)
+                WHERE b.w2 IS NOT NULL),
+        agg AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+                       SUM(micro) AS sum_logprob_micro
+                FROM per GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(a.n_bigrams, 0) AS BIGINT)
+                   AS n_bigrams,
+               CAST(COALESCE(a.sum_logprob_micro, 0) AS BIGINT)
+                   AS sum_logprob_micro
+        FROM {doc_table} d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""
+
+
 def unigram_logprob_sql(doc_table: str = "documents") -> str:
     """DuckDB twin of :func:`unigram_logprob` (integer micro-nats)."""
     return f"""

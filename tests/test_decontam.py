@@ -101,3 +101,32 @@ def test_vocab_topk_matches_sql_twin(ray_session):
     # ordered best-first with the ascending-word tiebreak
     pairs = list(zip(got.n, got.word))
     assert pairs == sorted(pairs, key=lambda p: (-p[0], p[1]))
+
+
+def test_bigram_logprob_matches_sql_twin(ray_session):
+    t = pq.read_table(DOCS)
+    got = text.bigram_logprob(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    want = _oracle(text.bigram_logprob_sql(), t)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.n_bigrams) == list(want.n_bigrams)
+    assert list(got.sum_logprob_micro) == list(want.sum_logprob_micro)
+    # conditional log-probs are <= 0; some transition must be ambiguous
+    assert (got.sum_logprob_micro <= 0).all()
+    assert (got.sum_logprob_micro < 0).any()
+
+
+def test_bigram_logprob_edges(ray_session):
+    # one-word and empty docs carry zero bigrams; a deterministic
+    # transition (cp == c) scores exactly 0 micro-nats
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["solo", "", "x y x y", "x y"]),
+    })
+    out = text.bigram_logprob(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(out.n_bigrams) == [0, 0, 3, 1]
+    assert out.sum_logprob_micro[0] == 0 and out.sum_logprob_micro[1] == 0
+    # corpus bigrams: "x y" x3, "y x" x1 -> p(y|x)=1, p(x|y)=1 -> all 0
+    assert out.sum_logprob_micro[2] == 0
+    assert out.sum_logprob_micro[3] == 0
