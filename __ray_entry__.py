@@ -195,6 +195,20 @@ def q_dup_spans(sf_dir: str):
 _BM25_QUERY = "hash join merge window"  # terms present in the fixture vocab
 
 
+def q_host_pagerank(sf_dir: str):
+    """Web-graph centrality end-to-end: real HTML link extraction over
+    the pages table -> distinct host edges -> 5 integer-exact PageRank
+    iterations. Output (host, rank_micro)."""
+    from pyrosm_ray.stages.extract import extract_links
+    from pyrosm_ray.stages.pagerank import host_edges, pagerank_named
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url", "html"])
+    edges = host_edges(extract_links(pages))
+    df = pagerank_named(edges, iters=5).to_pandas()[
+        ["host", "rank_micro"]]
+    return df.sort_values("host").reset_index(drop=True)
+
+
 def q_bigram_logprob(sf_dir: str):
     """Bigram conditional-LM quality proxy: per-doc sum of exact
     integer micro-nat transition log-probs (aggregate -> broadcast ->
@@ -1521,6 +1535,8 @@ def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.stages.search import bm25_score_sql, bm25_topk_sql
     from pyrosm_ray.stages.pagerank import \
         click_pagerank_sql as _click_pagerank_sql
+    from pyrosm_ray.stages.pagerank import \
+        link_pagerank_sql as _link_pagerank_sql
     from pyrosm_ray.stages.spans import \
         dup_span_stats_sql as _dup_span_stats_sql
     from pyrosm_ray.stages.extract import html_stats_sql as _html_stats_sql
@@ -1614,6 +1630,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_score": _bm25_score_oracle(),
         "q_bm25_topk": _bm25_topk_oracle(),
         "q_pagerank": _click_pagerank_sql(iters=5),
+        "q_host_pagerank": _link_pagerank_sql(pages, iters=5),
         "q_dup_spans": _dup_span_stats_sql(window=8),
         "q_quality_score": f"""
             SELECT doc_id, {quality_score_sql('text')} AS quality_score
@@ -2168,6 +2185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_score": q_bm25_score,
         "q_bm25_topk": q_bm25_topk,
         "q_pagerank": q_pagerank,
+        "q_host_pagerank": q_host_pagerank,
         "q_dup_spans": q_dup_spans,
         "q_html_stats": q_html_stats,
         "q_quality_score": q_quality_score,

@@ -36,7 +36,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
-GENERATOR_VERSION = 7  # bump when generated content changes
+GENERATOR_VERSION = 8  # bump when generated content changes
 
 # fixture world (lon_min, lat_min, lon_max, lat_max) — Helsinki-ish
 WORLD = (24.80, 60.10, 25.20, 60.30)
@@ -173,10 +173,26 @@ def _gen_pages_chunk(pid: np.ndarray) -> pa.Table:
         pa.array(pid % 4 == 3),
         pa.scalar("<script>var x=1;</script><noscript>no js</noscript>"),
         pa.scalar(""))
+    # deterministic outlinks (1-2 per page, EMPTY anchor text so the
+    # extract-text byte-identity invariant is untouched): the host link
+    # graph q_host_pagerank / extract_links run over. Every page links
+    # site (pid*13+1)%97; even pages also link site (pid*29+5)%97.
+    l1s = pc.cast(pa.array((pid * 13 + 1) % 97), pa.string())
+    l1p = pc.cast(pa.array((pid * 7 + 3) % 100_000), pa.string())
+    link1 = pc.binary_join_element_wise(
+        '<a href="https://site', l1s, ".example/p/", l1p, '"></a>', "")
+    l2s = pc.cast(pa.array((pid * 29 + 5) % 97), pa.string())
+    l2p = pc.cast(pa.array((pid * 11 + 9) % 100_000), pa.string())
+    link2 = pc.binary_join_element_wise(
+        '<a href="https://site', l2s, ".example/p/", l2p, '"></a>', "")
+    links = pc.if_else(
+        pa.array(pid % 2 == 0),
+        pc.binary_join_element_wise(link1, link2, ""), link1)
     htmls = pc.cast(pc.binary_join_element_wise(
         "<html><head><title>p", pid_s,
         "</title><style>body{margin:0}</style></head><body>", noise,
-        "<p>", body, "</p><div>  </div></body></html>", ""), pa.binary())
+        "<p>", body, "</p>", links,
+        "<div>  </div></body></html>", ""), pa.binary())
     return pa.table({
         "url": urls,
         "warc_ts": pa.array(ts, pa.timestamp("s")),

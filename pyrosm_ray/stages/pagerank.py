@@ -107,8 +107,16 @@ def click_edges(ds, user_col: str = "user_id", ts_col: str = "ts",
         .groupby("__p", num_partitions=nb) \
         .map_groups(per_bucket, batch_format="pyarrow")
 
-    # global distinct through the coarse-hash fold (same shape as the
-    # dedup family's _distinct_pairs; bytes bounded by distinct edges)
+    return _distinct_edges(pairs, nb)
+
+
+def _distinct_edges(pairs, nb: int):
+    """Global distinct over (src, dst) int64 edges through the coarse-
+    hash fold (same shape as the dedup family's _distinct_pairs; bytes
+    bounded by distinct edges)."""
+    empty = pa.table({"src": pa.array([], pa.int64()),
+                      "dst": pa.array([], pa.int64())})
+
     def bucket_e(t: pa.Table) -> pa.Table:
         s = np.asarray(t["src"].to_numpy(zero_copy_only=False),
                        np.int64).view(np.uint64)
@@ -257,6 +265,149 @@ def pagerank(edges, iters: int = 5, src_col: str = "src",
         "rank_micro": pa.array(rank, pa.int64())}))
 
 
+def host_edges(links, url_col: str = "url", href_col: str = "href",
+               num_partitions: int | None = None):
+    """Distinct (src_host, dst_host) string edges from an outlink table
+    (e.g. :func:`pyrosm_ray.stages.extract.extract_links` output).
+    Relative hrefs (no scheme://host) and self-host links drop."""
+    from pyrosm_ray.stages.urls import extract_host_batch
+
+    nb = num_partitions or sized_partitions(links)
+
+    def hosts(b: pa.Table) -> pa.Table:
+        b = extract_host_batch(b, url_col=url_col, out_col="src_host")
+        b = extract_host_batch(b, url_col=href_col, out_col="dst_host")
+        import pyarrow.compute as pc
+        keep = pc.and_(
+            pc.and_(pc.not_equal(b["src_host"], ""),
+                    pc.not_equal(b["dst_host"], "")),
+            pc.not_equal(b["src_host"], b["dst_host"]))
+        b = b.filter(keep)
+        # batch-local distinct before the wire
+        import pandas as pd
+        df = pd.DataFrame({"src_host": b["src_host"].to_pylist(),
+                           "dst_host": b["dst_host"].to_pylist()})
+        df = df.drop_duplicates()
+        return pa.table({
+            "src_host": pa.array(df["src_host"].to_numpy(), pa.string()),
+            "dst_host": pa.array(df["dst_host"].to_numpy(), pa.string()),
+        })
+
+    pairs = links.map_batches(hosts, batch_format="pyarrow")
+
+    # global distinct through the same coarse-hash fold, keyed on the
+    # 64-bit content hash of the pair (names ride the shuffle once)
+    from pyrosm_ray.stages.hashing import stable64_many
+
+    def bucket_s(t: pa.Table) -> pa.Table:
+        h = stable64_many([a + "\x00" + b for a, b in
+                           zip(t["src_host"].to_pylist(),
+                               t["dst_host"].to_pylist())])
+        return t.append_column(
+            "__q", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def fold_s(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        df = pd.DataFrame({"src_host": g["src_host"].to_pylist(),
+                           "dst_host": g["dst_host"].to_pylist()})
+        df = df.drop_duplicates()
+        return pa.table({
+            "src_host": pa.array(df["src_host"].to_numpy(), pa.string()),
+            "dst_host": pa.array(df["dst_host"].to_numpy(), pa.string()),
+        })
+
+    return pairs.map_batches(bucket_s, batch_format="pyarrow") \
+        .groupby("__q", num_partitions=nb) \
+        .map_groups(fold_s, batch_format="pyarrow")
+
+
+def pagerank_named(edges, iters: int = 5, src_col: str = "src_host",
+                   dst_col: str = "dst_host"):
+    """PageRank over STRING-named nodes (hosts): names hash to int64
+    through :func:`pyrosm_ray.stages.hashing.stable64_many` (the
+    64-bit id contract — ~10^-4 collision odds even at 10^8 hosts),
+    :func:`pagerank` runs the integer recurrence, and names map back
+    through a broadcast (hash -> name) table collected under the same
+    node-bounded contract as the rank vector itself.
+    -> (host, rank_micro)."""
+    from pyrosm_ray.stages.hashing import stable64_many
+
+    def hash_edges(b: pa.Table) -> pa.Table:
+        s = stable64_many(b[src_col].to_pylist())
+        d = stable64_many(b[dst_col].to_pylist())
+        return pa.table({"src": pa.array(s.view(np.int64), pa.int64()),
+                         "dst": pa.array(d.view(np.int64), pa.int64())})
+
+    hashed = edges.materialize()
+
+    # (hash, name) map: batch-distinct partials collect on the driver
+    def name_rows(b: pa.Table) -> pa.Table:
+        names = list(dict.fromkeys(b[src_col].to_pylist()
+                                   + b[dst_col].to_pylist()))
+        h = stable64_many(names)
+        return pa.table({"h": pa.array(h.view(np.int64), pa.int64()),
+                         "name": pa.array(names, pa.string())})
+
+    hs, nms = [], []
+    for b in hashed.map_batches(name_rows, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        hs.append(np.asarray(b["h"].to_numpy(zero_copy_only=False),
+                             np.int64))
+        nms.append(np.asarray(b["name"].to_pylist(), dtype=object))
+    if hs:
+        hv = np.concatenate(hs)
+        nv = np.concatenate(nms)
+        o = np.argsort(hv, kind="stable")
+        hv, nv = hv[o], nv[o]
+        first = np.ones(len(hv), bool)
+        first[1:] = hv[1:] != hv[:-1]
+        hv, nv = hv[first], nv[first]
+    else:
+        hv = np.empty(0, np.int64)
+        nv = np.empty(0, dtype=object)
+    name_ref = ray.put((hv, nv))
+
+    ranks = pagerank(hashed.map_batches(hash_edges,
+                                        batch_format="pyarrow"),
+                     iters=iters)
+
+    def attach(b: pa.Table) -> pa.Table:
+        h, n = ray.get(name_ref)
+        node = np.asarray(b["node"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        pos = np.clip(np.searchsorted(h, node), 0, max(len(h) - 1, 0))
+        return pa.table({
+            "host": pa.array(n[pos] if len(n) else
+                             np.empty(0, object), pa.string()),
+            "rank_micro": b["rank_micro"],
+        })
+
+    return ranks.map_batches(attach, batch_format="pyarrow")
+
+
+def _pagerank_iter_ctes(iters: int, node_type: str = "BIGINT") -> str:
+    """The shared unrolled-iteration CTE chain (expects ``edges(src,
+    dst)`` and ``nodes(node)`` CTEs upstream)."""
+    ctes = ["""outdeg AS (SELECT src, COUNT(*) AS deg FROM edges
+                      GROUP BY src)""",
+            f"""r0 AS (SELECT node, CAST({R0_MICRO} AS BIGINT) AS r
+                   FROM nodes)"""]
+    for k in range(1, iters + 1):
+        ctes.append(f"""r{k} AS (
+            SELECT n.node,
+                   CAST({TELEPORT_MICRO} + COALESCE(c.s, 0) AS BIGINT)
+                       AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node,
+                       SUM(({DAMP_NUM} * p.r) // ({DAMP_DEN} * d.deg))
+                           AS s
+                FROM edges e
+                JOIN r{k - 1} p ON e.src = p.node
+                JOIN outdeg d ON d.src = e.src
+                GROUP BY e.dst) c USING (node))""")
+    return ",\n".join(ctes)
+
+
 def click_pagerank_sql(events_table: str = "events", iters: int = 5,
                        user_col: str = "user_id", ts_col: str = "ts",
                        props_col: str = "props",
@@ -275,23 +426,38 @@ def click_pagerank_sql(events_table: str = "events", iters: int = 5,
             """nodes AS (SELECT DISTINCT n AS node FROM (
                      SELECT src AS n FROM edges
                      UNION ALL SELECT dst FROM edges))""",
-            """outdeg AS (SELECT src, COUNT(*) AS deg FROM edges
-                      GROUP BY src)""",
-            f"""r0 AS (SELECT node, CAST({R0_MICRO} AS BIGINT) AS r
-                   FROM nodes)"""]
-    for k in range(1, iters + 1):
-        ctes.append(f"""r{k} AS (
-            SELECT n.node,
-                   CAST({TELEPORT_MICRO} + COALESCE(c.s, 0) AS BIGINT)
-                       AS r
-            FROM nodes n LEFT JOIN (
-                SELECT e.dst AS node,
-                       SUM(({DAMP_NUM} * p.r) // ({DAMP_DEN} * d.deg))
-                           AS s
-                FROM edges e
-                JOIN r{k - 1} p ON e.src = p.node
-                JOIN outdeg d ON d.src = e.src
-                GROUP BY e.dst) c USING (node))""")
+            _pagerank_iter_ctes(iters)]
     return ("WITH " + ",\n".join(ctes)
             + f"\nSELECT node, r AS rank_micro FROM r{iters} "
             "ORDER BY node")
+
+
+_HOST_RE_SQL = "'^[A-Za-z][A-Za-z0-9+.\\-]*://([^/:?#]*)'"
+
+
+def link_pagerank_sql(pages_expr: str, iters: int = 5,
+                      html_col: str = "html",
+                      url_col: str = "url") -> str:
+    """DuckDB twin of extract_links -> host_edges -> pagerank_named over
+    the pages table (href regex matches the fixture's double-quoted
+    anchors; the engine side uses a real HTML parse)."""
+    return (f"""WITH lk AS (SELECT {url_col} AS url,
+                   unnest(regexp_extract_all(decode({html_col}),
+                          '<a href="([^"]+)"', 1)) AS href
+               FROM {pages_expr}),
+        edges AS (SELECT DISTINCT
+                     lower(regexp_extract(url, {_HOST_RE_SQL}, 1))
+                         AS src,
+                     lower(regexp_extract(href, {_HOST_RE_SQL}, 1))
+                         AS dst
+                  FROM lk
+                  WHERE regexp_matches(href, {_HOST_RE_SQL})
+                    AND lower(regexp_extract(url, {_HOST_RE_SQL}, 1))
+                        <> lower(regexp_extract(href,
+                                                {_HOST_RE_SQL}, 1))),
+        nodes AS (SELECT DISTINCT n AS node FROM (
+                     SELECT src AS n FROM edges
+                     UNION ALL SELECT dst FROM edges)),
+        """ + _pagerank_iter_ctes(iters)
+            + f"\nSELECT node AS host, r AS rank_micro FROM r{iters} "
+            "ORDER BY host")

@@ -78,3 +78,44 @@ def test_click_edges_tie_broken_by_event_id(ray_session):
     })
     got = pr.click_edges(rd.from_arrow(t)).to_pandas()
     assert set(zip(got.src, got.dst)) == {(200, 100)}
+
+
+def test_extract_links_and_host_edges(ray_session):
+    import pyarrow as pa
+
+    from pyrosm_ray.stages.extract import extract_links
+    h1 = (b"<html><body><a href='https://b.example/x'>t</a>"
+          b"<A HREF=\"https://c.example/y\"></A>"
+          b"<a href='/relative'>r</a><a name='no-href'>n</a>"
+          b"</body></html>")
+    h2 = b"<p><a href='https://a.example/self'></a></p>"
+    t = pa.table({
+        "url": pa.array(["https://a.example/1", "https://a.example/2"],
+                        pa.string()),
+        "html": pa.array([h1, h2], pa.binary()),
+    })
+    links = extract_links(rd.from_arrow(t)).to_pandas()
+    # every href (incl. relative) in document order; no-href anchors drop
+    assert list(links.href) == ["https://b.example/x",
+                                "https://c.example/y", "/relative",
+                                "https://a.example/self"]
+    edges = pr.host_edges(extract_links(rd.from_arrow(t))).to_pandas()
+    got = set(zip(edges.src_host, edges.dst_host))
+    # relative href (no host) and the self-host link both drop
+    assert got == {("a.example", "b.example"), ("a.example", "c.example")}
+
+
+def test_pagerank_named_matches_int_pagerank(ray_session):
+    import pyarrow as pa
+    e = pa.table({
+        "src_host": pa.array(["a", "b", "c"], pa.string()),
+        "dst_host": pa.array(["b", "c", "a"], pa.string()),
+    })
+    named = pr.pagerank_named(rd.from_arrow(e), iters=3).to_pandas()
+    # symmetric 3-cycle: every node same rank
+    assert len(named) == 3
+    assert len(set(named.rank_micro)) == 1
+    ints = pr.pagerank(rd.from_arrow(_edges_tbl([(1, 2), (2, 3),
+                                                 (3, 1)])),
+                       iters=3).to_pandas()
+    assert set(named.rank_micro) == set(ints.rank_micro)
