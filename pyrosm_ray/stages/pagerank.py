@@ -385,6 +385,107 @@ def pagerank_named(edges, iters: int = 5, src_col: str = "src_host",
     return ranks.map_batches(attach, batch_format="pyarrow")
 
 
+def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
+                         dst_col: str = "dst",
+                         num_partitions: int | None = None):
+    """The beyond-broadcast PageRank route: the rank vector stays a
+    DATASET throughout (never collected, never broadcast), so node
+    universes past the driver/object-store ceiling (per-PAGE graphs at
+    10^12 pages, not per-host) still run.
+
+    Per iteration: one hash join ships each edge its source's current
+    (rank, outdeg) — contributions compute vectorised per batch with
+    batch-local per-dst pre-aggregation — then a node-keyed groupby-sum
+    unioned with the zero-contribution node universe rebuilds the next
+    state. Partitioning assumption (custom-operator contract): edges
+    and state co-partition by the join key hash; skewed in-degree hubs
+    are absorbed by the batch-local pre-aggregation (a hub's
+    contributions collapse to one row per batch before the shuffle).
+    Executes the identical integer recurrence as :func:`pagerank`
+    (parity-tested)."""
+    import pandas as pd
+
+    from pyrosm_ray.stages.blocks import shuffle_join_args
+
+    jargs = shuffle_join_args(num_partitions)
+    edges = edges.select_columns([src_col, dst_col]).materialize()
+
+    # node universe + outdeg (one pass, tiny keyed aggregate)
+    def deg_partial(b: pa.Table) -> pa.Table:
+        s = np.asarray(b[src_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        d = np.asarray(b[dst_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        codes, uniq = pd.factorize(s)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        dn = np.unique(d)
+        return pa.table({
+            "node": pa.array(np.concatenate([uniq, dn]), pa.int64()),
+            "deg": pa.array(np.concatenate(
+                [cnt, np.zeros(len(dn), np.int64)]), pa.int64()),
+        })
+
+    def _clean_deg(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "deg": b["sum(deg)"]})
+
+    nodes_deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").sum("deg") \
+        .map_batches(_clean_deg, batch_format="pyarrow").materialize()
+
+    def init_state(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "r", pa.array(np.full(b.num_rows, R0_MICRO, np.int64)))
+
+    state = nodes_deg.map_batches(init_state,
+                                  batch_format="pyarrow").materialize()
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": b["node"],
+            "s": pa.array(np.zeros(b.num_rows, np.int64), pa.int64())})
+
+    zero_nodes = nodes_deg.map_batches(zeros,
+                                       batch_format="pyarrow") \
+        .materialize()
+
+    def contrib(b: pa.Table) -> pa.Table:
+        d = np.asarray(b[dst_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        r = np.asarray(b["r"].to_numpy(zero_copy_only=False), np.int64)
+        dg = np.asarray(b["deg"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        c = (DAMP_NUM * r) // (DAMP_DEN * dg)
+        codes, uniq = pd.factorize(d)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, codes, c)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "s": pa.array(acc, pa.int64())})
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = np.asarray(b["sum(s)"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        return pa.table({
+            "node": b["node"],
+            "r": pa.array(TELEPORT_MICRO + s, pa.int64())})
+
+    for _ in range(iters):
+        joined = edges.join(state, "inner", on=(src_col,),
+                            right_on=("node",), **jargs)
+        sums = joined.map_batches(contrib, batch_format="pyarrow") \
+            .union(zero_nodes) \
+            .groupby("node").sum("s") \
+            .map_batches(finish, batch_format="pyarrow")
+        # re-attach outdeg for the next join (state schema: node,deg,r)
+        state = nodes_deg.join(sums, "inner", on=("node",),
+                               right_on=("node",), **jargs) \
+            .materialize()
+
+    def out(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b["node"], "rank_micro": b["r"]})
+
+    return state.map_batches(out, batch_format="pyarrow")
+
+
 def _pagerank_iter_ctes(iters: int, node_type: str = "BIGINT") -> str:
     """The shared unrolled-iteration CTE chain (expects ``edges(src,
     dst)`` and ``nodes(node)`` CTEs upstream)."""

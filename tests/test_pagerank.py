@@ -119,3 +119,16 @@ def test_pagerank_named_matches_int_pagerank(ray_session):
                                                  (3, 1)])),
                        iters=3).to_pandas()
     assert set(named.rank_micro) == set(ints.rank_micro)
+
+
+def test_pagerank_partitioned_parity(ray_session):
+    """The beyond-broadcast (rank-as-Dataset) route must execute the
+    identical integer recurrence."""
+    pairs = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 1), (5, 2), (2, 5),
+             (3, 4)]
+    base = pr.pagerank(rd.from_arrow(_edges_tbl(pairs)),
+                       iters=4).to_pandas()
+    part = pr.pagerank_partitioned(rd.from_arrow(_edges_tbl(pairs)),
+                                   iters=4).to_pandas()
+    assert dict(zip(part.node, part.rank_micro)) == \
+        dict(zip(base.node, base.rank_micro))
