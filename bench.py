@@ -256,6 +256,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                                      columns=["event_id", "ts",
                                               "user_id", "props"]))),
                   iters=5).count())
+        # the beyond-broadcast route (rank stays a Dataset; one hash
+        # join + zero-union groupby per iteration) — benched like the
+        # partitioned spatial joins: fixed-cost-bound at toy scale, the
+        # contract shape at 10^12-page graphs
+        from pyrosm_ray.stages.pagerank import pagerank_partitioned
+        timed("pagerank_partitioned",
+              lambda: pagerank_partitioned(click_edges(event_nodes(
+                  read_parquet_split(events_path,
+                                     columns=["event_id", "ts",
+                                              "user_id", "props"]))),
+                  iters=5).count())
 
     # embedding curation family: SemDeDup (distributed Lloyd's + within-
     # cluster prune) and PQ ANN (encode + ADC scan + exact rerank) over

@@ -431,6 +431,11 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
     nodes_deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
         .groupby("node").sum("deg") \
         .map_batches(_clean_deg, batch_format="pyarrow").materialize()
+    if nodes_deg.count() == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_micro": pa.array([], pa.int64())}))
 
     def init_state(b: pa.Table) -> pa.Table:
         return b.append_column(

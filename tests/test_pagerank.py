@@ -132,3 +132,9 @@ def test_pagerank_partitioned_parity(ray_session):
                                    iters=4).to_pandas()
     assert dict(zip(part.node, part.rank_micro)) == \
         dict(zip(base.node, base.rank_micro))
+
+
+def test_pagerank_partitioned_empty(ray_session):
+    got = pr.pagerank_partitioned(rd.from_arrow(_edges_tbl([]))) \
+        .to_pandas()
+    assert len(got) == 0
