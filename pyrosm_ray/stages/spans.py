@@ -41,6 +41,7 @@ import numpy as np
 import pyarrow as pa
 
 from pyrosm_ray.stages.blocks import sized_partitions
+from pyrosm_ray.stages.dedup import BANDED_DRIVER_MAX
 from pyrosm_ray.stages.hashing import (_addmod_sql, _mulmod_sql, hash64,
                                        stable64_many)
 
@@ -158,7 +159,42 @@ def dup_span_stats(ds, window: int = 8, id_col: str = "doc_id",
             "nd": pa.array(nd, pa.int64()),
         })
 
-    partials = ds.map_batches(explode, batch_format="pyarrow") \
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+
+    # small-corpus fast path (the dedup-family driver policy): the
+    # (doc, fp, k) rows are 32 B each — under BANDED_DRIVER_MAX they
+    # collect and the whole total/dup computation is the fold body run
+    # once, skipping both shuffles' fixed cost. Identical output. The
+    # doc-count pre-gate keeps the at-scale route streaming (the
+    # exploded table is token-sized; it must never materialize just to
+    # be counted).
+    n_rows = BANDED_DRIVER_MAX + 1
+    if ds.count() <= 100_000:
+        exploded = exploded.materialize()
+        n_rows = exploded.count()
+    if n_rows <= BANDED_DRIVER_MAX:
+        import ray.data as rd
+        parts = [pa.table(b) for b in
+                 exploded.iter_batches(batch_size=1 << 18,
+                                       batch_format="pyarrow")]
+        if not parts or not sum(t.num_rows for t in parts):
+            return rd.from_arrow(_EMPTY)
+        folded = fold(pa.concat_tables(parts))
+        import pandas as pd
+        df = pd.DataFrame({
+            id_col: folded[id_col].to_numpy(zero_copy_only=False),
+            "nw": folded["nw"].to_numpy(zero_copy_only=False),
+            "nd": folded["nd"].to_numpy(zero_copy_only=False)})
+        agg = df.groupby(id_col, sort=True).sum().reset_index()
+        return rd.from_arrow(pa.table({
+            id_col: pa.array(agg[id_col].to_numpy(np.int64), pa.int64()),
+            "n_windows": pa.array(agg["nw"].to_numpy(np.int64),
+                                  pa.int64()),
+            "n_dup_windows": pa.array(agg["nd"].to_numpy(np.int64),
+                                      pa.int64()),
+        }))
+
+    partials = exploded \
         .map_batches(bucket, batch_format="pyarrow") \
         .groupby("__p", num_partitions=nb) \
         .map_groups(fold, batch_format="pyarrow")

@@ -58,3 +58,18 @@ def test_dup_span_no_cross_doc_window_bleed(ray_session):
     got = spans.dup_span_stats(rd.from_arrow(_tbl(docs)),
                                window=3).to_pandas()
     assert int(got.n_dup_windows.sum()) == 0
+
+
+def test_dup_span_route_parity(ray_session, monkeypatch):
+    """Driver fast path and the shuffle route produce identical stats."""
+    docs = {i: f"w{i % 4} common phrase tail t{i} extra pad words here"
+            for i in range(1, 30)}
+    fast = spans.dup_span_stats(rd.from_arrow(_tbl(docs)),
+                                window=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    monkeypatch.setattr(spans, "BANDED_DRIVER_MAX", 0)
+    dist = spans.dup_span_stats(rd.from_arrow(_tbl(docs)),
+                                window=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert fast.equals(dist)
+    assert int(fast.n_dup_windows.sum()) > 0
