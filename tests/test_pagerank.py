@@ -138,3 +138,23 @@ def test_pagerank_partitioned_empty(ray_session):
     got = pr.pagerank_partitioned(rd.from_arrow(_edges_tbl([]))) \
         .to_pandas()
     assert len(got) == 0
+
+
+def test_click_edges_route_parity(ray_session, monkeypatch):
+    """Driver fast path and the bucketed-fold route produce the same
+    distinct edge set."""
+    rng = np.random.default_rng(7)
+    n = 500
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 20, n), pa.int64()),
+        "ts": pa.array(rng.integers(0, 10_000, n).astype(
+            "datetime64[us]")),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "node": pa.array(rng.integers(0, 30, n), pa.int64()),
+    })
+    fast = pr.click_edges(rd.from_arrow(t)).to_pandas()
+    monkeypatch.setattr(pr, "EVENTS_DRIVER_MAX", 0)
+    dist = pr.click_edges(rd.from_arrow(t)).to_pandas()
+    f = sorted(zip(fast.src, fast.dst))
+    d = sorted(zip(dist.src, dist.dst))
+    assert f == d and len(f) == len(set(f)) > 0
