@@ -240,6 +240,26 @@ def q_bm25_topk(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_bm25_indexed(sf_dir: str):
+    """Index-driven BM25: build the term-hash-bucketed postings
+    artifact (resumable parquet layout), then answer the query reading
+    ONLY the buckets its terms hash into — must equal the direct-scan
+    bm25_topk (same SQL oracle)."""
+    import hashlib
+    import os
+
+    from pyrosm_ray.stages.search import (bm25_topk_from_postings,
+                                          write_postings)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    idx = f"/tmp/geograft_bm25_idx_{tag}"
+    write_postings(ds, idx, resume=os.path.exists(
+        os.path.join(idx, "_meta.json")))
+    df = bm25_topk_from_postings(idx, _BM25_QUERY, k=25).to_pandas()[
+        ["doc_id", "score_micro"]]
+    return df.reset_index(drop=True)
+
+
 def q_quality_score(sf_dir: str):
     from pyrosm_ray.stages.text import quality_score
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1629,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bigram_logprob": _bigram_logprob_sql(),
         "q_bm25_score": _bm25_score_oracle(),
         "q_bm25_topk": _bm25_topk_oracle(),
+        "q_bm25_indexed": _bm25_topk_oracle(),
         "q_pagerank": _click_pagerank_sql(iters=5),
         "q_host_pagerank": _link_pagerank_sql(pages, iters=5),
         "q_dup_spans": _dup_span_stats_sql(window=8),
@@ -2184,6 +2205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bigram_logprob": q_bigram_logprob,
         "q_bm25_score": q_bm25_score,
         "q_bm25_topk": q_bm25_topk,
+        "q_bm25_indexed": q_bm25_indexed,
         "q_pagerank": q_pagerank,
         "q_host_pagerank": q_host_pagerank,
         "q_dup_spans": q_dup_spans,

@@ -178,7 +178,9 @@ def bm25_topk(ds, query: str, k: int = 10, id_col: str = "doc_id",
 
 def build_postings(ds, id_col: str = "doc_id", text_col: str = "text",
                    num_partitions: int | None = None):
-    """Inverted postings (term, doc_id, tf) — the offline index build.
+    """Inverted postings (term, doc_id, tf, dl) — the offline index
+    build; ``dl`` denormalizes the document length onto every posting
+    row so index-driven BM25 needs no doc-length side table.
 
     Per-batch factorize+bincount partials mean the shuffle carries one
     row per distinct (term, doc) pair (Zipf-bounded), never raw tokens;
@@ -198,7 +200,8 @@ def build_postings(ds, id_col: str = "doc_id", text_col: str = "text",
         if not words_all:
             return pa.table({"term": pa.array([], pa.string()),
                              id_col: pa.array([], pa.int64()),
-                             "tf": pa.array([], pa.int64())})
+                             "tf": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64())})
         w = np.asarray(words_all, dtype=object)
         codes, uniq = pd.factorize(w)
         row = np.repeat(np.arange(len(texts)), counts)
@@ -206,13 +209,168 @@ def build_postings(ds, id_col: str = "doc_id", text_col: str = "text",
         key = row.astype(np.int64) * len(uniq) + codes
         cnt = np.bincount(key, minlength=len(texts) * len(uniq))
         nz = np.flatnonzero(cnt)
+        drow = nz // len(uniq)
         return pa.table({
             "term": pa.array(uniq[nz % len(uniq)], pa.string()),
-            id_col: pa.array(ids[nz // len(uniq)], pa.int64()),
+            id_col: pa.array(ids[drow], pa.int64()),
             "tf": pa.array(cnt[nz], pa.int64()),
+            "dl": pa.array(counts[drow], pa.int64()),
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+POSTINGS_BUCKETS = 64
+
+
+def write_postings(ds, path: str, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   num_buckets: int = POSTINGS_BUCKETS,
+                   resume: bool = False) -> dict:
+    """Persist the inverted index as term-hash-bucketed parquet — the
+    durable search artifact. Queries then read ONLY the buckets their
+    terms hash into (:func:`bm25_topk_from_postings`): the
+    prune-at-the-read contract applied to search.
+
+    Layout: ``<path>/bucket=<b>/part.parquet`` (one directory per term
+    bucket — the resumable-output rule: a restarted build skips buckets
+    whose file already exists when ``resume=True``) plus
+    ``<path>/_meta.json`` carrying the corpus constants BM25 needs
+    (n_docs, total_tokens, num_buckets). Returns the manifest dict."""
+    import json
+    import os
+
+    from pyrosm_ray.stages.hashing import stable64_many
+
+    os.makedirs(path, exist_ok=True)
+
+    # corpus constants: one streaming pass of tiny partials
+    def stats(b: pa.Table) -> pa.Table:
+        toks = sum(len((t or "").lower().split())
+                   for t in b[text_col].to_pylist())
+        return pa.table({"docs": pa.array([b.num_rows], pa.int64()),
+                         "toks": pa.array([toks], pa.int64())})
+
+    n_docs = toks = 0
+    for b in ds.map_batches(stats, batch_format="pyarrow") \
+            .iter_batches(batch_format="pyarrow"):
+        n_docs += int(np.asarray(
+            b["docs"].to_numpy(zero_copy_only=False)).sum())
+        toks += int(np.asarray(
+            b["toks"].to_numpy(zero_copy_only=False)).sum())
+
+    post = build_postings(ds, id_col=id_col, text_col=text_col)
+
+    def bucket(b: pa.Table) -> pa.Table:
+        h = stable64_many(b["term"].to_pylist())
+        return b.append_column(
+            "__b", pa.array((h % np.uint64(num_buckets))
+                            .astype(np.int64)))
+
+    def write_bucket(g: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+        if g.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        bkt = int(g["__b"][0].as_py())
+        d = os.path.join(path, f"bucket={bkt}")
+        f = os.path.join(d, "part.parquet")
+        if not (resume and os.path.exists(f)):
+            os.makedirs(d, exist_ok=True)
+            tmp = f + ".tmp"
+            pq.write_table(g.drop_columns(["__b"]), tmp)
+            os.replace(tmp, f)
+        return pa.table({"bucket": pa.array([bkt], pa.int64()),
+                         "rows": pa.array([g.num_rows], pa.int64())})
+
+    manifest = post.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__b", num_partitions=min(num_buckets, 64)) \
+        .map_groups(write_bucket, batch_format="pyarrow").to_pandas()
+    meta = {"n_docs": n_docs, "total_tokens": toks,
+            "num_buckets": num_buckets, "id_col": id_col,
+            "buckets_written": int(len(manifest)),
+            "postings_rows": int(manifest["rows"].sum())
+            if len(manifest) else 0}
+    with open(os.path.join(path, "_meta.json"), "w") as fh:
+        json.dump(meta, fh)
+    return meta
+
+
+def bm25_topk_from_postings(path: str, query: str, k: int = 10,
+                            k1: float = 1.2, b: float = 0.75):
+    """Index-driven BM25 top-k: reads ONLY the term buckets the query
+    hashes into (partition pruning over the durable index — at a
+    10^6-bucket index a 4-term query touches 4 buckets regardless of
+    corpus size). Produces output identical to :func:`bm25_topk` run
+    directly over the corpus (same integer micro-unit arithmetic)."""
+    import json
+    import os
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from pyrosm_ray.stages.hashing import stable64_many
+
+    with open(os.path.join(path, "_meta.json")) as fh:
+        meta = json.load(fh)
+    id_col = meta["id_col"]
+    terms = np.asarray(sorted(set(query.lower().split())), dtype=object)
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "score_micro": pa.array([], pa.int64())})
+    if not len(terms):
+        return rd.from_arrow(empty)
+    tb = stable64_many(list(terms)) % np.uint64(meta["num_buckets"])
+    files = [os.path.join(path, f"bucket={int(x)}", "part.parquet")
+             for x in sorted(set(tb.tolist()))]
+    files = [f for f in files if os.path.exists(f)]
+    if not files:
+        return rd.from_arrow(empty)
+    post = rd.read_parquet(files)
+    terms_ref = ray.put(terms)
+
+    def hit(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["term"],
+                                 pa.array(list(ray.get(terms_ref)),
+                                          pa.string())))
+
+    hits = post.map_batches(hit, batch_format="pyarrow").materialize()
+
+    # df per term (tiny: bounded by matching postings)
+    m = len(terms)
+    df = np.zeros(m, np.int64)
+    for bt in hits.iter_batches(batch_format="pyarrow"):
+        w = np.asarray(bt["term"].to_pylist(), dtype=object)
+        pos = np.searchsorted(terms, w)
+        np.add.at(df, pos, 1)
+    n_docs = meta["n_docs"]
+    avgdl = meta["total_tokens"] / max(n_docs, 1)
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    bc = ray.put((terms, idf, avgdl))
+
+    def score(bt: pa.Table) -> pa.Table:
+        ts, idf_b, avg = ray.get(bc)
+        w = np.asarray(bt["term"].to_pylist(), dtype=object)
+        pos = np.searchsorted(ts, w)
+        tf = np.asarray(bt["tf"].to_numpy(zero_copy_only=False),
+                        np.int64).astype(np.float64)
+        dl = np.asarray(bt["dl"].to_numpy(zero_copy_only=False),
+                        np.int64).astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * dl / avg)
+        contrib = idf_b[pos] * (tf * (k1 + 1.0)) / denom
+        micro = np.trunc(contrib * 1e6 + 0.5).astype(np.int64)
+        return pa.table({id_col: bt[id_col],
+                         "m": pa.array(micro, pa.int64())})
+
+    import pandas as pd
+    rows = hits.map_batches(score, batch_format="pyarrow").to_pandas()
+    if not len(rows):
+        return rd.from_arrow(empty)
+    agg = rows.groupby(id_col, sort=False)["m"].sum().reset_index()
+    agg = agg.rename(columns={"m": "score_micro"})
+    agg = agg.sort_values(["score_micro", id_col],
+                          ascending=[False, True]).head(k)
+    return rd.from_arrow(pa.Table.from_pandas(
+        agg.reset_index(drop=True), preserve_index=False))
 
 
 def bm25_score_sql(query: str, doc_table: str = "documents",

@@ -84,3 +84,42 @@ def test_build_postings(ray_session):
     toks = sum(len((t or "").split())
                for t in _corpus()["text"].to_pylist())
     assert int(post.tf.sum()) == toks
+
+
+def test_postings_index_roundtrip_and_prune(ray_session, tmp_path):
+    tbl = _corpus()
+    idx = str(tmp_path / "idx")
+    meta = search.write_postings(rd.from_arrow(tbl), idx, num_buckets=8)
+    assert meta["n_docs"] == 5
+    got = search.bm25_topk_from_postings(idx, "hash join",
+                                         k=5).to_pandas()
+    direct = search.bm25_topk(rd.from_arrow(tbl), "hash join",
+                              k=5).to_pandas()
+    assert list(zip(got.doc_id, got.score_micro)) == \
+        list(zip(direct.doc_id, direct.score_micro))
+    # partition pruning: only the buckets the query terms hash into read
+    import os
+
+    from pyrosm_ray.stages.hashing import stable64_many
+    want = {int(x) for x in stable64_many(["hash", "join"]) % 8}
+    have = {int(d.split("=")[1]) for d in os.listdir(idx)
+            if d.startswith("bucket=")}
+    assert want <= have
+
+
+def test_postings_resume_skips_existing(ray_session, tmp_path):
+    import os
+    tbl = _corpus()
+    idx = str(tmp_path / "idx2")
+    search.write_postings(rd.from_arrow(tbl), idx, num_buckets=4)
+    f = None
+    for d in sorted(os.listdir(idx)):
+        if d.startswith("bucket="):
+            f = os.path.join(idx, d, "part.parquet")
+            break
+    mtime = os.path.getmtime(f)
+    search.write_postings(rd.from_arrow(tbl), idx, num_buckets=4,
+                          resume=True)
+    assert os.path.getmtime(f) == mtime  # untouched on resume
+    search.write_postings(rd.from_arrow(tbl), idx, num_buckets=4)
+    assert os.path.getmtime(f) >= mtime  # rewritten without resume
