@@ -240,6 +240,16 @@ def q_bm25_topk(sf_dir: str):
     return df.reset_index(drop=True)
 
 
+def q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (RAG / pretraining prep):
+    64-token chunks with 16-token overlap; stateless explode."""
+    from pyrosm_ray.stages.sampling import chunk_documents
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = chunk_documents(ds, chunk_tokens=64, overlap=16).to_pandas()
+    return df.sort_values(["doc_id", "chunk_index"]) \
+        .reset_index(drop=True)
+
+
 def q_bm25_indexed(sf_dir: str):
     """Index-driven BM25: build the term-hash-bucketed postings
     artifact (resumable parquet layout), then answer the query reading
@@ -1650,6 +1660,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bm25_score": _bm25_score_oracle(),
         "q_bm25_topk": _bm25_topk_oracle(),
         "q_bm25_indexed": _bm25_topk_oracle(),
+        "q_chunk_documents": _sampling.chunk_documents_sql(
+            "documents", chunk_tokens=64, overlap=16),
         "q_pagerank": _click_pagerank_sql(iters=5),
         "q_host_pagerank": _link_pagerank_sql(pages, iters=5),
         "q_dup_spans": _dup_span_stats_sql(window=8),
@@ -2206,6 +2218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_score": q_bm25_score,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_indexed": q_bm25_indexed,
+        "q_chunk_documents": q_chunk_documents,
         "q_pagerank": q_pagerank,
         "q_host_pagerank": q_host_pagerank,
         "q_dup_spans": q_dup_spans,

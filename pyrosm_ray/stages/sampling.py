@@ -230,6 +230,73 @@ PII_PATTERNS = (
 )
 
 
+def chunk_documents(ds, chunk_tokens: int = 128, overlap: int = 32,
+                    id_col: str = "doc_id", text_col: str = "text"):
+    """Split documents into overlapping token-window chunks — the
+    context-window preparation op complementary to ``pack_sequences``
+    (that one concatenates small docs; this one splits large ones —
+    RAG / pretraining corpora run both).
+
+    Chunk k covers tokens ``[k·stride, k·stride + chunk_tokens)`` with
+    ``stride = chunk_tokens - overlap``; chunks exist while
+    ``k·stride < n_tokens`` (tail chunks may be short). Tokens are
+    whitespace-split of the RAW text; chunk text re-joins with single
+    spaces (whitespace-normalising — the SQL twin shares the rule).
+    Output: (id, chunk_index, chunk_text, n_chunk_tokens). Stateless
+    map_batches — rows explode in place, nothing shuffles."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids_out, cidx, texts_out, ntok = [], [], [], []
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            ws = (t or "").split()
+            n = len(ws)
+            k = 0
+            while k * stride < n:
+                seg = ws[k * stride:k * stride + chunk_tokens]
+                ids_out.append(int(ids[i]))
+                cidx.append(k)
+                texts_out.append(" ".join(seg))
+                ntok.append(len(seg))
+                k += 1
+        return pa.table({
+            id_col: pa.array(ids_out, pa.int64()),
+            "chunk_index": pa.array(cidx, pa.int64()),
+            "chunk_text": pa.array(texts_out, pa.string()),
+            "n_chunk_tokens": pa.array(ntok, pa.int64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def chunk_documents_sql(doc_table: str, chunk_tokens: int = 128,
+                        overlap: int = 32, id_col: str = "doc_id",
+                        text_col: str = "text") -> str:
+    """DuckDB twin of :func:`chunk_documents`."""
+    stride = chunk_tokens - overlap
+    toks = f"regexp_extract_all({text_col}, '\\S+')"
+    return f"""
+        WITH tk AS (SELECT {id_col}, {toks} AS ws FROM {doc_table}),
+        idx AS (SELECT {id_col}, ws,
+                       unnest(generate_series(0,
+                           CAST(ceil(len(ws)
+                                / CAST({stride} AS DOUBLE)) AS BIGINT)
+                           - 1)) AS k
+                FROM tk)
+        SELECT {id_col}, k AS chunk_index,
+               array_to_string(ws[k * {stride} + 1
+                                  : k * {stride} + {chunk_tokens}], ' ')
+                   AS chunk_text,
+               CAST(len(ws[k * {stride} + 1
+                           : k * {stride} + {chunk_tokens}]) AS BIGINT)
+                   AS n_chunk_tokens
+        FROM idx ORDER BY {id_col}, chunk_index"""
+
+
 def redact_pii(ds, text_col: str = "text", id_col: str = "doc_id",
                out_col: str = "text_redacted"):
     """Redact email / IPv4 / international-phone patterns to

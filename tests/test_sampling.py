@@ -153,3 +153,32 @@ def test_mix_sources_caps_rate_at_one(ray_session):
     out = sampling.mix_sources(rd.from_arrow(t), {"a": 1, "b": 1},
                                budget=10_000).to_pandas()
     assert sorted(out.doc_id) == [1, 2, 3, 4]
+
+
+def test_chunk_documents_rules(ray_session):
+    import pyarrow as pa
+
+    from pyrosm_ray.stages.sampling import chunk_documents
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            " ".join(f"w{i}" for i in range(10)),  # 10 tokens
+            "a b c",                                # under one chunk
+            "",                                     # empty: no chunks
+        ], pa.string()),
+    })
+    out = chunk_documents(rd.from_arrow(t), chunk_tokens=8,
+                          overlap=2).to_pandas()
+    d1 = out[out.doc_id == 1].reset_index(drop=True)
+    # stride 6: chunks [0:8] and [6:10]
+    assert list(d1.chunk_index) == [0, 1]
+    assert d1.chunk_text[0] == " ".join(f"w{i}" for i in range(8))
+    assert d1.chunk_text[1] == "w6 w7 w8 w9"
+    assert list(d1.n_chunk_tokens) == [8, 4]
+    d2 = out[out.doc_id == 2]
+    assert len(d2) == 1 and d2.iloc[0].chunk_text == "a b c"
+    assert (out.doc_id != 3).all()   # empty doc -> no chunks
+    # overlap >= chunk is rejected
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        chunk_documents(rd.from_arrow(t), chunk_tokens=4, overlap=4)
