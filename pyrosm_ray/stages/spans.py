@@ -40,7 +40,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from pyrosm_ray.stages.blocks import sized_partitions
 from pyrosm_ray.stages.dedup import BANDED_DRIVER_MAX
 from pyrosm_ray.stages.hashing import (_addmod_sql, _mulmod_sql, hash64,
                                        stable64_many)
@@ -90,8 +89,17 @@ def _window_fingerprints(texts, window: int,
 def dup_span_stats(ds, window: int = 8, id_col: str = "doc_id",
                    text_col: str = "text",
                    num_partitions: int | None = None):
-    """-> (doc_id, n_windows, n_dup_windows) per doc with >=1 window."""
-    nb = num_partitions or sized_partitions(ds, rows_per_part=500_000)
+    """-> (doc_id, n_windows, n_dup_windows) per doc with >=1 window.
+
+    Shuffle width defaults to cluster width (``groupby_partitions``),
+    NOT doc-row-sized: the fold's input is ~tokens-per-corpus window
+    rows (two orders denser than the doc table the row-count heuristic
+    would see), and the shuffle route only runs past the driver gate,
+    where cluster width is the regime. Measured: 500 k docs / 95 M
+    windows went 2-partition → cluster-wide, 2→8-CPU efficiency
+    0.58 → ~0.9."""
+    from pyrosm_ray.stages.blocks import groupby_partitions
+    nb = num_partitions or groupby_partitions()
     c_lo, c_hi = _window_constants(window)
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -199,15 +207,41 @@ def dup_span_stats(ds, window: int = 8, id_col: str = "doc_id",
         .groupby("__p", num_partitions=nb) \
         .map_groups(fold, batch_format="pyarrow")
 
-    def finish(b: pa.Table) -> pa.Table:
+    # final per-doc sum through the manual bucket+fold, NOT
+    # groupby(doc).sum: Ray's HashAggregate pays per distinct key
+    # (|docs| of them; the line_dedup 7x pathology) while the fold pays
+    # per partition — measured 180 s -> 60 s on a 500 k-doc corpus
+    def bucket_doc(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         np.int64).view(np.uint64)
+        h = hash64(ids, 13)
+        return t.append_column(
+            "__q", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def fold_doc(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return _EMPTY
+        import pandas as pd
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        nw = np.asarray(g["nw"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        nd = np.asarray(g["nd"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        codes, udocs = pd.factorize(ids)
+        snw = np.zeros(len(udocs), np.int64)
+        snd = np.zeros(len(udocs), np.int64)
+        np.add.at(snw, codes, nw)
+        np.add.at(snd, codes, nd)
         return pa.table({
-            id_col: b[id_col],
-            "n_windows": b["sum(nw)"],
-            "n_dup_windows": b["sum(nd)"],
+            id_col: pa.array(udocs, pa.int64()),
+            "n_windows": pa.array(snw, pa.int64()),
+            "n_dup_windows": pa.array(snd, pa.int64()),
         })
 
-    return partials.groupby(id_col).sum(["nw", "nd"]) \
-        .map_batches(finish, batch_format="pyarrow")
+    return partials.map_batches(bucket_doc, batch_format="pyarrow") \
+        .groupby("__q", num_partitions=nb) \
+        .map_groups(fold_doc, batch_format="pyarrow")
 
 
 def dup_span_stats_sql(window: int = 8, doc_table: str = "documents",
