@@ -228,9 +228,11 @@ def pagerank(edges, iters: int = 5, src_col: str = "src",
                 [cnt, np.zeros(len(dn), np.int64)]), pa.int64()),
         })
 
+    from pyrosm_ray.stages.blocks import keyed_sum_fold
     parts = [pa.table(b) for b in
-             edges.map_batches(deg_partial, batch_format="pyarrow")
-             .groupby("node").sum("deg")
+             keyed_sum_fold(
+                 edges.map_batches(deg_partial, batch_format="pyarrow"),
+                 "node", ["deg"])
              .iter_batches(batch_format="pyarrow")]
     if not parts or not sum(t.num_rows for t in parts):
         import ray.data as rd
@@ -240,7 +242,7 @@ def pagerank(edges, iters: int = 5, src_col: str = "src",
     degt = pa.concat_tables(parts)
     nodes = np.asarray(degt["node"].to_numpy(zero_copy_only=False),
                        np.int64)
-    deg = np.asarray(degt["sum(deg)"].to_numpy(zero_copy_only=False),
+    deg = np.asarray(degt["deg"].to_numpy(zero_copy_only=False),
                      np.int64)
     o = np.argsort(nodes)
     nodes, deg = nodes[o], deg[o]
@@ -430,6 +432,15 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
 
     jargs = shuffle_join_args(num_partitions)
     edges = edges.select_columns([src_col, dst_col]).materialize()
+    if edges.count() == 0:
+        # guard BEFORE any shuffle: a fully-empty input's blocks skip
+        # the map UDFs, so the schema reaching the shuffle would lack
+        # the bucket column (the hash-shuffle empty-block defect the
+        # blocks.py guard documents)
+        import ray.data as rd
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], pa.int64()),
+            "rank_micro": pa.array([], pa.int64())}))
 
     # node universe + outdeg (one pass, tiny keyed aggregate)
     def deg_partial(b: pa.Table) -> pa.Table:
@@ -446,12 +457,10 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
                 [cnt, np.zeros(len(dn), np.int64)]), pa.int64()),
         })
 
-    def _clean_deg(b: pa.Table) -> pa.Table:
-        return pa.table({"node": b["node"], "deg": b["sum(deg)"]})
-
-    nodes_deg = edges.map_batches(deg_partial, batch_format="pyarrow") \
-        .groupby("node").sum("deg") \
-        .map_batches(_clean_deg, batch_format="pyarrow").materialize()
+    from pyrosm_ray.stages.blocks import keyed_sum_fold
+    nodes_deg = keyed_sum_fold(
+        edges.map_batches(deg_partial, batch_format="pyarrow"),
+        "node", ["deg"]).materialize()
     if nodes_deg.count() == 0:
         import ray.data as rd
         return rd.from_arrow(pa.table({
@@ -488,7 +497,7 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
                          "s": pa.array(acc, pa.int64())})
 
     def finish(b: pa.Table) -> pa.Table:
-        s = np.asarray(b["sum(s)"].to_numpy(zero_copy_only=False),
+        s = np.asarray(b["s"].to_numpy(zero_copy_only=False),
                        np.int64)
         return pa.table({
             "node": b["node"],
@@ -497,9 +506,9 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
     for _ in range(iters):
         joined = edges.join(state, "inner", on=(src_col,),
                             right_on=("node",), **jargs)
-        sums = joined.map_batches(contrib, batch_format="pyarrow") \
-            .union(zero_nodes) \
-            .groupby("node").sum("s") \
+        sums = keyed_sum_fold(
+            joined.map_batches(contrib, batch_format="pyarrow")
+            .union(zero_nodes), "node", ["s"]) \
             .map_batches(finish, batch_format="pyarrow")
         # re-attach outdeg for the next join (state schema: node,deg,r)
         state = nodes_deg.join(sums, "inner", on=("node",),

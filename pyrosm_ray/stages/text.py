@@ -264,13 +264,13 @@ def vocab_topk(ds, text_col: str = "text", k: int = 50):
         return pa.table({"word": pa.array(uniq, pa.string()),
                          "n_partial": pa.array(cnt.astype(np.int64))})
 
-    agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("word", num_partitions=groupby_partitions()) \
-        .sum("n_partial")
+    from pyrosm_ray.stages.blocks import keyed_sum_fold
+    agg = keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                         "word", ["n_partial"])
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({"word": batch["word"],
-                         "n": batch["sum(n_partial)"]})
+                         "n": batch["n_partial"]})
 
     return agg.map_batches(rename, batch_format="pyarrow") \
         .sort(["n", "word"], descending=[True, False]).limit(k)
@@ -329,13 +329,13 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({"word": pa.array(uniq, pa.string()),
                          "n_partial": pa.array(cnt.astype(np.int64))})
 
-    freq = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("word", num_partitions=groupby_partitions()) \
-        .sum("n_partial")
+    from pyrosm_ray.stages.blocks import keyed_sum_fold
+    freq = keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          "word", ["n_partial"])
     words_l, counts_l = [], []
     for b in freq.iter_batches(batch_format="pyarrow"):
         words_l.append(np.asarray(b["word"].to_pylist(), dtype=object))
-        counts_l.append(b["sum(n_partial)"].to_numpy(zero_copy_only=False))
+        counts_l.append(b["n_partial"].to_numpy(zero_copy_only=False))
     if words_l:
         vw = np.concatenate(words_l)
         vc = np.concatenate(counts_l).astype(np.int64)
@@ -422,13 +422,13 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({"bg": pa.array(uniq, pa.string()),
                          "n_partial": pa.array(cnt.astype(np.int64))})
 
-    freq = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("bg", num_partitions=groupby_partitions()) \
-        .sum("n_partial")
+    from pyrosm_ray.stages.blocks import keyed_sum_fold
+    freq = keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          "bg", ["n_partial"])
     bgs_l, counts_l = [], []
     for b in freq.iter_batches(batch_format="pyarrow"):
         bgs_l.append(np.asarray(b["bg"].to_pylist(), dtype=object))
-        counts_l.append(b["sum(n_partial)"].to_numpy(
+        counts_l.append(b["n_partial"].to_numpy(
             zero_copy_only=False))
     if bgs_l:
         vb = np.concatenate(bgs_l)
