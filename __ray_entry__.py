@@ -209,6 +209,16 @@ def q_host_pagerank(sf_dir: str):
     return df.sort_values("host").reset_index(drop=True)
 
 
+def q_pmi_topk(sf_dir: str):
+    """Top-50 PMI collocations (phrase-detection pass): everything
+    derives from the one bigram-vocabulary aggregate."""
+    from pyrosm_ray.stages.text import pmi_topk
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = pmi_topk(ds, k=50, min_count=5).to_pandas()[
+        ["w1", "w2", "n", "pmi_micro"]]
+    return df.reset_index(drop=True)
+
+
 def q_bigram_logprob(sf_dir: str):
     """Bigram conditional-LM quality proxy: per-doc sum of exact
     integer micro-nat transition log-probs (aggregate -> broadcast ->
@@ -1561,6 +1571,7 @@ def oracle_sql() -> dict[str, str]:
         unigram_logprob_sql as _unigram_logprob_sql
     from pyrosm_ray.stages.text import \
         bigram_logprob_sql as _bigram_logprob_sql
+    from pyrosm_ray.stages.text import pmi_topk_sql as _pmi_topk_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
     from pyrosm_ray.stages.search import bm25_score_sql, bm25_topk_sql
     from pyrosm_ray.stages.pagerank import \
@@ -1657,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
         "q_vocab_topk": _vocab_topk_sql(k=50),
         "q_unigram_logprob": _unigram_logprob_sql(),
         "q_bigram_logprob": _bigram_logprob_sql(),
+        "q_pmi_topk": _pmi_topk_sql(k=50, min_count=5),
         "q_bm25_score": _bm25_score_oracle(),
         "q_bm25_topk": _bm25_topk_oracle(),
         "q_bm25_indexed": _bm25_topk_oracle(),
@@ -2215,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_topk": q_vocab_topk,
         "q_unigram_logprob": q_unigram_logprob,
         "q_bigram_logprob": q_bigram_logprob,
+        "q_pmi_topk": q_pmi_topk,
         "q_bm25_score": q_bm25_score,
         "q_bm25_topk": q_bm25_topk,
         "q_bm25_indexed": q_bm25_indexed,

@@ -477,6 +477,108 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def pmi_topk(ds, k: int = 50, min_count: int = 5,
+             text_col: str = "text"):
+    """Top-k word collocations by pointwise mutual information — the
+    classic phrase-detection pass (tokenizer/vocab prep, word2vec-style
+    phrase merging). Over the corpus bigram stream:
+
+        pmi(w1,w2) = ln( c12·T / (cf(w1)·cs(w2)) )
+
+    with T = total bigrams, cf = count as first element, cs = count as
+    second — ALL derivable from the one bigram-vocabulary aggregate
+    (same Zipf-bounded keyed fold as :func:`bigram_logprob`; no second
+    corpus pass). Quantised to integer micro-nats (ROUND-half-away) so
+    the DuckDB twin matches exactly. Ties break (pmi desc, w1, w2).
+    Returns (w1, w2, n, pmi_micro)."""
+    import ray.data as rd
+
+    import pandas as pd
+
+    from pyrosm_ray.stages.blocks import keyed_sum_fold
+
+    def _bigrams(texts):
+        keys: list[str] = []
+        for t in texts:
+            ws = (t or "").lower().split()
+            keys.extend(ws[j] + " " + ws[j + 1]
+                        for j in range(len(ws) - 1))
+        return keys
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = _bigrams(batch[text_col].to_pylist())
+        if not keys:
+            return pa.table({"bg": pa.array([], pa.string()),
+                             "n_partial": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(keys, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"bg": pa.array(uniq, pa.string()),
+                         "n_partial": pa.array(cnt.astype(np.int64))})
+
+    freq = keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                          "bg", ["n_partial"])
+    bgs_l, counts_l = [], []
+    for b in freq.iter_batches(batch_format="pyarrow"):
+        bgs_l.append(np.asarray(b["bg"].to_pylist(), dtype=object))
+        counts_l.append(b["n_partial"].to_numpy(zero_copy_only=False))
+    empty = pa.table({"w1": pa.array([], pa.string()),
+                      "w2": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "pmi_micro": pa.array([], pa.int64())})
+    if not bgs_l:
+        return rd.from_arrow(empty)
+    vb = np.concatenate(bgs_l)
+    vc = np.concatenate(counts_l).astype(np.int64)
+    total = int(vc.sum())
+    w1 = np.asarray([s.split(" ", 1)[0] for s in vb], dtype=object)
+    w2 = np.asarray([s.split(" ", 1)[1] for s in vb], dtype=object)
+    c1, u1 = pd.factorize(w1)
+    cf = np.zeros(len(u1), np.int64)
+    np.add.at(cf, c1, vc)
+    c2, u2 = pd.factorize(w2)
+    cs = np.zeros(len(u2), np.int64)
+    np.add.at(cs, c2, vc)
+    keep = vc >= min_count
+    if not keep.any():
+        return rd.from_arrow(empty)
+    cfk = cf[c1][keep].astype(np.float64)
+    csk = cs[c2][keep].astype(np.float64)
+    pmi = np.log((vc[keep].astype(np.float64) * total) / (cfk * csk))
+    micro = np.trunc(pmi * 1e6 + 0.5 * np.sign(pmi)).astype(np.int64)
+    dfp = pd.DataFrame({"w1": w1[keep], "w2": w2[keep],
+                        "n": vc[keep], "pmi_micro": micro})
+    dfp = dfp.sort_values(["pmi_micro", "w1", "w2"],
+                          ascending=[False, True, True]).head(k)
+    return rd.from_arrow(pa.Table.from_pandas(
+        dfp.reset_index(drop=True), preserve_index=False))
+
+
+def pmi_topk_sql(doc_table: str = "documents", k: int = 50,
+                 min_count: int = 5) -> str:
+    """DuckDB twin of :func:`pmi_topk`."""
+    toks = "regexp_extract_all(lower(text), '\\S+')"
+    return f"""
+        WITH tk AS (SELECT doc_id, unnest({toks}) AS w,
+                           generate_subscripts({toks}, 1) AS p
+                    FROM {doc_table}),
+        big AS (SELECT w AS w1,
+                       LEAD(w) OVER (PARTITION BY doc_id ORDER BY p)
+                           AS w2
+                FROM tk),
+        bc AS (SELECT w1, w2, COUNT(*) AS c FROM big
+               WHERE w2 IS NOT NULL GROUP BY w1, w2),
+        tot AS (SELECT SUM(c) AS t FROM bc),
+        f1 AS (SELECT w1, SUM(c) AS cf FROM bc GROUP BY w1),
+        f2 AS (SELECT w2, SUM(c) AS cs FROM bc GROUP BY w2)
+        SELECT w1, w2, CAST(c AS BIGINT) AS n,
+               CAST(ROUND(ln((CAST(c AS DOUBLE) * t)
+                             / (CAST(cf AS DOUBLE) * cs)) * 1000000)
+                    AS BIGINT) AS pmi_micro
+        FROM bc JOIN f1 USING (w1) JOIN f2 USING (w2), tot
+        WHERE c >= {min_count}
+        ORDER BY pmi_micro DESC, w1, w2 LIMIT {k}"""
+
+
 def bigram_logprob_sql(doc_table: str = "documents") -> str:
     """DuckDB twin of :func:`bigram_logprob` (integer micro-nats)."""
     toks = "regexp_extract_all(lower(text), '\\S+')"

@@ -130,3 +130,33 @@ def test_bigram_logprob_edges(ray_session):
     # corpus bigrams: "x y" x3, "y x" x1 -> p(y|x)=1, p(x|y)=1 -> all 0
     assert out.sum_logprob_micro[2] == 0
     assert out.sum_logprob_micro[3] == 0
+
+
+def test_pmi_topk_matches_sql_twin(ray_session):
+    t = pq.read_table(DOCS)
+    got = text.pmi_topk(rd.from_arrow(t), k=20,
+                        min_count=3).to_pandas()
+    want = _oracle(text.pmi_topk_sql(k=20, min_count=3), t)
+    assert got.reset_index(drop=True).equals(
+        want.astype(got.dtypes.to_dict()).reset_index(drop=True))
+    assert (got.n >= 3).all()
+
+
+def test_pmi_topk_values(ray_session):
+    # 'a b' always adjacent; 'x'/'y' never adjacent to each other
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array(["a b x", "a b y", "a b x", "a b y",
+                          "a b x"], pa.string()),
+    })
+    out = text.pmi_topk(rd.from_arrow(t), k=10,
+                        min_count=2).to_pandas()
+    pairs = list(zip(out.w1, out.w2))
+    assert ("a", "b") in pairs
+    assert ("x", "y") not in pairs and ("y", "x") not in pairs
+    # bigrams: (a,b)x5, (b,x)x3, (b,y)x2; T=10, cf(a)=5, cs(b)=5
+    import math
+    expect_ab = int(np.trunc(math.log((5 * 10) / (5 * 5)) * 1e6 + 0.5))
+    got_ab = int(out[(out.w1 == "a") & (out.w2 == "b")]
+                 .pmi_micro.iloc[0])
+    assert got_ab == expect_ab
