@@ -474,12 +474,16 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
     state = nodes_deg.map_batches(init_state,
                                   batch_format="pyarrow").materialize()
 
-    def zeros(b: pa.Table) -> pa.Table:
+    # deg rides the fold (s=0, deg=deg rows union the contributions),
+    # so rebuilding the next state needs NO second join per iteration —
+    # one edges⋈state hash join + one keyed fold is the whole step
+    def deg_zeros(b: pa.Table) -> pa.Table:
         return pa.table({
             "node": b["node"],
-            "s": pa.array(np.zeros(b.num_rows, np.int64), pa.int64())})
+            "s": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
+            "deg": b["deg"]})
 
-    zero_nodes = nodes_deg.map_batches(zeros,
+    zero_nodes = nodes_deg.map_batches(deg_zeros,
                                        batch_format="pyarrow") \
         .materialize()
 
@@ -494,26 +498,25 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
         acc = np.zeros(len(uniq), np.int64)
         np.add.at(acc, codes, c)
         return pa.table({"node": pa.array(uniq, pa.int64()),
-                         "s": pa.array(acc, pa.int64())})
+                         "s": pa.array(acc, pa.int64()),
+                         "deg": pa.array(np.zeros(len(uniq), np.int64),
+                                         pa.int64())})
 
     def finish(b: pa.Table) -> pa.Table:
         s = np.asarray(b["s"].to_numpy(zero_copy_only=False),
                        np.int64)
         return pa.table({
             "node": b["node"],
+            "deg": b["deg"],
             "r": pa.array(TELEPORT_MICRO + s, pa.int64())})
 
     for _ in range(iters):
         joined = edges.join(state, "inner", on=(src_col,),
                             right_on=("node",), **jargs)
-        sums = keyed_sum_fold(
+        state = keyed_sum_fold(
             joined.map_batches(contrib, batch_format="pyarrow")
-            .union(zero_nodes), "node", ["s"]) \
-            .map_batches(finish, batch_format="pyarrow")
-        # re-attach outdeg for the next join (state schema: node,deg,r)
-        state = nodes_deg.join(sums, "inner", on=("node",),
-                               right_on=("node",), **jargs) \
-            .materialize()
+            .union(zero_nodes), "node", ["s", "deg"]) \
+            .map_batches(finish, batch_format="pyarrow").materialize()
 
     def out(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"], "rank_micro": b["r"]})
