@@ -1062,6 +1062,18 @@ def q_tile_counts(sf_dir: str):
     return out.sort_values("h3_r7").reset_index(drop=True)
 
 
+def q_tile_rollup(sf_dir: str):
+    """Hierarchical res 5->9 count pyramid: pages count once at res 9,
+    coarser levels roll up the previous level's ~4x-smaller table
+    (exact bit-shift parents); the SQL twin computes every level
+    directly from the pages."""
+    from pyrosm_ray.stages.spatial import tile_rollup
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url"])
+    df = tile_rollup(pages, res_fine=9, res_coarse=5).to_pandas()
+    return df.sort_values(["res", "cell"]).reset_index(drop=True)
+
+
 def q_pages_in_bbox(sf_dir: str):
     import ray.data as rd
     from pyrosm_ray.fixtures import TEST_BBOX
@@ -1572,6 +1584,8 @@ def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.stages.text import \
         bigram_logprob_sql as _bigram_logprob_sql
     from pyrosm_ray.stages.text import pmi_topk_sql as _pmi_topk_sql
+    from pyrosm_ray.stages.spatial import \
+        tile_rollup_sql as _tile_rollup_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
     from pyrosm_ray.stages.search import bm25_score_sql, bm25_topk_sql
     from pyrosm_ray.stages.pagerank import \
@@ -1968,6 +1982,8 @@ def oracle_sql() -> dict[str, str]:
         "q_tile_counts": f"""
             SELECT {r7} AS h3_r7, COUNT(*) AS n_pages
             FROM {pages} GROUP BY h3_r7 ORDER BY h3_r7""",
+        "q_tile_rollup": _tile_rollup_sql(pages, lon_sql, lat_sql,
+                                          res_fine=9, res_coarse=5),
         "q_pages_in_bbox": f"""
             SELECT url, lang FROM {pages}
             WHERE {lon_sql} BETWEEN {x0} AND {x1}
@@ -2279,6 +2295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filtered_topk": q_filtered_topk,
         "q_tile_assignment": q_tile_assignment,
         "q_tile_counts": q_tile_counts,
+        "q_tile_rollup": q_tile_rollup,
         "q_pages_in_bbox": q_pages_in_bbox,
         "q_extract_text": q_extract_text,
         "q_pip_join": q_pip_join,

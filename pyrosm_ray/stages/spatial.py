@@ -157,6 +157,86 @@ def assign_tiles(pages_ds, resolutions=(5, 7, 9), salt_res: int = 9,
     return ds.map_batches(salt, batch_format="pyarrow")
 
 
+def tile_rollup(pages_ds, res_fine: int = 9, res_coarse: int = 5):
+    """Multi-resolution page-count pyramid (the north rule's
+    hierarchical res 5→9 tiling made an aggregate): pages geocode and
+    count ONCE at the finest resolution, then each coarser level rolls
+    up the PREVIOUS level's count table through an exact parent walk —
+    log-depth hierarchical aggregation whose shuffle shrinks ~4x per
+    level (the pages table never re-scans). The grid hierarchy is
+    bit-exact (bit-shift parents), so the rollup equals per-level
+    direct aggregation — the SQL twin computes every level directly
+    from the pages and must hash-match.
+
+    -> (res, cell, n_pages) for res in [res_coarse, res_fine]."""
+    import pandas as pd
+
+    from pyrosm_ray.stages.blocks import keyed_sum_fold
+    from pyrosm_ray.tiles import grid
+
+    tiled = assign_tiles(pages_ds, resolutions=(res_fine,))
+    col = f"h3_r{res_fine}"
+
+    def partial(b: pa.Table) -> pa.Table:
+        cells = np.asarray(b[col].to_numpy(zero_copy_only=False),
+                           np.int64)
+        codes, uniq = pd.factorize(cells)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"cell": pa.array(uniq, pa.int64()),
+                         "n_pages": pa.array(cnt, pa.int64())})
+
+    level = keyed_sum_fold(
+        tiled.map_batches(partial, batch_format="pyarrow"),
+        "cell", ["n_pages"]).materialize()
+
+    def with_res(ds_level, r):
+        def add(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "res": pa.array(np.full(b.num_rows, r, np.int64)),
+                "cell": b["cell"], "n_pages": b["n_pages"]})
+        return ds_level.map_batches(add, batch_format="pyarrow")
+
+    out = with_res(level, res_fine)
+    for r in range(res_fine - 1, res_coarse - 1, -1):
+        gres = grid.h3_equiv_res(r)
+
+        def up(b: pa.Table, gres=gres) -> pa.Table:
+            cells = np.asarray(b["cell"].to_numpy(zero_copy_only=False),
+                               np.int64)
+            n = np.asarray(b["n_pages"].to_numpy(zero_copy_only=False),
+                           np.int64)
+            par = grid.parent(cells, gres)
+            codes, uniq = pd.factorize(par)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, codes, n)
+            return pa.table({"cell": pa.array(uniq, pa.int64()),
+                             "n_pages": pa.array(acc, pa.int64())})
+
+        level = keyed_sum_fold(
+            level.map_batches(up, batch_format="pyarrow"),
+            "cell", ["n_pages"]).materialize()
+        out = out.union(with_res(level, r))
+    return out
+
+
+def tile_rollup_sql(pages_expr: str, lon_sql: str, lat_sql: str,
+                    res_fine: int = 9, res_coarse: int = 5) -> str:
+    """DuckDB twin of :func:`tile_rollup`: every level computed
+    directly from the pages (no rollup), proving the parent hierarchy
+    exact."""
+    from pyrosm_ray.tiles import grid
+
+    selects = []
+    for r in range(res_coarse, res_fine + 1):
+        cell = grid.cell_id_sql(lon_sql, lat_sql, grid.h3_equiv_res(r))
+        selects.append(
+            f"SELECT {r} AS res, {cell} AS cell, "
+            f"COUNT(*) AS n_pages FROM {pages_expr} "
+            f"GROUP BY 2")
+    return (" UNION ALL ".join(selects)
+            + " ORDER BY res, cell")
+
+
 # ---------------------------------------------------------------------------
 # polygon side packing (broadcast)
 # ---------------------------------------------------------------------------

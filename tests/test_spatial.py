@@ -322,3 +322,28 @@ def test_pip_join_partitioned_multicell_cover(pages):
     assert len(sh) > 0
     # exactly-once per (page, polygon) despite multi-cell covers
     assert not sh.duplicated(subset=["url", "polygon_id"]).any()
+
+
+def test_tile_rollup_pyramid(ray_session):
+    """Rollup levels must equal direct aggregation at every res, and
+    counts must be conserved level to level."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyrosm_ray.fixtures import ensure_fixtures
+    from pyrosm_ray.sources.parquet import read_parquet_split
+    from pyrosm_ray.stages.spatial import assign_tiles, tile_rollup
+    fx = ensure_fixtures("sf0.001")
+    pages = read_parquet_split(str(fx / "pages.parquet"),
+                               columns=["url"])
+    out = tile_rollup(pages, res_fine=9, res_coarse=7).to_pandas()
+    total = out[out.res == 9].n_pages.sum()
+    for r in (7, 8):
+        assert out[out.res == r].n_pages.sum() == total  # conservation
+    # direct aggregation twin at res 7
+    tiled = assign_tiles(read_parquet_split(str(fx / "pages.parquet"),
+                                            columns=["url"]),
+                         resolutions=(7,)).to_pandas()
+    direct = tiled.groupby("h3_r7").size()
+    got7 = out[out.res == 7].set_index("cell")["n_pages"]
+    assert dict(got7) == dict(direct)
