@@ -408,9 +408,152 @@ def pagerank_named(edges, iters: int = 5, src_col: str = "src_host",
     return ranks.map_batches(attach, batch_format="pyarrow")
 
 
+# BSP route sizing: shards grow to ~1M edges before adding parts; the
+# driver holds nb^2 SMALL refs per iteration (dst-bucketed partial-sum
+# tables), so the part count caps at 256 (64 k refs/iter) and edge sets
+# past PAGERANK_BSP_MAX_EDGES fall through to the Dataset-join route.
+PAGERANK_BSP_ROWS_PER_SHARD = 1 << 20
+PAGERANK_BSP_MAX_PARTS = 256
+PAGERANK_BSP_MAX_EDGES = PAGERANK_BSP_MAX_PARTS * (1 << 22)
+
+
+def _pr_bucket_ids(x: np.ndarray, nb: int) -> np.ndarray:
+    from pyrosm_ray.stages.hashing import hash64
+    h = hash64(np.ascontiguousarray(x, np.int64).view(np.uint64), 13)
+    return (h % np.uint64(nb)).astype(np.int64)
+
+
+def _pr_shard_block(tbl: pa.Table, src_col: str, dst_col: str, nb: int):
+    """Split one edge block into nb (src_arr, dst_arr, dst_nodes) parts:
+    edges routed by h(src), the dst-node universe routed by h(dst)."""
+    s = np.asarray(tbl[src_col].to_numpy(zero_copy_only=False), np.int64)
+    d = np.asarray(tbl[dst_col].to_numpy(zero_copy_only=False), np.int64)
+    eb = _pr_bucket_ids(s, nb)
+    db = _pr_bucket_ids(d, nb)
+    eo = np.argsort(eb, kind="stable")
+    ecut = np.searchsorted(eb[eo], np.arange(nb + 1))
+    do = np.argsort(db, kind="stable")
+    dcut = np.searchsorted(db[do], np.arange(nb + 1))
+    outs = []
+    for i in range(nb):
+        ei = eo[ecut[i]:ecut[i + 1]]
+        di = do[dcut[i]:dcut[i + 1]]
+        outs.append((s[ei], d[ei], np.unique(d[di])))
+    return tuple(outs) if nb > 1 else outs[0]
+
+
+def _pr_init_shard(nb: int, *parts):
+    """Build one bucket's static plan + initial rank vector.
+
+    Static = (sorted node universe, outdeg, per-dst-bucket contribution
+    plan). The plan pre-factorizes each edge's src position and dst code
+    ONCE, so each iteration's contrib task is three numpy kernels."""
+    if parts:
+        s = np.concatenate([p[0] for p in parts])
+        d = np.concatenate([p[1] for p in parts])
+        dn = np.concatenate([p[2] for p in parts])
+    else:
+        s = d = dn = np.empty(0, np.int64)
+    nodes = np.unique(np.concatenate([s, dn]))
+    deg = np.zeros(len(nodes), np.int64)
+    s_pos = np.searchsorted(nodes, s)
+    np.add.at(deg, s_pos, 1)
+    db = _pr_bucket_ids(d, nb) if len(d) else np.empty(0, np.int64)
+    order = np.argsort(db, kind="stable")
+    cut = np.searchsorted(db[order], np.arange(nb + 1))
+    plan = []
+    for j in range(nb):
+        idx = order[cut[j]:cut[j + 1]]
+        uniq, codes = np.unique(d[idx], return_inverse=True)
+        plan.append((s_pos[idx].astype(np.int64),
+                     codes.astype(np.int64), uniq))
+    r = np.full(len(nodes), R0_MICRO, np.int64)
+    return (nodes, deg, plan), r
+
+
+def _pr_contrib(static, r: np.ndarray, nb: int):
+    """One bucket's per-dst-bucket partial contribution sums (exact
+    integer recurrence; deg[s_pos] >= 1 by construction — only actual
+    srcs appear in the plan)."""
+    nodes, deg, plan = static
+    outs = []
+    for j in range(nb):
+        s_pos, codes, uniq = plan[j]
+        c = (DAMP_NUM * r[s_pos]) // (DAMP_DEN * deg[s_pos])
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, codes, c)
+        outs.append((uniq, acc))
+    return tuple(outs) if nb > 1 else outs[0]
+
+
+def _pr_rebuild(static, *cparts):
+    nodes, _deg, _plan = static
+    r = np.full(len(nodes), TELEPORT_MICRO, np.int64)
+    for uniq, acc in cparts:
+        np.add.at(r, np.searchsorted(nodes, uniq), acc)
+    return r
+
+
+def _pr_out(static, r: np.ndarray) -> pa.Table:
+    nodes, _deg, _plan = static
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "rank_micro": pa.array(r, pa.int64())})
+
+
+def _pagerank_bsp(edges, iters: int, src_col: str, dst_col: str,
+                  nb: int):
+    """Raw-task BSP PageRank over hash-co-partitioned Arrow shards.
+
+    The Dataset API can't express a cheap iterative fixpoint — every
+    iteration of the join route pays two hash-shuffle operators'
+    aggregator-pool spin-up (measured ~4.5 s/iter of pure fixed cost at
+    toy scale) — so this is the documented raw-Ray escape hatch:
+    partitioning assumption is h(node) co-partitioning of edges (by
+    src) and rank state, contributions route between buckets as nb^2
+    SMALL pre-aggregated refs per iteration that never touch the
+    driver's heap (refs only). Identical integer recurrence as
+    :func:`pagerank`; route-parity-tested."""
+    block_refs = edges.to_arrow_refs()
+    shard = ray.remote(_pr_shard_block)
+    parts: list[list] = [[] for _ in range(nb)]
+    for br in block_refs:
+        if nb > 1:
+            refs = shard.options(num_returns=nb).remote(
+                br, src_col, dst_col, nb)
+        else:
+            refs = [shard.remote(br, src_col, dst_col, nb)]
+        for i, ref in enumerate(refs):
+            parts[i].append(ref)
+    init = ray.remote(_pr_init_shard)
+    statics, ranks = [], []
+    for i in range(nb):
+        st, r = init.options(num_returns=2).remote(nb, *parts[i])
+        statics.append(st)
+        ranks.append(r)
+    contrib = ray.remote(_pr_contrib)
+    rebuild = ray.remote(_pr_rebuild)
+    for _ in range(iters):
+        cparts: list[list] = [[] for _ in range(nb)]
+        for i in range(nb):
+            if nb > 1:
+                refs = contrib.options(num_returns=nb).remote(
+                    statics[i], ranks[i], nb)
+            else:
+                refs = [contrib.remote(statics[i], ranks[i], nb)]
+            for j, ref in enumerate(refs):
+                cparts[j].append(ref)
+        ranks = [rebuild.remote(statics[j], *cparts[j])
+                 for j in range(nb)]
+    out = ray.remote(_pr_out)
+    import ray.data as rd
+    return rd.from_arrow_refs(
+        [out.remote(statics[j], ranks[j]) for j in range(nb)])
+
+
 def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
                          dst_col: str = "dst",
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         route: str | None = None):
     """The beyond-broadcast PageRank route: the rank vector stays a
     DATASET throughout (never collected, never broadcast), so node
     universes past the driver/object-store ceiling (per-PAGE graphs at
@@ -425,14 +568,29 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
     are absorbed by the batch-local pre-aggregation (a hub's
     contributions collapse to one row per batch before the shuffle).
     Executes the identical integer recurrence as :func:`pagerank`
-    (parity-tested)."""
+    (parity-tested).
+
+    Routing: edge sets up to :data:`PAGERANK_BSP_MAX_EDGES` run the
+    :func:`_pagerank_bsp` co-partitioned raw-task route (no shuffle
+    operator inside the loop); beyond it — or with ``route="join"`` —
+    the Dataset hash-join iteration below is the unbounded-scale
+    contract. Both routes produce identical integers."""
     import pandas as pd
 
     from pyrosm_ray.stages.blocks import shuffle_join_args
 
     jargs = shuffle_join_args(num_partitions)
     edges = edges.select_columns([src_col, dst_col]).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if route not in (None, "bsp", "join"):
+        raise ValueError(f"unknown pagerank route: {route!r}")
+    if n_edges and route != "join" and (
+            route == "bsp" or n_edges <= PAGERANK_BSP_MAX_EDGES):
+        nb = num_partitions or int(np.clip(
+            n_edges // PAGERANK_BSP_ROWS_PER_SHARD + 1, 1,
+            PAGERANK_BSP_MAX_PARTS))
+        return _pagerank_bsp(edges, iters, src_col, dst_col, int(nb))
+    if n_edges == 0:
         # guard BEFORE any shuffle: a fully-empty input's blocks skip
         # the map UDFs, so the schema reaching the shuffle would lack
         # the bucket column (the hash-shuffle empty-block defect the

@@ -128,8 +128,24 @@ def test_pagerank_partitioned_parity(ray_session):
              (3, 4)]
     base = pr.pagerank(rd.from_arrow(_edges_tbl(pairs)),
                        iters=4).to_pandas()
+    for route in ("bsp", "join"):
+        part = pr.pagerank_partitioned(rd.from_arrow(_edges_tbl(pairs)),
+                                       iters=4, route=route).to_pandas()
+        assert dict(zip(part.node, part.rank_micro)) == \
+            dict(zip(base.node, base.rank_micro)), route
+
+
+def test_pagerank_bsp_multibucket_parity(ray_session):
+    """BSP route with several buckets (random graph forces cross-bucket
+    contribution routing) matches the driver recurrence exactly."""
+    rng = np.random.default_rng(11)
+    pairs = list({(int(a), int(b)) for a, b in
+                  rng.integers(0, 200, (3000, 2)) if a != b})
+    base = pr.pagerank(rd.from_arrow(_edges_tbl(pairs)),
+                       iters=3).to_pandas()
     part = pr.pagerank_partitioned(rd.from_arrow(_edges_tbl(pairs)),
-                                   iters=4).to_pandas()
+                                   iters=3, num_partitions=5,
+                                   route="bsp").to_pandas()
     assert dict(zip(part.node, part.rank_micro)) == \
         dict(zip(base.node, base.rank_micro))
 
