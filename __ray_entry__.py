@@ -170,6 +170,20 @@ def q_pagerank(sf_dir: str):
     return df.sort_values("node").reset_index(drop=True)
 
 
+def q_pagerank_partitioned(sf_dir: str):
+    """The beyond-broadcast PageRank route (BSP co-partitioned shards;
+    rank never collected to the driver) over the same click graph —
+    same oracle as q_pagerank, exercising the scale-path code."""
+    from pyrosm_ray.stages.pagerank import (click_edges, event_nodes,
+                                            pagerank_partitioned)
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "props"])
+    edges = click_edges(event_nodes(ds))
+    df = pagerank_partitioned(edges, iters=5).to_pandas()[
+        ["node", "rank_micro"]]
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def q_html_stats(sf_dir: str):
     """Markup-structure features per page (tag/link/script counts,
     byte/char lengths, integer text-to-markup ratio) — the
@@ -1689,6 +1703,7 @@ def oracle_sql() -> dict[str, str]:
         "q_chunk_documents": _sampling.chunk_documents_sql(
             "documents", chunk_tokens=64, overlap=16),
         "q_pagerank": _click_pagerank_sql(iters=5),
+        "q_pagerank_partitioned": _click_pagerank_sql(iters=5),
         "q_host_pagerank": _link_pagerank_sql(pages, iters=5),
         "q_dup_spans": _dup_span_stats_sql(window=8),
         "q_quality_score": f"""
@@ -2249,6 +2264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_bm25_indexed": q_bm25_indexed,
         "q_chunk_documents": q_chunk_documents,
         "q_pagerank": q_pagerank,
+        "q_pagerank_partitioned": q_pagerank_partitioned,
         "q_host_pagerank": q_host_pagerank,
         "q_dup_spans": q_dup_spans,
         "q_html_stats": q_html_stats,
