@@ -1616,6 +1616,9 @@ def _bloom_filter_ds(hash_ds, words_ref, m: int, k: int, keep_hits: bool):
     return hash_ds.map_batches(f, batch_format="pyarrow")
 
 
+KEEP_BROADCAST_MAX = 1 << 22  # survivor-id broadcast ceiling (32 MB)
+
+
 def incremental_dedup(new_ds, ref_ds, id_col: str = "doc_id",
                       text_col: str = "text", num_partitions: int = 8,
                       bloom_bits_per_item: int = 0):
@@ -1683,6 +1686,34 @@ def incremental_dedup(new_ds, ref_ds, id_col: str = "doc_id",
         .map_batches(bucket, batch_format="pyarrow") \
         .groupby("__p", num_partitions=nbk).map_groups(
         pick, batch_format="pyarrow")
+    # winner re-select: the keep set is ids-only (8 B/row, already an
+    # all-to-all output), so materialize it and gate on ITS size — up
+    # to KEEP_BROADCAST_MAX ids (<=32 MB) the survivors broadcast once
+    # and the re-select is a map-only searchsorted filter; past that
+    # the distributed hash semi-join below is the contract (no driver
+    # keep-set).
+    keep = keep.materialize()
+    if keep.count() <= KEEP_BROADCAST_MAX:
+        parts = [np.asarray(t["__keep_id"].to_numpy(
+                     zero_copy_only=False), np.int64)
+                 for t in keep.to_arrow_refs()
+                 for t in [ray.get(t)] if t.num_rows]
+        ids = np.sort(np.concatenate(parts)) if parts \
+            else np.empty(0, np.int64)
+        ids_ref = ray.put(ids)
+
+        def keep_filter(b: pa.Table) -> pa.Table:
+            arr = ray.get(ids_ref)
+            if not len(arr) or not b.num_rows:
+                return b.slice(0, 0)
+            v = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                           np.int64)
+            pos = np.searchsorted(arr, v)
+            m = (pos < len(arr)) & (arr[np.minimum(pos, len(arr) - 1)]
+                                    == v)
+            return b.filter(pa.array(m))
+
+        return new_ds.map_batches(keep_filter, batch_format="pyarrow")
     return new_ds.join(keep, "inner", on=(id_col,),
                        right_on=("__keep_id",),
                        **shuffle_join_args(num_partitions))

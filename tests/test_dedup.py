@@ -448,6 +448,25 @@ def test_incremental_dedup_vs_reference_and_within(ray_session):
     assert sorted(outb.doc_id) == [7, 13]
 
 
+def test_incremental_dedup_reselect_route_parity(ray_session,
+                                                 monkeypatch):
+    """Broadcast searchsorted re-select and the distributed semi-join
+    keep identical survivor rows."""
+    rng = np.random.default_rng(5)
+    texts = [f"doc body {int(i)}" for i in rng.integers(0, 60, 120)]
+    new = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                    "text": pa.array(texts)})
+    ref = pa.table({"doc_id": pa.array([900, 901], pa.int64()),
+                    "text": pa.array(["doc body 0", "doc body 1"])})
+    fast = dedup.incremental_dedup(rd.from_arrow(new),
+                                   rd.from_arrow(ref)).to_pandas()
+    monkeypatch.setattr(dedup, "KEEP_BROADCAST_MAX", 0)
+    slow = dedup.incremental_dedup(rd.from_arrow(new),
+                                   rd.from_arrow(ref)).to_pandas()
+    assert len(fast) > 0
+    assert sorted(fast.doc_id) == sorted(slow.doc_id)
+
+
 def test_incremental_dedup_bloom_suppresses_ref_shuffle(ray_session):
     """The bloom's 100-TB contract: reference rows that cannot match any
     new-doc candidate are dropped MAP-SIDE — a mostly-disjoint reference
