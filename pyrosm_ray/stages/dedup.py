@@ -2001,6 +2001,10 @@ def semantic_dedup(ds, n_clusters: int = 8, threshold: float = 0.4,
     from pyrosm_ray.stages.similarity import assign_clusters, kmeans_fit, \
         lowest_id_vectors
 
+    # the input feeds seed selection + every Lloyd's pass + the assign
+    # pass + the prune shuffle: materialize once instead of re-running
+    # the read plan per pass
+    ds = ds.materialize()
     if fit_iters > 0:
         centers = kmeans_fit(ds, n_clusters, iters=fit_iters,
                              id_col=id_col, emb_col=emb_col)

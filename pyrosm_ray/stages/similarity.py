@@ -395,7 +395,13 @@ def kmeans_fit(ds, n_clusters: int = 16, iters: int = 10,
     keep their previous centroid. Scale: driver holds
     O(n_clusters x dim x num_blocks) partials per iteration — the same
     contract as Spark MLlib's treeAggregate root.
+
+    The input materializes once up front: Lloyd's re-scans the data
+    every iteration, so iterating the lazy read plan would re-execute
+    the parquet scan per pass (object-store blocks + spill are exactly
+    the cache an iterative fixpoint wants).
     """
+    ds = ds.materialize()
     centers = _normalize(lowest_id_vectors(ds, n_clusters, id_col,
                                            emb_col))
     for _ in range(iters):
