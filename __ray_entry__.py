@@ -742,6 +742,29 @@ def q_redact_pii(sf_dir: str):
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (exact word features): target = lang='en'
+    docs; one vocab-bounded count shuffle for both distributions, weight
+    table broadcast, stateless score pass. Integer micro-nats."""
+    from pyrosm_ray.stages.sampling import dsir_weights
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    df = dsir_weights(ds).to_pandas()[
+        ["doc_id", "n_tokens", "dsir_micro"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_dsir_weights_hashed(sf_dir: str):
+    """DSIR with hashed n-gram buckets (the paper's feature space): the
+    broadcast is a dense 4096-element array regardless of vocabulary —
+    the route for adversarial vocabularies at 100 TB. md5-tail hash, so
+    the bucketing is bit-replicable in SQL."""
+    from pyrosm_ray.stages.sampling import dsir_weights
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    df = dsir_weights(ds, feature_buckets=4096).to_pandas()[
+        ["doc_id", "n_tokens", "dsir_micro"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_image_near_dup(sf_dir: str):
     """Perceptual image near-dup over REAL decoded pixels: closed-form
     PNGs per doc -> actor-pool dHash64 -> complete pigeonhole banding ->
@@ -1906,6 +1929,9 @@ def oracle_sql() -> dict[str, str]:
             + _sampling.redact_pii_sql("text") + " AS text_redacted, "
             + _sampling.redact_count_sql("text")
             + " AS n_redactions FROM aug ORDER BY doc_id"),
+        "q_dsir_weights": _sampling.dsir_weights_sql(),
+        "q_dsir_weights_hashed":
+            _sampling.dsir_weights_sql(feature_buckets=4096),
         "q_rolling_events": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
@@ -2293,6 +2319,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_shuffle_rank": q_shuffle_rank,
         "q_pack_sequences": q_pack_sequences,
         "q_redact_pii": q_redact_pii,
+        "q_dsir_weights": q_dsir_weights,
+        "q_dsir_weights_hashed": q_dsir_weights_hashed,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
         "q_minhash_dedup": q_minhash_dedup,

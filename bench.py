@@ -226,6 +226,15 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                           carry_cols=["url"]).count()
     timed("line_dedup", _line_dedup)
 
+    # DSIR importance weighting (hashed feature route — the 100-TB
+    # contract): one vocab shuffle for both distributions, dense-array
+    # broadcast, stateless score pass
+    from pyrosm_ray.stages.sampling import dsir_weights
+    timed("dsir_weights",
+          lambda: dsir_weights(read_parquet_split(
+              docs_path, columns=["doc_id", "text", "lang"]),
+              feature_buckets=65536).count())
+
     # Gopher rule battery: the canonical stateless curation filter —
     # benched as the vectorised-scan throughput yardstick
     from pyrosm_ray.stages.gopher import gopher_stats

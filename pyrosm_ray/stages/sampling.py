@@ -434,3 +434,208 @@ def mix_sources_sql(doc_table: str, weights: dict[str, int], budget: int,
         SELECT d.* FROM {doc_table} d JOIN rates r
             ON d.{source_col} = r.s
         WHERE (({h}) % {den}) < CAST(r.num AS UBIGINT)"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (data selection via importance resampling)
+# ---------------------------------------------------------------------------
+
+def dsir_weights(ds, target_col: str = "lang", target_value: str = "en",
+                 text_col: str = "text", id_col: str = "doc_id",
+                 feature_buckets: int | None = None,
+                 num_partitions: int | None = None):
+    """Per-doc DSIR importance weights — the public data-selection recipe
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): score every raw document by how much more likely its
+    word features are under the TARGET distribution (rows where
+    ``target_col == target_value``) than under the RAW distribution (all
+    rows), then resample the top of the ranking.
+
+    ``weight(d) = Σ_w ln( p_t(w) / p_r(w) )`` with Laplace smoothing over
+    a shared feature space of size ``V``::
+
+        p_t(w) = (c_t(w) + 1) / (T_t + V)
+        p_r(w) = (c_r(w) + 1) / (T_r + V)
+
+    Same aggregate → broadcast → score shape as
+    :func:`pyrosm_ray.stages.text.unigram_logprob`: ONE distributed pass
+    counts both distributions per word (the shuffle is bounded by the
+    vocabulary, not the token stream — :func:`keyed_sum_fold` pays per
+    partition, not per key), the compact weight table broadcasts once via
+    ``ray.put``, and a stateless pass scores every document.
+
+    ``feature_buckets=None`` uses exact word features (the broadcast is
+    vocabulary-bounded — Zipf keeps this ~10⁵-10⁶ rows at any corpus
+    size). ``feature_buckets=B`` hashes words into ``B`` buckets (the
+    paper's hashed n-gram features): the broadcast becomes a dense
+    ``B``-element int64 array regardless of vocabulary — the contract
+    when the corpus vocabulary itself is adversarial (URLs, code, UUIDs).
+    The hash is the md5 tail (:func:`stable64_many`), so BOTH routes are
+    bit-replicable in DuckDB (``md5_number_lower(w) % B``).
+
+    Exactness: per-word values quantise to integer micro-nats with the
+    ROUND-half-away rule (the module's established contract), so per-doc
+    sums are exact int64 in any addition order.
+    Output: ``(doc_id, n_tokens, dsir_micro)``.
+
+    No reference equivalent (pyrosm has no corpus operators); the
+    aggregate/broadcast conventions follow stages/text.py.
+    """
+    import ray
+
+    import pandas as pd
+
+    from pyrosm_ray.stages.blocks import keyed_sum_fold
+    from pyrosm_ray.stages.hashing import stable64_many
+
+    hashed = feature_buckets is not None
+    key_t = pa.int64() if hashed else pa.string()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        texts = batch[text_col].to_pylist()
+        flags = np.asarray(
+            pc.equal(batch[target_col],
+                     target_value).to_numpy(zero_copy_only=False),
+            bool)
+        words: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            words.extend(ws)
+            counts[i] = len(ws)
+        if not words:
+            return pa.table({"feat": pa.array([], key_t),
+                             "n_raw": pa.array([], pa.int64()),
+                             "n_tgt": pa.array([], pa.int64())})
+        in_tgt = np.repeat(flags, counts)
+        if hashed:
+            feat = (stable64_many(words)
+                    % np.uint64(feature_buckets)).astype(np.int64)
+            codes, uniq = pd.factorize(feat)
+        else:
+            codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+        cr = np.bincount(codes, minlength=len(uniq))
+        ct = np.bincount(codes[in_tgt], minlength=len(uniq))
+        return pa.table({"feat": pa.array(uniq, key_t),
+                         "n_raw": pa.array(cr.astype(np.int64)),
+                         "n_tgt": pa.array(ct.astype(np.int64))})
+
+    cnt = keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
+                         "feat", ["n_raw", "n_tgt"],
+                         num_partitions=num_partitions)
+    feats_l, cr_l, ct_l = [], [], []
+    for b in cnt.iter_batches(batch_format="pyarrow"):
+        feats_l.append(
+            np.asarray(b["feat"].to_numpy(zero_copy_only=False), np.int64)
+            if hashed else np.asarray(b["feat"].to_pylist(), dtype=object))
+        cr_l.append(b["n_raw"].to_numpy(zero_copy_only=False))
+        ct_l.append(b["n_tgt"].to_numpy(zero_copy_only=False))
+    if feats_l:
+        vf = np.concatenate(feats_l)
+        cr = np.concatenate(cr_l).astype(np.int64)
+        ct = np.concatenate(ct_l).astype(np.int64)
+        order = np.argsort(vf)
+        vf, cr, ct = vf[order], cr[order], ct[order]
+    else:
+        vf = np.empty(0, dtype=np.int64 if hashed else object)
+        cr = np.empty(0, dtype=np.int64)
+        ct = np.empty(0, dtype=np.int64)
+    t_raw = int(cr.sum())
+    t_tgt = int(ct.sum())
+    v = feature_buckets if hashed else len(vf)
+    # one ln over one double division — the exact expression the SQL twin
+    # writes, so both sides round identically before quantisation
+    lp = np.log(((ct + 1.0) * float(t_raw + v))
+                / ((cr + 1.0) * float(t_tgt + v)))
+    micro_w = np.trunc(lp * 1e6 + 0.5 * np.sign(lp)).astype(np.int64)
+    if hashed:
+        dense = np.zeros(feature_buckets, dtype=np.int64)
+        dense[vf] = micro_w
+        table_ref = ray.put(dense)
+    else:
+        table_ref = ray.put((vf, micro_w))
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        words: list[str] = []
+        counts = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ws = (t or "").lower().split()
+            words.extend(ws)
+            counts[i] = len(ws)
+        if words:
+            if hashed:
+                dense = ray.get(table_ref)
+                feat = (stable64_many(words)
+                        % np.uint64(feature_buckets)).astype(np.int64)
+                micro = dense[feat]
+            else:
+                vf, micro_w = ray.get(table_ref)
+                codes, uniq = pd.factorize(np.asarray(words, dtype=object))
+                pos = np.searchsorted(vf, uniq)
+                pos = np.clip(pos, 0, max(len(vf) - 1, 0))
+                hit = (len(vf) > 0) & (vf[pos] == uniq)
+                per_u = np.where(hit, micro_w[pos] if len(micro_w) else 0,
+                                 0)
+                micro = per_u[codes]
+        else:
+            micro = np.empty(0, dtype=np.int64)
+        off = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(counts, out=off[1:])
+        cs = np.zeros(len(micro) + 1, dtype=np.int64)
+        np.cumsum(micro, out=cs[1:])
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(counts, pa.int64()),
+            "dsir_micro": pa.array(cs[off[1:]] - cs[off[:-1]], pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def dsir_select(scores, k: int, id_col: str = "doc_id"):
+    """Deterministic DSIR resample: the top-``k`` docs by
+    ``(dsir_micro DESC, doc_id ASC)``. The scores table is narrow
+    (id + two int64s), so a distributed sort + limit is the right shape;
+    the paper's Gumbel-noise variant is this with a seeded perturbation
+    column added before the sort."""
+    return scores.sort(["dsir_micro", id_col],
+                       descending=[True, False]).limit(k)
+
+
+def dsir_weights_sql(doc_table: str = "documents",
+                     target_col: str = "lang", target_value: str = "en",
+                     feature_buckets: int | None = None) -> str:
+    """DuckDB twin of :func:`dsir_weights` (integer micro-nats, both
+    feature routes)."""
+    feat = "w" if feature_buckets is None else \
+        f"md5_number_lower(w) % {feature_buckets}"
+    v = "(SELECT COUNT(*) FROM cnt)" if feature_buckets is None \
+        else str(feature_buckets)
+    return f"""
+        WITH wds AS (SELECT doc_id,
+                            unnest(regexp_extract_all(lower(text), '\\S+'))
+                                AS w,
+                            ({target_col} = '{target_value}') AS is_t
+                     FROM {doc_table}),
+        cnt AS (SELECT {feat} AS f, COUNT(*) AS cr,
+                       SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+                FROM wds GROUP BY 1),
+        tots AS (SELECT SUM(cr) AS tr, SUM(ct) AS tt, {v} AS v FROM cnt),
+        pw AS (SELECT f,
+                      CAST(ROUND(ln((CAST(ct + 1 AS DOUBLE)
+                                     * CAST(tr + v AS DOUBLE))
+                                    / (CAST(cr + 1 AS DOUBLE)
+                                       * CAST(tt + v AS DOUBLE)))
+                                 * 1000000) AS BIGINT) AS micro
+               FROM cnt, tots),
+        per AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                       SUM(micro) AS dsir_micro
+                FROM wds JOIN pw ON {feat} = f GROUP BY doc_id)
+        SELECT d.doc_id, CAST(COALESCE(p.n_tokens, 0) AS BIGINT)
+                   AS n_tokens,
+               CAST(COALESCE(p.dsir_micro, 0) AS BIGINT) AS dsir_micro
+        FROM {doc_table} d LEFT JOIN per p USING (doc_id)
+        ORDER BY d.doc_id"""

@@ -182,3 +182,93 @@ def test_chunk_documents_rules(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         chunk_documents(rd.from_arrow(t), chunk_tokens=4, overlap=4)
+
+
+def _dsir_docs(n=120):
+    """Tiny corpus where the en/de word distributions differ sharply."""
+    rng = np.random.RandomState(7)
+    en_words = ["the", "cat", "sat", "on", "mat", "shared"]
+    de_words = ["der", "hund", "lief", "im", "park", "shared"]
+    rows, langs = [], []
+    for i in range(n):
+        lang = "en" if i % 3 else "de"
+        pool = en_words if lang == "en" else de_words
+        k = rng.randint(3, 12)
+        rows.append(" ".join(pool[j] for j in rng.randint(0, len(pool), k)))
+        langs.append(lang)
+    return pa.table({
+        "doc_id": pa.array(np.arange(n) * 2 + 1, pa.int64()),
+        "text": pa.array(rows, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    })
+
+
+def _dsir_naive(t: pa.Table, target_value="en", buckets=None):
+    """Independent dict-based DSIR twin (Laplace-smoothed log ratio,
+    micro-nat quantisation)."""
+    import hashlib
+    import math
+
+    def feat(w):
+        if buckets is None:
+            return w
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
+        return h % buckets
+
+    cr, ct = {}, {}
+    for txt, lang in zip(t["text"].to_pylist(), t["lang"].to_pylist()):
+        for w in txt.lower().split():
+            f = feat(w)
+            cr[f] = cr.get(f, 0) + 1
+            if lang == target_value:
+                ct[f] = ct.get(f, 0) + 1
+    tr, tt = sum(cr.values()), sum(ct.values())
+    v = len(cr) if buckets is None else buckets
+    micro = {}
+    for f, c in cr.items():
+        lp = math.log(((ct.get(f, 0) + 1.0) * float(tr + v))
+                      / ((c + 1.0) * float(tt + v)))
+        micro[f] = math.trunc(lp * 1e6 + (0.5 if lp > 0 else
+                                          -0.5 if lp < 0 else 0.0))
+    out = {}
+    for did, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        ws = txt.lower().split()
+        out[did] = (len(ws), sum(micro[feat(w)] for w in ws))
+    return out
+
+
+def test_dsir_weights_vs_naive_and_sql(ray_session):
+    t = _dsir_docs()
+    for buckets in (None, 512):
+        got = sampling.dsir_weights(
+            rd.from_arrow(t), feature_buckets=buckets).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        naive = _dsir_naive(t, buckets=buckets)
+        assert len(got) == len(naive)
+        for _, r in got.iterrows():
+            n_tok, micro = naive[r.doc_id]
+            assert (r.n_tokens, r.dsir_micro) == (n_tok, micro), \
+                (buckets, r.doc_id)
+        con = duckdb.connect()
+        con.register("documents", t)
+        want = con.execute(sampling.dsir_weights_sql(
+            feature_buckets=buckets)).fetchdf()
+        assert list(got.dsir_micro) == list(want.dsir_micro)
+        assert list(got.n_tokens) == list(want.n_tokens)
+    # en docs must outscore de docs on the en-target weights
+    got = sampling.dsir_weights(rd.from_arrow(t)).to_pandas()
+    m = got.merge(t.to_pandas()[["doc_id", "lang"]], on="doc_id")
+    mean_en = m[m.lang == "en"].dsir_micro.mean()
+    mean_de = m[m.lang == "de"].dsir_micro.mean()
+    assert mean_en > mean_de
+
+
+def test_dsir_select_topk_order(ray_session):
+    t = _dsir_docs(60)
+    scores = sampling.dsir_weights(rd.from_arrow(t))
+    sel = sampling.dsir_select(scores, 10).to_pandas()
+    assert len(sel) == 10
+    full = sampling.dsir_weights(rd.from_arrow(t)).to_pandas() \
+        .sort_values(["dsir_micro", "doc_id"],
+                     ascending=[False, True]).head(10)
+    assert list(sel.doc_id) == list(full.doc_id)
