@@ -765,6 +765,22 @@ def q_dsir_weights_hashed(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_bpe_encode(sf_dir: str):
+    """BPE subword pipeline: ONE distributed word-count shuffle trains a
+    64-merge vocabulary on the driver (the compact Zipf-bounded table —
+    the standard trainer split), then an actor-pool stage applies the
+    broadcast merges back to every doc. Rows-only driver check (the
+    iterative argmax-and-rewrite loop is non-SQL-expressible); exactness
+    is pinned by tests/test_bpe.py's independent naive implementation."""
+    from pyrosm_ray.stages.bpe import bpe_encode, bpe_learn
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = bpe_learn(ds, num_merges=64)
+    df = bpe_encode(_read(sf_dir, "documents", ["doc_id", "text"]),
+                    merges).to_pandas()[
+        ["doc_id", "n_words", "n_bpe_tokens"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_image_near_dup(sf_dir: str):
     """Perceptual image near-dup over REAL decoded pixels: closed-form
     PNGs per doc -> actor-pool dHash64 -> complete pigeonhole banding ->
@@ -2321,6 +2337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_redact_pii": q_redact_pii,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_weights_hashed": q_dsir_weights_hashed,
+        "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
         "q_minhash_dedup": q_minhash_dedup,

@@ -235,6 +235,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
               docs_path, columns=["doc_id", "text", "lang"]),
               feature_buckets=65536).count())
 
+    # BPE subword pipeline: distributed word-count shuffle -> driver
+    # merge loop over the compact vocab -> actor-pool encode
+    from pyrosm_ray.stages.bpe import bpe_encode, bpe_learn
+
+    def _bpe():
+        merges = bpe_learn(read_parquet_split(
+            docs_path, columns=["doc_id", "text"]), num_merges=64)
+        return bpe_encode(read_parquet_split(
+            docs_path, columns=["doc_id", "text"]), merges).count()
+    timed("bpe_encode", _bpe)
+
     # Gopher rule battery: the canonical stateless curation filter —
     # benched as the vectorised-scan throughput yardstick
     from pyrosm_ray.stages.gopher import gopher_stats
