@@ -152,26 +152,66 @@ def keyed_sum_fold(ds, key_col: str, val_cols: list[str],
             "__q", pa.array((h % np.uint64(nb)).astype(np.int64)))
 
     def fold(g: pa.Table) -> pa.Table:
-        if g.num_rows == 0:
-            return pa.table({key_col: g[key_col],
-                             **{c: g[c] for c in val_cols}})
-        import pandas as pd
-        keys = g[key_col].to_numpy(zero_copy_only=False) \
-            if pa.types.is_integer(g[key_col].type) \
-            else np.asarray(g[key_col].to_pylist(), dtype=object)
-        codes, uniq = pd.factorize(keys)
-        out = {key_col: pa.array(uniq, g[key_col].type)}
-        for c in val_cols:
-            v = np.asarray(g[c].to_numpy(zero_copy_only=False),
-                           np.int64)
-            acc = np.zeros(len(uniq), np.int64)
-            np.add.at(acc, codes, v)
-            out[c] = pa.array(acc, pa.int64())
-        return pa.table(out)
+        return _fold_keyed(g, key_col, val_cols)
 
     return ds.map_batches(bucket, batch_format="pyarrow") \
         .groupby("__q", num_partitions=nb) \
         .map_groups(fold, batch_format="pyarrow")
+
+
+def _fold_keyed(g: "pa.Table", key_col: str, val_cols: list[str]):
+    """One factorize/add.at keyed-sum pass over a table (the
+    :func:`keyed_sum_fold` partition body)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if g.num_rows == 0:
+        return pa.table({key_col: g[key_col],
+                         **{c: g[c] for c in val_cols}})
+    import pandas as pd
+    keys = g[key_col].to_numpy(zero_copy_only=False) \
+        if pa.types.is_integer(g[key_col].type) \
+        else np.asarray(g[key_col].to_pylist(), dtype=object)
+    codes, uniq = pd.factorize(keys)
+    out = {key_col: pa.array(uniq, g[key_col].type)}
+    for c in val_cols:
+        v = np.asarray(g[c].to_numpy(zero_copy_only=False),
+                       np.int64)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, codes, v)
+        out[c] = pa.array(acc, pa.int64())
+    return pa.table(out)
+
+
+# inputs up to this many rows take the driver fold (the dup_spans
+# driver policy: batch-local partials are already key-compressed, so the
+# driver sees ~num_blocks x keys rows — at these counts the shuffle's
+# aggregator-actor spin-up IS the operator wall)
+KEYED_FOLD_DRIVER_MAX = 100_000
+
+
+def keyed_sum_driver(partials, key_col: str, val_cols: list[str],
+                     schema: "pa.Schema | None" = None):
+    """Driver twin of :func:`keyed_sum_fold` over an already-partial
+    Dataset: stream the partial batches to the driver and run ONE fold —
+    identical output (as a one-block Dataset, like the fold), no shuffle
+    fixed cost. Callers gate on the INPUT row count (cheap metadata on
+    fresh reads), never on the partial stream itself."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    all_parts = [pa.table(b)
+                 for b in partials.iter_batches(batch_format="pyarrow")]
+    parts = [t for t in all_parts if t.num_rows]
+    if not parts:
+        # typed-empty: a zero-row partial still carries the UDF's schema
+        empty = all_parts[0] if all_parts else (
+            schema.empty_table() if schema is not None else pa.table(
+                {key_col: pa.array([], pa.string()),
+                 **{c: pa.array([], pa.int64()) for c in val_cols}}))
+        return rd.from_arrow(empty)
+    return rd.from_arrow(
+        _fold_keyed(pa.concat_tables(parts), key_col, val_cols))
 
 
 def sized_partitions(*dss, rows_per_part: int = 250_000) -> int:

@@ -56,7 +56,7 @@ def word_counts(ds, text_col: str = "text",
     partial counts, one coarse keyed fold."""
     import pandas as pd
 
-    from pyrosm_ray.stages.blocks import keyed_sum_fold
+    from pyrosm_ray.stages.blocks import keyed_sum_fold, sized_partitions
 
     def partial(batch: pa.Table) -> pa.Table:
         words: list[str] = []
@@ -70,8 +70,13 @@ def word_counts(ds, text_col: str = "text",
         return pa.table({"word": pa.array(uniq, pa.string()),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    return keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
-                          "word", ["n"], num_partitions=num_partitions)
+    from pyrosm_ray.stages.blocks import (KEYED_FOLD_DRIVER_MAX,
+                                          keyed_sum_driver)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if ds.count() <= KEYED_FOLD_DRIVER_MAX:
+        return keyed_sum_driver(partials, "word", ["n"])
+    nb = num_partitions or sized_partitions(ds)
+    return keyed_sum_fold(partials, "word", ["n"], num_partitions=nb)
 
 
 def merges_from_counts(words: list[str], counts: np.ndarray,
