@@ -190,6 +190,18 @@ def _fold_keyed(g: "pa.Table", key_col: str, val_cols: list[str]):
 KEYED_FOLD_DRIVER_MAX = 100_000
 
 
+def keyed_sum_auto(raw_ds, partials, key_col: str, val_cols: list[str],
+                   num_partitions: int | None = None):
+    """Route a partial-count aggregate: driver fold when the RAW input is
+    small (count() is metadata-only on fresh reads), the coarse hash fold
+    sized to the data beyond. Identical output either way."""
+    if raw_ds.count() <= KEYED_FOLD_DRIVER_MAX:
+        return keyed_sum_driver(partials, key_col, val_cols)
+    return keyed_sum_fold(partials, key_col, val_cols,
+                          num_partitions=num_partitions
+                          or sized_partitions(raw_ds))
+
+
 def keyed_sum_driver(partials, key_col: str, val_cols: list[str],
                      schema: "pa.Schema | None" = None):
     """Driver twin of :func:`keyed_sum_fold` over an already-partial

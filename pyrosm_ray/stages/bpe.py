@@ -56,7 +56,6 @@ def word_counts(ds, text_col: str = "text",
     partial counts, one coarse keyed fold."""
     import pandas as pd
 
-    from pyrosm_ray.stages.blocks import keyed_sum_fold, sized_partitions
 
     def partial(batch: pa.Table) -> pa.Table:
         words: list[str] = []
@@ -70,13 +69,10 @@ def word_counts(ds, text_col: str = "text",
         return pa.table({"word": pa.array(uniq, pa.string()),
                          "n": pa.array(cnt.astype(np.int64))})
 
-    from pyrosm_ray.stages.blocks import (KEYED_FOLD_DRIVER_MAX,
-                                          keyed_sum_driver)
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    if ds.count() <= KEYED_FOLD_DRIVER_MAX:
-        return keyed_sum_driver(partials, "word", ["n"])
-    nb = num_partitions or sized_partitions(ds)
-    return keyed_sum_fold(partials, "word", ["n"], num_partitions=nb)
+    from pyrosm_ray.stages.blocks import keyed_sum_auto
+    return keyed_sum_auto(ds,
+                          ds.map_batches(partial, batch_format="pyarrow"),
+                          "word", ["n"], num_partitions=num_partitions)
 
 
 def merges_from_counts(words: list[str], counts: np.ndarray,

@@ -485,7 +485,6 @@ def dsir_weights(ds, target_col: str = "lang", target_value: str = "en",
 
     import pandas as pd
 
-    from pyrosm_ray.stages.blocks import keyed_sum_fold
     from pyrosm_ray.stages.hashing import stable64_many
 
     hashed = feature_buckets is not None
@@ -522,16 +521,11 @@ def dsir_weights(ds, target_col: str = "lang", target_value: str = "en",
                          "n_raw": pa.array(cr.astype(np.int64)),
                          "n_tgt": pa.array(ct.astype(np.int64))})
 
-    from pyrosm_ray.stages.blocks import (KEYED_FOLD_DRIVER_MAX,
-                                          keyed_sum_driver,
-                                          sized_partitions)
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    if ds.count() <= KEYED_FOLD_DRIVER_MAX:
-        cnt = keyed_sum_driver(partials, "feat", ["n_raw", "n_tgt"])
-    else:
-        cnt = keyed_sum_fold(partials, "feat", ["n_raw", "n_tgt"],
-                             num_partitions=num_partitions
-                             or sized_partitions(ds))
+    from pyrosm_ray.stages.blocks import keyed_sum_auto
+    cnt = keyed_sum_auto(ds,
+                         ds.map_batches(partial, batch_format="pyarrow"),
+                         "feat", ["n_raw", "n_tgt"],
+                         num_partitions=num_partitions)
     feats_l, cr_l, ct_l = [], [], []
     for b in cnt.iter_batches(batch_format="pyarrow"):
         feats_l.append(

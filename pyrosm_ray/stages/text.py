@@ -264,8 +264,9 @@ def vocab_topk(ds, text_col: str = "text", k: int = 50):
         return pa.table({"word": pa.array(uniq, pa.string()),
                          "n_partial": pa.array(cnt.astype(np.int64))})
 
-    from pyrosm_ray.stages.blocks import keyed_sum_fold
-    agg = keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
+    from pyrosm_ray.stages.blocks import keyed_sum_auto
+    agg = keyed_sum_auto(ds,
+                         ds.map_batches(partial, batch_format="pyarrow"),
                          "word", ["n_partial"])
 
     def rename(batch: pa.Table) -> pa.Table:
@@ -329,8 +330,9 @@ def unigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({"word": pa.array(uniq, pa.string()),
                          "n_partial": pa.array(cnt.astype(np.int64))})
 
-    from pyrosm_ray.stages.blocks import keyed_sum_fold
-    freq = keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
+    from pyrosm_ray.stages.blocks import keyed_sum_auto
+    freq = keyed_sum_auto(ds,
+                          ds.map_batches(partial, batch_format="pyarrow"),
                           "word", ["n_partial"])
     words_l, counts_l = [], []
     for b in freq.iter_batches(batch_format="pyarrow"):
@@ -422,8 +424,9 @@ def bigram_logprob(ds, text_col: str = "text", id_col: str = "doc_id"):
         return pa.table({"bg": pa.array(uniq, pa.string()),
                          "n_partial": pa.array(cnt.astype(np.int64))})
 
-    from pyrosm_ray.stages.blocks import keyed_sum_fold
-    freq = keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
+    from pyrosm_ray.stages.blocks import keyed_sum_auto
+    freq = keyed_sum_auto(ds,
+                          ds.map_batches(partial, batch_format="pyarrow"),
                           "bg", ["n_partial"])
     bgs_l, counts_l = [], []
     for b in freq.iter_batches(batch_format="pyarrow"):
@@ -495,7 +498,7 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5,
 
     import pandas as pd
 
-    from pyrosm_ray.stages.blocks import keyed_sum_fold
+    from pyrosm_ray.stages.blocks import keyed_sum_auto
 
     def _bigrams(texts):
         keys: list[str] = []
@@ -515,7 +518,8 @@ def pmi_topk(ds, k: int = 50, min_count: int = 5,
         return pa.table({"bg": pa.array(uniq, pa.string()),
                          "n_partial": pa.array(cnt.astype(np.int64))})
 
-    freq = keyed_sum_fold(ds.map_batches(partial, batch_format="pyarrow"),
+    freq = keyed_sum_auto(ds,
+                          ds.map_batches(partial, batch_format="pyarrow"),
                           "bg", ["n_partial"])
     bgs_l, counts_l = [], []
     for b in freq.iter_batches(batch_format="pyarrow"):
