@@ -765,6 +765,15 @@ def q_dsir_weights_hashed(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_slice_divergence(sf_dir: str):
+    """Per-source unigram KL drift vs the whole corpus in exact integer
+    micro-nat token sums: one compound-key count fold, driver math over
+    the compact (source x word) table."""
+    from pyrosm_ray.stages.report import slice_divergence
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return slice_divergence(ds)
+
+
 def q_bpe_encode(sf_dir: str):
     """BPE subword pipeline: ONE distributed word-count shuffle trains a
     64-merge vocabulary on the driver (the compact Zipf-bounded table —
@@ -1637,6 +1646,8 @@ def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.stages.text import \
         bigram_logprob_sql as _bigram_logprob_sql
     from pyrosm_ray.stages.text import pmi_topk_sql as _pmi_topk_sql
+    from pyrosm_ray.stages.report import \
+        slice_divergence_sql as _slice_divergence_sql
     from pyrosm_ray.stages.spatial import \
         tile_rollup_sql as _tile_rollup_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
@@ -1948,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights": _sampling.dsir_weights_sql(),
         "q_dsir_weights_hashed":
             _sampling.dsir_weights_sql(feature_buckets=4096),
+        "q_slice_divergence": _slice_divergence_sql(),
         "q_rolling_events": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
@@ -2337,6 +2349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_redact_pii": q_redact_pii,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_weights_hashed": q_dsir_weights_hashed,
+        "q_slice_divergence": q_slice_divergence,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,

@@ -120,3 +120,121 @@ def corpus_report(ds, source_col: str = "source", text_col: str = "text",
         out[c] = out[c].astype("int64")
     return out[[source_col] + _REPORT_COLS] \
         .sort_values(source_col).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-slice distribution divergence (corpus drift report)
+# ---------------------------------------------------------------------------
+
+def slice_divergence(ds, slice_col: str = "source",
+                     text_col: str = "text",
+                     num_partitions: int | None = None) -> pd.DataFrame:
+    """Per-slice unigram KL divergence against the whole corpus — the
+    drift report a curation pipeline runs per source / per snapshot to
+    catch a slice whose word distribution has wandered (scraper broke,
+    spam flood, language shift).
+
+    For slice ``s`` with word counts ``c_s(w)`` (total ``T_s``) and
+    corpus counts ``c(w)`` (total ``T``)::
+
+        KL(s ‖ corpus) = Σ_w (c_s(w)/T_s) · ln( (c_s(w)·T) / (c(w)·T_s) )
+
+    Computed exactly as integer micro-nat token sums: per (slice, word)
+    the log ratio quantises to ``micro`` (ROUND-half-away, the module
+    family's contract) and the output carries
+    ``kl_token_micro = Σ_w c_s(w)·micro`` — divide by ``1e6·n_tokens``
+    for the KL estimate. Integer sums are exact in any addition order,
+    so the DuckDB twin (:func:`slice_divergence_sql`) hash-matches.
+
+    Scale shape: ONE combined partial pass keyed by the compound
+    ``slice\\x1fword`` string (words are whitespace-split so the
+    separator is unambiguous), ONE auto-routed keyed fold (driver below
+    the row ceiling, coarse hash fold beyond — the key domain is
+    #slices × vocabulary, still Zipf-bounded), then driver math over the
+    compact count table. Output: one row per slice
+    ``(slice, n_tokens, n_distinct_words, kl_token_micro)``.
+    """
+    from pyrosm_ray.stages.blocks import keyed_sum_auto
+
+    SEP = "\x1f"
+
+    def partial(batch: pa.Table) -> pa.Table:
+        slices = batch[slice_col].to_pylist()
+        keys: list[str] = []
+        for s, t in zip(slices, batch[text_col].to_pylist()):
+            pre = (s or "") + SEP
+            keys.extend(pre + w for w in (t or "").lower().split())
+        if not keys:
+            return pa.table({"sw": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(np.asarray(keys, dtype=object))
+        cnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({"sw": pa.array(uniq, pa.string()),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    folded = keyed_sum_auto(
+        ds, ds.map_batches(partial, batch_format="pyarrow"), "sw", ["n"],
+        num_partitions=num_partitions)
+    keys_l, n_l = [], []
+    for b in folded.iter_batches(batch_format="pyarrow"):
+        keys_l.append(np.asarray(b["sw"].to_pylist(), dtype=object))
+        n_l.append(b["n"].to_numpy(zero_copy_only=False))
+    if not keys_l or not sum(len(k) for k in keys_l):
+        return pd.DataFrame({slice_col: pd.Series([], dtype=object),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "n_distinct_words": pd.Series([],
+                                                           dtype="int64"),
+                             "kl_token_micro": pd.Series([],
+                                                         dtype="int64")})
+    keys = np.concatenate(keys_l)
+    cs = np.concatenate(n_l).astype(np.int64)
+    parts = np.array([k.split(SEP, 1) for k in keys], dtype=object)
+    slc, wrd = parts[:, 0], parts[:, 1]
+    # corpus-wide word counts + totals via factorized folds
+    wc_codes, wc_uniq = pd.factorize(wrd)
+    c_w = np.zeros(len(wc_uniq), np.int64)
+    np.add.at(c_w, wc_codes, cs)
+    t_all = int(cs.sum())
+    s_codes, s_uniq = pd.factorize(slc)
+    t_s = np.zeros(len(s_uniq), np.int64)
+    np.add.at(t_s, s_codes, cs)
+    # per (slice, word): micro = ROUND(1e6·ln((c_s·T)/(c·T_s)))
+    lp = np.log((cs.astype(np.float64) * float(t_all))
+                / (c_w[wc_codes].astype(np.float64)
+                   * t_s[s_codes].astype(np.float64)))
+    micro = np.trunc(lp * 1e6 + 0.5 * np.sign(lp)).astype(np.int64)
+    kl = np.zeros(len(s_uniq), np.int64)
+    np.add.at(kl, s_codes, cs * micro)
+    nw = np.zeros(len(s_uniq), np.int64)
+    np.add.at(nw, s_codes, 1)
+    out = pd.DataFrame({slice_col: s_uniq, "n_tokens": t_s,
+                        "n_distinct_words": nw, "kl_token_micro": kl})
+    for c in ("n_tokens", "n_distinct_words", "kl_token_micro"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(slice_col).reset_index(drop=True)
+
+
+def slice_divergence_sql(doc_table: str = "documents",
+                         slice_col: str = "source") -> str:
+    """DuckDB twin of :func:`slice_divergence` (integer micro-nats)."""
+    return f"""
+        WITH wds AS (SELECT {slice_col} AS s,
+                            unnest(regexp_extract_all(lower(text), '\\S+'))
+                                AS w FROM {doc_table}),
+        sw AS (SELECT s, w, COUNT(*) AS cs FROM wds GROUP BY s, w),
+        wc AS (SELECT w, SUM(cs) AS c FROM sw GROUP BY w),
+        st AS (SELECT s, SUM(cs) AS ts FROM sw GROUP BY s),
+        tot AS (SELECT SUM(cs) AS t FROM sw),
+        per AS (SELECT s,
+                       cs,
+                       CAST(ROUND(ln((CAST(cs AS DOUBLE)
+                                      * CAST(t AS DOUBLE))
+                                     / (CAST(c AS DOUBLE)
+                                        * CAST(ts AS DOUBLE)))
+                                  * 1000000) AS BIGINT) AS micro
+                FROM sw JOIN wc USING (w) JOIN st USING (s), tot)
+        SELECT s AS {slice_col},
+               CAST(SUM(cs) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+               CAST(SUM(cs * micro) AS BIGINT) AS kl_token_micro
+        FROM per GROUP BY s ORDER BY s"""

@@ -120,3 +120,42 @@ def test_normalize_text_block_split_invariant(ray_session):
         rd.from_arrow(tbl).repartition(6)).to_pandas() \
         .sort_values("doc_id")["text_norm"].tolist()
     assert one == many
+
+
+def test_slice_divergence_exact_and_orders(ray_session):
+    """A drifted slice must carry higher KL than an on-distribution one,
+    and the integer micro-nat sums must match the DuckDB twin exactly."""
+    import duckdb
+    import ray.data as rd
+
+    from pyrosm_ray.stages.report import (slice_divergence,
+                                          slice_divergence_sql)
+
+    rng = np.random.RandomState(5)
+    base = ["alpha", "beta", "gamma", "delta"]
+    drift = ["zzz", "qqq", "alpha"]
+    rows, srcs = [], []
+    for i in range(150):
+        src = "weird" if i % 5 == 0 else f"src{i % 2}"
+        pool = drift if src == "weird" else base
+        rows.append(" ".join(pool[j] for j in
+                             rng.randint(0, len(pool), rng.randint(3, 9))))
+        srcs.append(src)
+    t = pa.table({"doc_id": pa.array(np.arange(150), pa.int64()),
+                  "text": pa.array(rows, pa.string()),
+                  "source": pa.array(srcs, pa.string())})
+    got = slice_divergence(rd.from_arrow(t))
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(slice_divergence_sql()).fetchdf()
+    assert list(got.source) == list(want.source)
+    assert list(got.kl_token_micro) == list(want.kl_token_micro)
+    assert list(got.n_tokens) == list(want.n_tokens)
+    assert list(got.n_distinct_words) == list(want.n_distinct_words)
+    g = got.set_index("source")
+    # normalised KL: the drifted slice dominates
+    kl = g.kl_token_micro / g.n_tokens
+    assert kl["weird"] > kl["src0"] and kl["weird"] > kl["src1"]
+    # partitioning invariance
+    again = slice_divergence(rd.from_arrow(t).repartition(6))
+    assert again.equals(got)
