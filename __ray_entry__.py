@@ -765,6 +765,18 @@ def q_dsir_weights_hashed(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_dsir_select(sf_dir: str):
+    """The DSIR resample step: top-200 docs by (weight DESC, id ASC)
+    over the hashed-feature scores — a distributed multi-key sort +
+    limit on the narrow scores table."""
+    from pyrosm_ray.stages.sampling import dsir_select, dsir_weights
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    scores = dsir_weights(ds, feature_buckets=4096)
+    df = dsir_select(scores, 200).to_pandas()[
+        ["doc_id", "n_tokens", "dsir_micro"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_slice_divergence(sf_dir: str):
     """Per-source unigram KL drift vs the whole corpus in exact integer
     micro-nat token sums: one compound-key count fold, driver math over
@@ -1960,6 +1972,12 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights_hashed":
             _sampling.dsir_weights_sql(feature_buckets=4096),
         "q_slice_divergence": _slice_divergence_sql(),
+        "q_dsir_select": f"""
+            SELECT doc_id, n_tokens, dsir_micro FROM (
+                SELECT * FROM ({_sampling.dsir_weights_sql(
+                    feature_buckets=4096)})
+                ORDER BY dsir_micro DESC, doc_id LIMIT 200)
+            ORDER BY doc_id""",
         "q_rolling_events": """
             SELECT event_id, user_id,
                    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w
@@ -2350,6 +2368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_weights_hashed": q_dsir_weights_hashed,
         "q_slice_divergence": q_slice_divergence,
+        "q_dsir_select": q_dsir_select,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
