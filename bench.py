@@ -412,6 +412,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                 ("line_dedup_pages_per_s", "line_dedup", n_pages),
                 ("gopher_docs_per_s", "gopher_rules",
                  counts.get("gopher_rules", 0)),
+                ("dsir_docs_per_s", "dsir_weights",
+                 counts.get("dsir_weights", 0)),
+                ("bpe_docs_per_s", "bpe_encode",
+                 counts.get("bpe_encode", 0)),
             ) if stage in timings
         },
     }
