@@ -253,11 +253,20 @@ class BpeEncode:
 
 
 def bpe_encode(ds, merges: pa.Table, text_col: str = "text",
-               id_col: str = "doc_id", concurrency=(1, 8)):
+               id_col: str = "doc_id", concurrency=None):
     """Apply a learned merge table: per-doc BPE token counts
-    ``(doc_id, n_words, n_bpe_tokens)`` via the actor-pool stage."""
+    ``(doc_id, n_words, n_bpe_tokens)`` via the actor-pool stage.
+
+    ``concurrency`` defaults to a FIXED pool sized to the cluster: the
+    per-batch work after the memo warms is too light for Ray's
+    autoscaling pool to ever scale up (measured 3.2 s autoscaled vs
+    2.05 s fixed on a 500 k-doc corpus at 8 CPUs), so the lazy (1, N)
+    default would serialize the scan."""
     import ray
 
+    if concurrency is None:
+        from pyrosm_ray.stages.blocks import _cluster_cpus
+        concurrency = _cluster_cpus()
     ref = ray.put(merges)
     return ds.map_batches(BpeEncode, batch_format="pyarrow",
                           concurrency=concurrency,
