@@ -777,6 +777,19 @@ def q_dsir_select(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_triangles(sf_dir: str):
+    """Per-vertex exact triangle counts over the click graph
+    (degree-ordered wedge generation + co-partitioned closing-edge
+    membership; every keyed step a bucketed segmented fold)."""
+    from pyrosm_ray.stages.pagerank import click_edges, event_nodes
+    from pyrosm_ray.stages.triangles import triangle_counts
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "props"])
+    df = triangle_counts(click_edges(event_nodes(ds))).to_pandas()[
+        ["node", "n_triangles"]]
+    return df.sort_values("node").reset_index(drop=True)
+
+
 def q_slice_divergence(sf_dir: str):
     """Per-source unigram KL drift vs the whole corpus in exact integer
     micro-nat token sums: one compound-key count fold, driver math over
@@ -1660,6 +1673,8 @@ def oracle_sql() -> dict[str, str]:
     from pyrosm_ray.stages.text import pmi_topk_sql as _pmi_topk_sql
     from pyrosm_ray.stages.report import \
         slice_divergence_sql as _slice_divergence_sql
+    from pyrosm_ray.stages.triangles import \
+        triangle_counts_sql as _triangle_counts_sql
     from pyrosm_ray.stages.spatial import \
         tile_rollup_sql as _tile_rollup_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
@@ -1972,6 +1987,16 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights_hashed":
             _sampling.dsir_weights_sql(feature_buckets=4096),
         "q_slice_divergence": _slice_divergence_sql(),
+        "q_triangles": _triangle_counts_sql(
+            """ev AS (SELECT user_id, ts, event_id,
+                    CAST(regexp_extract(props, '\\d+') AS BIGINT)
+                        AS node FROM events),
+            nxt AS (SELECT node AS src,
+                     LEAD(node) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                         AS dst FROM ev),
+            edges AS (SELECT DISTINCT src, dst FROM nxt
+                     WHERE dst IS NOT NULL AND dst <> src)"""),
         "q_dsir_select": f"""
             SELECT doc_id, n_tokens, dsir_micro FROM (
                 SELECT * FROM ({_sampling.dsir_weights_sql(
@@ -2369,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_weights_hashed": q_dsir_weights_hashed,
         "q_slice_divergence": q_slice_divergence,
         "q_dsir_select": q_dsir_select,
+        "q_triangles": q_triangles,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
