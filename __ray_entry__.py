@@ -777,6 +777,40 @@ def q_dsir_select(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quality_classifier(sf_dir: str):
+    """fastText-style trained quality gate: logistic regression over
+    hashed BoW features (broadcast-weights + deterministic per-block
+    gradient reduce), then one scoring pass. The synthetic corpus draws
+    every language from ONE shared vocabulary (the lang label carries no
+    text signal), so — like q_redact_pii's synthesized PII — each doc is
+    deterministically augmented with a language-marker token on 4 of 5
+    docs (doc_id % 5 != 0), leaving a 20% unmarked slice the model must
+    fall back to the prior on. Rows-only driver check (iterative float
+    training is non-SQL-expressible); exactness pinned by the numpy twin
+    in tests/test_classifier.py."""
+    from pyrosm_ray.stages.classifier import (score_text_classifier,
+                                              train_text_classifier)
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        texts = batch["text"].to_pylist()
+        langs = batch["lang"].to_pylist()
+        aug = [t if i % 5 == 0 else f"{t} lm_{lg}"
+               for t, lg, i in zip(texts, langs, ids)]
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pa.array(aug, pa.string()),
+                         "lang": batch["lang"]})
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang"]).map_batches(
+        augment, batch_format="pyarrow")
+    w = train_text_classifier(ds, feature_buckets=4096, iters=48)
+    df = score_text_classifier(ds, w).to_pandas()[
+        ["doc_id", "logit", "prob", "is_target"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_triangles(sf_dir: str):
     """Per-vertex exact triangle counts over the click graph
     (degree-ordered wedge generation + co-partitioned closing-edge
@@ -2395,6 +2429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_slice_divergence": q_slice_divergence,
         "q_dsir_select": q_dsir_select,
         "q_triangles": q_triangles,
+        "q_quality_classifier": q_quality_classifier,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
