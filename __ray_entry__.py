@@ -777,6 +777,38 @@ def q_dsir_select(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_snapshot_diff(sf_dir: str):
+    """Crawl-over-crawl diff report: two deterministic snapshot views of
+    the documents table (old = even ids; new = ids % 3 != 0, with ids
+    % 7 == 0 rewritten) -> per-id added/removed/changed/same via one
+    id-bucketed union fold over 128-bit content keys."""
+    from pyrosm_ray.stages.dedup import snapshot_diff
+
+    def view(old: bool):
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def f(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            keep = (ids % 2 == 0) if old else (ids % 3 != 0)
+            t = b.filter(pa.array(keep))
+            if old:
+                return t
+            ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            texts = t["text"].to_pylist()
+            texts = [x + " v2" if i % 7 == 0 else x
+                     for x, i in zip(texts, ids)]
+            return pa.table({"doc_id": t["doc_id"],
+                             "text": pa.array(texts, pa.string())})
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    df = snapshot_diff(view(True), view(False)).to_pandas()[
+        ["doc_id", "status"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_quality_classifier(sf_dir: str):
     """fastText-style trained quality gate: logistic regression over
     hashed BoW features (broadcast-weights + deterministic per-block
@@ -1709,6 +1741,8 @@ def oracle_sql() -> dict[str, str]:
         slice_divergence_sql as _slice_divergence_sql
     from pyrosm_ray.stages.triangles import \
         triangle_counts_sql as _triangle_counts_sql
+    from pyrosm_ray.stages.dedup import \
+        snapshot_diff_sql as _snapshot_diff_sql
     from pyrosm_ray.stages.spatial import \
         tile_rollup_sql as _tile_rollup_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
@@ -2021,6 +2055,12 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights_hashed":
             _sampling.dsir_weights_sql(feature_buckets=4096),
         "q_slice_divergence": _slice_divergence_sql(),
+        "q_snapshot_diff": _snapshot_diff_sql(
+            "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
+            """SELECT doc_id,
+                      CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                           ELSE text END AS text
+               FROM documents WHERE doc_id % 3 <> 0"""),
         "q_triangles": _triangle_counts_sql(
             """ev AS (SELECT user_id, ts, event_id,
                     CAST(regexp_extract(props, '\\d+') AS BIGINT)
@@ -2430,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dsir_select": q_dsir_select,
         "q_triangles": q_triangles,
         "q_quality_classifier": q_quality_classifier,
+        "q_snapshot_diff": q_snapshot_diff,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,

@@ -2062,3 +2062,95 @@ def semantic_dedup_sql(emb_table: str = "embeddings",
                             AND y.vec_id < x.vec_id
                             AND {cos_xy} >= {threshold})
         ORDER BY x.vec_id"""
+
+
+# ---------------------------------------------------------------------------
+# cross-snapshot diff report
+# ---------------------------------------------------------------------------
+
+def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
+                  text_col: str = "text",
+                  num_partitions: int | None = None):
+    """Per-id diff between two corpus snapshots — the crawl-over-crawl
+    report a recurring ingest runs before deciding what to reprocess:
+    ``status`` ∈ {added, removed, changed, same} per document id.
+
+    Scale shape (the :func:`incremental_dedup` contract): each side
+    reduces in ONE stateless pass to (id, side, 128-bit content key)
+    rows — text never shuffles — then one id-bucketed union fold decides
+    every id's status with a factorize + scatter compare per PARTITION.
+    Ids are unique per snapshot (the document-key contract). The DuckDB
+    twin is the FULL OUTER JOIN with a raw text-equality CASE; md5-128
+    collisions are below the birthday bound at any corpus size, so the
+    hash compare and the text compare agree.
+
+    Output: ``(doc_id, status)``, one row per id in either snapshot.
+    """
+    from pyrosm_ray.stages.blocks import sized_partitions
+    from pyrosm_ray.stages.hashing import hash64, stable128_many
+
+    nb = num_partitions or sized_partitions(old_ds, new_ds)
+
+    def keyed(side: int):
+        def run(b: pa.Table) -> pa.Table:
+            ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                             np.int64)
+            lo, hi = stable128_many(b[text_col].to_pylist())
+            return pa.table({
+                "id": pa.array(ids, pa.int64()),
+                "side": pa.array(np.full(len(ids), side, np.int64)),
+                "lo": pa.array(lo.view(np.int64), pa.int64()),
+                "hi": pa.array(hi.view(np.int64), pa.int64()),
+                "__q": pa.array(
+                    (hash64(ids.view(np.uint64), 41)
+                     % np.uint64(nb)).astype(np.int64)),
+            })
+        return run
+
+    u = old_ds.map_batches(keyed(0), batch_format="pyarrow") \
+        .union(new_ds.map_batches(keyed(1), batch_format="pyarrow"))
+
+    def fold(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        ids = np.asarray(g["id"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        side = np.asarray(g["side"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        lo = np.asarray(g["lo"].to_numpy(zero_copy_only=False), np.int64)
+        hi = np.asarray(g["hi"].to_numpy(zero_copy_only=False), np.int64)
+        codes, uniq = pd.factorize(ids)
+        n = len(uniq)
+        has = np.zeros((n, 2), bool)
+        klo = np.zeros((n, 2), np.int64)
+        khi = np.zeros((n, 2), np.int64)
+        has[codes, side] = True
+        klo[codes, side] = lo
+        khi[codes, side] = hi
+        in_old, in_new = has[:, 0], has[:, 1]
+        same = in_old & in_new & (klo[:, 0] == klo[:, 1]) \
+            & (khi[:, 0] == khi[:, 1])
+        status = np.where(~in_old, "added",
+                          np.where(~in_new, "removed",
+                                   np.where(same, "same", "changed")))
+        return pa.table({id_col: pa.array(uniq, pa.int64()),
+                         "status": pa.array(status.astype(object),
+                                            pa.string())})
+
+    return u.groupby("__q", num_partitions=nb) \
+        .map_groups(fold, batch_format="pyarrow")
+
+
+def snapshot_diff_sql(old_sel: str, new_sel: str,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    """DuckDB twin of :func:`snapshot_diff`: ``old_sel`` / ``new_sel``
+    are SELECTs yielding (id, text)."""
+    return f"""
+        WITH o AS ({old_sel}), nn AS ({new_sel})
+        SELECT COALESCE(o.{id_col}, nn.{id_col}) AS {id_col},
+               CASE WHEN o.{id_col} IS NULL THEN 'added'
+                    WHEN nn.{id_col} IS NULL THEN 'removed'
+                    WHEN o.{text_col} = nn.{text_col} THEN 'same'
+                    ELSE 'changed' END AS status
+        FROM o FULL OUTER JOIN nn ON o.{id_col} = nn.{id_col}
+        ORDER BY 1"""

@@ -728,3 +728,27 @@ def test_similarity_join_id_range_enforced(ray_session):
     with pytest.raises(Exception):
         dedup.similarity_join(rd.from_arrow(bad),
                               rd.from_arrow(ok)).to_pandas()
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from pyrosm_ray.stages.dedup import snapshot_diff, snapshot_diff_sql
+
+    old = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                    "text": pa.array(["a", "b", "c", "d"])})
+    new = pa.table({"doc_id": pa.array([2, 3, 5], pa.int64()),
+                    "text": pa.array(["b", "C2", "e"])})
+    out = snapshot_diff(rd.from_arrow(old), rd.from_arrow(new)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(out.doc_id) == [1, 2, 3, 4, 5]
+    assert list(out.status) == ["removed", "same", "changed", "removed",
+                                "added"]
+    con = duckdb.connect()
+    con.register("o_t", old)
+    con.register("n_t", new)
+    want = con.execute(snapshot_diff_sql(
+        "SELECT doc_id, text FROM o_t",
+        "SELECT doc_id, text FROM n_t")).fetchdf()
+    assert list(out.status) == list(want.status)
