@@ -852,7 +852,7 @@ def q_triangles(sf_dir: str):
     ds = _read(sf_dir, "events",
                ["event_id", "ts", "user_id", "props"])
     df = triangle_counts(click_edges(event_nodes(ds))).to_pandas()[
-        ["node", "n_triangles"]]
+        ["node", "n_triangles", "deg", "cc_micro"]]
     return df.sort_values("node").reset_index(drop=True)
 
 

@@ -50,7 +50,22 @@ from pyrosm_ray.stages.hashing import hash64
 TRI_DRIVER_MAX = 1 << 21   # canonical edges (16 B/row) the driver collects
 
 _EMPTY = pa.table({"node": pa.array([], pa.int64()),
-                   "n_triangles": pa.array([], pa.int64())})
+                   "n_triangles": pa.array([], pa.int64()),
+                   "deg": pa.array([], pa.int64()),
+                   "cc_micro": pa.array([], pa.int64())})
+
+
+def _cc_micro(tri: np.ndarray, deg: np.ndarray) -> np.ndarray:
+    """Local clustering coefficient 2T/(d(d-1)) in exact integer
+    micro-units: ROUND-half-away of the rational p/q computed as
+    (2p+q)//(2q) — no floats anywhere, so the SQL twin is bit-exact by
+    construction."""
+    q = deg * (deg - 1)
+    p = 2_000_000 * tri
+    out = np.zeros(len(tri), np.int64)
+    ok = q > 0
+    out[ok] = (2 * p[ok] + q[ok]) // (2 * q[ok])
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -163,8 +178,12 @@ def _triangles_np(a: np.ndarray, b: np.ndarray) -> pa.Table:
     cnt = np.zeros(n, np.int64)
     for arr in (row[hit], w1[hit], w2[hit]):
         np.add.at(cnt, arr, 1)
+    tri = cnt[rank]
     return pa.table({"node": pa.array(nodes, pa.int64()),
-                     "n_triangles": pa.array(cnt[rank], pa.int64())})
+                     "n_triangles": pa.array(tri, pa.int64()),
+                     "deg": pa.array(deg.astype(np.int64), pa.int64()),
+                     "cc_micro": pa.array(_cc_micro(tri, deg),
+                                          pa.int64())})
 
 
 # ---------------------------------------------------------------------------
@@ -341,19 +360,34 @@ def _triangles_distributed(edges, src_col: str, dst_col: str,
         codes, uniq = pd.factorize(allv)
         cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
         return pa.table({"node": pa.array(uniq, pa.int64()),
-                         "n_triangles": pa.array(cnt, pa.int64())})
+                         "n_triangles": pa.array(cnt, pa.int64()),
+                         "deg": pa.array(np.zeros(len(uniq), np.int64),
+                                         pa.int64())})
 
     tri = u3.groupby("__q", num_partitions=nb) \
         .map_groups(close_fold, batch_format="pyarrow")
 
-    def zeros(t: pa.Table) -> pa.Table:
+    # degree rows carry (n_triangles=0, deg) so ONE fold sums both and
+    # every node appears in the output
+    def degrows(t: pa.Table) -> pa.Table:
         return pa.table({"node": t["node"],
                          "n_triangles": pa.array(
-                             np.zeros(t.num_rows, np.int64), pa.int64())})
+                             np.zeros(t.num_rows, np.int64), pa.int64()),
+                         "deg": t["deg"]})
 
-    return keyed_sum_fold(
-        tri.union(deg.map_batches(zeros, batch_format="pyarrow")),
-        "node", ["n_triangles"], num_partitions=nb)
+    summed = keyed_sum_fold(
+        tri.union(deg.map_batches(degrows, batch_format="pyarrow")),
+        "node", ["n_triangles", "deg"], num_partitions=nb)
+
+    def with_cc(t: pa.Table) -> pa.Table:
+        tri_v = np.asarray(t["n_triangles"].to_numpy(
+            zero_copy_only=False), np.int64)
+        dg = np.asarray(t["deg"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        return t.append_column("cc_micro",
+                               pa.array(_cc_micro(tri_v, dg), pa.int64()))
+
+    return summed.map_batches(with_cc, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -413,8 +447,15 @@ def triangle_counts_sql(edges_cte: str) -> str:
         cnt AS (SELECT v AS node, COUNT(*) AS n FROM (
                     SELECT x AS v FROM tri
                     UNION ALL SELECT y AS v FROM tri
-                    UNION ALL SELECT z AS v FROM tri) GROUP BY v)
-        SELECT dg.node, CAST(COALESCE(cnt.n, 0) AS BIGINT)
-                   AS n_triangles
-        FROM dg LEFT JOIN cnt USING (node)
-        ORDER BY dg.node"""
+                    UNION ALL SELECT z AS v FROM tri) GROUP BY v),
+        fin AS (SELECT dg.node,
+                       CAST(COALESCE(cnt.n, 0) AS BIGINT)
+                           AS n_triangles,
+                       CAST(dg.deg AS BIGINT) AS deg
+                FROM dg LEFT JOIN cnt USING (node))
+        SELECT node, n_triangles, deg,
+               CAST(CASE WHEN deg >= 2 THEN
+                    (2 * (2000000 * n_triangles) + deg * (deg - 1))
+                        // (2 * deg * (deg - 1))
+                    ELSE 0 END AS BIGINT) AS cc_micro
+        FROM fin ORDER BY node"""

@@ -21,6 +21,9 @@ def test_k4_and_known_graphs(ray_session):
     k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
     out = tr.triangle_counts(rd.from_arrow(_edges_table(k4))).to_pandas()
     assert list(out.sort_values("node").n_triangles) == [3, 3, 3, 3]
+    # K4 clustering coefficient is exactly 1.0 -> 1_000_000 micro
+    assert list(out.sort_values("node").cc_micro) == [1_000_000] * 4
+    assert list(out.sort_values("node").deg) == [3, 3, 3, 3]
     # 4-cycle: no triangles, all nodes present with 0
     c4 = [(0, 1), (1, 2), (2, 3), (3, 0)]
     out = tr.triangle_counts(rd.from_arrow(_edges_table(c4))).to_pandas()
@@ -50,6 +53,8 @@ def test_matches_sql_twin(ray_session):
         "edges AS (SELECT src, dst FROM raw_edges)")).fetchdf()
     assert list(got.node) == list(want.node)
     assert list(got.n_triangles) == list(want.n_triangles)
+    assert list(got.deg) == list(want.deg)
+    assert list(got.cc_micro) == list(want.cc_micro)
     assert got.n_triangles.sum() > 0  # the random graph has triangles
 
 
@@ -63,6 +68,8 @@ def test_route_parity(ray_session, monkeypatch):
         .sort_values("node").reset_index(drop=True)
     assert list(a.node) == list(b.node)
     assert list(a.n_triangles) == list(b.n_triangles)
+    assert list(a.deg) == list(b.deg)
+    assert list(a.cc_micro) == list(b.cc_micro)
 
 
 def test_empty_and_single_edge(ray_session):
