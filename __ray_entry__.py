@@ -777,6 +777,21 @@ def q_dsir_select(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_centroid_outliers(sf_dir: str):
+    """Embedding hygiene: cosine of every vector to its OWN label
+    centroid in exact integer micro-units (milli-quantised components,
+    integer-rational centroid rounding, exact int64 dots — one IEEE
+    division at the end), flagging cluster-inconsistent rows."""
+    from pyrosm_ray.stages.similarity import label_centroid_outliers
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    # threshold 0: flag vectors pointing AWAY from their label centroid
+    # (the fixture's label clusters are loose — ~10% of rows sit below)
+    df = label_centroid_outliers(ds, threshold_micro=0).to_pandas()[
+        ["vec_id", "label", "cos_micro", "is_outlier"]]
+    df["label"] = df["label"].astype("int64")
+    return df.sort_values("vec_id").reset_index(drop=True)
+
+
 def q_snapshot_diff(sf_dir: str):
     """Crawl-over-crawl diff report: two deterministic snapshot views of
     the documents table (old = even ids; new = ids % 3 != 0, with ids
@@ -1743,6 +1758,8 @@ def oracle_sql() -> dict[str, str]:
         triangle_counts_sql as _triangle_counts_sql
     from pyrosm_ray.stages.dedup import \
         snapshot_diff_sql as _snapshot_diff_sql
+    from pyrosm_ray.stages.similarity import \
+        label_centroid_outliers_sql as _label_centroid_outliers_sql
     from pyrosm_ray.stages.spatial import \
         tile_rollup_sql as _tile_rollup_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
@@ -2055,6 +2072,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dsir_weights_hashed":
             _sampling.dsir_weights_sql(feature_buckets=4096),
         "q_slice_divergence": _slice_divergence_sql(),
+        "q_centroid_outliers":
+            _label_centroid_outliers_sql(threshold_micro=0),
         "q_snapshot_diff": _snapshot_diff_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
             """SELECT doc_id,
@@ -2471,6 +2490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangles": q_triangles,
         "q_quality_classifier": q_quality_classifier,
         "q_snapshot_diff": q_snapshot_diff,
+        "q_centroid_outliers": q_centroid_outliers,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,

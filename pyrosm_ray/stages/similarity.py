@@ -615,3 +615,165 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray,
     survivors = rerank_ds.map_batches(keep, batch_format="pyarrow")
     return topk_cosine(survivors, queries, k=k, id_col=id_col,
                        emb_col=emb_col)
+
+
+# ---------------------------------------------------------------------------
+# embedding hygiene: per-label centroid outliers
+# ---------------------------------------------------------------------------
+
+def _round_ratio_int(p: np.ndarray, q) -> np.ndarray:
+    """Sign-aware ROUND-half-away of the exact rational p/q (q > 0) in
+    pure integer arithmetic — no floats, so the SQL twin is bit-exact by
+    construction."""
+    ap = np.abs(p)
+    r = (2 * ap + q) // (2 * q)
+    return np.where(p < 0, -r, r).astype(np.int64)
+
+
+def label_centroid_outliers(ds, label_col: str = "label",
+                            emb_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            threshold_micro: int = 800_000,
+                            quant: int = 1000):
+    """Embedding-hygiene pass: cosine of every vector to its OWN label's
+    centroid, flagging vectors that sit far from their class (mislabeled
+    / corrupted rows — the SemDeDup-era cluster-consistency check).
+
+    Exactness contract (the module family's micro-unit discipline, but
+    with NO order-dependent float reduction anywhere):
+
+    1. components quantise to ``quant`` integer units
+       (``ROUND(v·quant)``),
+    2. per-label component sums are exact int64 in any addition order,
+    3. the centroid re-quantises to the SAME scale by integer rational
+       rounding (``ROUND(S_d / c)`` via ``(2|p|+q)//(2q)``) — bounded by
+       the component range regardless of label size, so dot products and
+       norms stay exact int64,
+    4. one final double division + sqrt produces
+       ``cos_micro = ROUND(1e6·dot/(√nq·√nm))`` — sqrt and one division
+       are correctly-rounded IEEE ops, identical in numpy and DuckDB.
+
+    Scale shape: batch partials emit ONE (label, count, int64-sum blob)
+    row per (block × label); the driver reduce is exact in any order
+    (integer sums), so unlike :func:`kmeans_fit` no bkey ordering is
+    needed; quantised centroids broadcast once; one stateless pass
+    scores every row. Labels are assumed driver-small (a class/cluster
+    vocabulary, not a key domain).
+
+    Output: ``(vec_id, label, cos_micro, is_outlier)``.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "vsum": pa.array([], pa.binary())})
+        emb = _emb_matrix(batch, emb_col)
+        qv = np.trunc(emb * quant + 0.5 * np.sign(emb)).astype(np.int64)
+        lab = np.asarray(batch[label_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        order = np.argsort(lab, kind="stable")
+        sl, sq = lab[order], qv[order]
+        starts = np.nonzero(np.r_[True, sl[1:] != sl[:-1]])[0]
+        sums = np.add.reduceat(sq, starts, axis=0)
+        cnts = np.diff(np.r_[starts, len(sl)])
+        return pa.table({
+            "label": pa.array(sl[starts], pa.int64()),
+            "n": pa.array(cnts.astype(np.int64), pa.int64()),
+            "vsum": pa.array([r.tobytes() for r in sums], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    labels_l, cent_l, nrm_l = [], [], []
+    if len(parts):
+        for lb, grp in parts.groupby("label", sort=True):
+            s = None
+            for buf in grp["vsum"]:
+                v = np.frombuffer(buf, dtype=np.int64)
+                s = v.copy() if s is None else s + v
+            c = int(grp["n"].sum())
+            m = _round_ratio_int(s, c)
+            labels_l.append(int(lb))
+            cent_l.append(m)
+            nrm_l.append(int((m ** 2).sum()))
+    lbl_arr = np.asarray(labels_l, np.int64)          # sorted (groupby)
+    cm_mat = np.stack(cent_l) if cent_l else np.zeros((0, 1), np.int64)
+    nm_arr = np.asarray(nrm_l, np.int64)
+    import ray
+    ref = ray.put((lbl_arr, cm_mat, nm_arr))
+
+    def score(batch: pa.Table) -> pa.Table:
+        lbl_arr, cm_mat, nm_arr = ray.get(ref)
+        emb = _emb_matrix(batch, emb_col)
+        qv = np.trunc(emb * quant + 0.5 * np.sign(emb)).astype(np.int64)
+        lab = np.asarray(batch[label_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        n = len(lab)
+        cos = np.zeros(n, np.int64)
+        if n and len(lbl_arr):
+            pos = np.clip(np.searchsorted(lbl_arr, lab), 0,
+                          len(lbl_arr) - 1)
+            known = lbl_arr[pos] == lab
+            cm = cm_mat[pos]
+            dot = (qv * cm).sum(axis=1)
+            nq = (qv * qv).sum(axis=1)
+            nm = np.where(known, nm_arr[pos], 0)
+            ok = (nq > 0) & (nm > 0)
+            val = np.zeros(n, np.float64)
+            val[ok] = 1e6 * dot[ok].astype(np.float64) \
+                / (np.sqrt(nq[ok].astype(np.float64))
+                   * np.sqrt(nm[ok].astype(np.float64)))
+            cos = np.trunc(val + 0.5 * np.sign(val)).astype(np.int64)
+        return pa.table({
+            id_col: batch[id_col],
+            label_col: batch[label_col],
+            "cos_micro": pa.array(cos, pa.int64()),
+            "is_outlier": pa.array(cos < threshold_micro, pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def label_centroid_outliers_sql(emb_table: str = "embeddings",
+                                label_col: str = "label",
+                                emb_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                threshold_micro: int = 800_000,
+                                quant: int = 1000) -> str:
+    """DuckDB twin of :func:`label_centroid_outliers` (same integer
+    quantisation chain)."""
+    return f"""
+        WITH q AS (SELECT {id_col}, {label_col} AS lb,
+                          generate_subscripts({emb_col}, 1) AS i,
+                          CAST(ROUND(CAST(unnest({emb_col}) AS DOUBLE)
+                                     * {quant}) AS BIGINT) AS qv
+                   FROM {emb_table}),
+        cnt AS (SELECT {label_col} AS lb, COUNT(*) AS c
+                FROM {emb_table} GROUP BY 1),
+        s AS (SELECT lb, i, CAST(SUM(qv) AS BIGINT) AS sd
+              FROM q GROUP BY lb, i),
+        m AS (SELECT lb, i,
+                     CAST(CASE WHEN sd < 0
+                          THEN -((2 * (-sd) + c) // (2 * c))
+                          ELSE (2 * sd + c) // (2 * c) END AS BIGINT)
+                         AS md
+              FROM s JOIN cnt USING (lb)),
+        nm AS (SELECT lb, SUM(md * md) AS nm2 FROM m GROUP BY lb),
+        per AS (SELECT q.{id_col}, q.lb,
+                       SUM(q.qv * m.md) AS dot,
+                       SUM(q.qv * q.qv) AS nq2
+                FROM q JOIN m ON q.lb = m.lb AND q.i = m.i
+                GROUP BY q.{id_col}, q.lb),
+        fin AS (SELECT per.{id_col}, per.lb AS {label_col},
+                       CASE WHEN nq2 > 0 AND nm2 > 0 THEN
+                           CAST(ROUND(1000000
+                                * CAST(dot AS DOUBLE)
+                                / (sqrt(CAST(nq2 AS DOUBLE))
+                                   * sqrt(CAST(nm2 AS DOUBLE))))
+                                AS BIGINT)
+                       ELSE 0 END AS cos_micro
+                FROM per JOIN nm ON per.lb = nm.lb)
+        SELECT e.{id_col}, CAST(e.{label_col} AS BIGINT) AS {label_col},
+               COALESCE(f.cos_micro, 0) AS cos_micro,
+               COALESCE(f.cos_micro, 0) < {threshold_micro}
+                   AS is_outlier
+        FROM {emb_table} e LEFT JOIN fin f USING ({id_col})
+        ORDER BY e.{id_col}"""

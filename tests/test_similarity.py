@@ -203,3 +203,43 @@ def test_pq_topk_rerank_exact_scores(ray_session):
     g = got.sort_values(key).reset_index(drop=True)
     assert g["vec_id"].tolist() == e["vec_id"].tolist()
     assert np.allclose(g["score"], e["score"])
+
+
+def test_label_centroid_outliers_exact(ray_session):
+    """Planted geometry: vectors near their label axis score ~1.0, a
+    planted cross-label vector flags; SQL twin matches bit-exact."""
+    import duckdb
+
+    from pyrosm_ray.stages.similarity import (
+        label_centroid_outliers, label_centroid_outliers_sql)
+
+    rng = np.random.RandomState(4)
+    rows, labels = [], []
+    for i in range(90):
+        lb = i % 3
+        v = np.zeros(8)
+        v[lb] = 1.0
+        v += rng.uniform(-0.05, 0.05, 8)
+        if i == 42:                      # planted outlier: wrong axis
+            v = np.zeros(8)
+            v[(lb + 1) % 3] = 1.0
+        rows.append(v.astype(np.float32))
+        labels.append(lb)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(90), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    got = label_centroid_outliers(
+        rd.from_arrow(t), threshold_micro=500_000).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert bool(got.loc[42, "is_outlier"])
+    assert got.is_outlier.sum() == 1
+    assert (got[got.vec_id != 42].cos_micro > 900_000).all()
+    con = duckdb.connect()
+    con.register("embeddings", t)
+    want = con.execute(label_centroid_outliers_sql(
+        threshold_micro=500_000)).fetchdf()
+    assert list(got.cos_micro) == list(want.cos_micro)
+    assert list(got.is_outlier) == list(want.is_outlier)
