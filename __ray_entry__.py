@@ -777,6 +777,27 @@ def q_dsir_select(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_funnel(sf_dir: str):
+    """Ordered 5-stage funnel per user (first-touch semantics) over a
+    deterministic 1/8 thinning of the stream (the full stream trivially
+    completes any funnel at ~66 events/user — thinning makes every
+    stage count discriminating): one user-hash shuffle, segmented
+    mask+min per stage."""
+    import pyarrow.compute as pc
+
+    from pyrosm_ray.stages.windows import funnel_stages
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+    thin = ds.map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["event_id"], 7),
+                                    0)),
+        batch_format="pyarrow")
+    df = funnel_stages(thin, stages=("signup", "view", "click",
+                                     "purchase", "error")).to_pandas()[
+        ["user_id", "funnel_stage"]]
+    return df.sort_values("user_id").reset_index(drop=True)
+
+
 def q_centroid_outliers(sf_dir: str):
     """Embedding hygiene: cosine of every vector to its OWN label
     centroid in exact integer micro-units (milli-quantised components,
@@ -1760,6 +1781,8 @@ def oracle_sql() -> dict[str, str]:
         snapshot_diff_sql as _snapshot_diff_sql
     from pyrosm_ray.stages.similarity import \
         label_centroid_outliers_sql as _label_centroid_outliers_sql
+    from pyrosm_ray.stages.windows import \
+        funnel_stages_sql as _funnel_stages_sql
     from pyrosm_ray.stages.spatial import \
         tile_rollup_sql as _tile_rollup_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
@@ -2074,6 +2097,9 @@ def oracle_sql() -> dict[str, str]:
         "q_slice_divergence": _slice_divergence_sql(),
         "q_centroid_outliers":
             _label_centroid_outliers_sql(threshold_micro=0),
+        "q_funnel": _funnel_stages_sql(
+            "(SELECT * FROM events WHERE event_id % 8 = 0)",
+            stages=("signup", "view", "click", "purchase", "error")),
         "q_snapshot_diff": _snapshot_diff_sql(
             "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0",
             """SELECT doc_id,
@@ -2491,6 +2517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quality_classifier": q_quality_classifier,
         "q_snapshot_diff": q_snapshot_diff,
         "q_centroid_outliers": q_centroid_outliers,
+        "q_funnel": q_funnel,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,

@@ -336,3 +336,105 @@ def rolling_agg(ds, window_rows: int, by_col: str = "user_id",
     return ds.map_batches(add_bucket, batch_format="pyarrow") \
         .groupby("__p", num_partitions=nb) \
         .map_groups(per_bucket, batch_format="pyarrow")
+
+
+def funnel_stages(ds, stages: tuple[str, ...] = ("view", "click",
+                                                 "purchase"),
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  order_col: str = "event_id",
+                  num_partitions: int | None = None):
+    """Ordered funnel analysis: per user, the furthest stage reached by
+    a strictly-ordered subsequence of event types (the product-analytics
+    staple — "how many users viewed → clicked → purchased, in that
+    order"). Stage k+1 only counts AFTER the first completion of stage k
+    (first-touch semantics; order = (ts, order_col), unique because
+    order_col is).
+
+    Same one-shuffle shape as :func:`sessionize` (user-hash bucket →
+    per-partition segmented numpy): within each user segment the stage
+    chain resolves with one boolean mask + segment-min per stage —
+    ``first_k+1 = min rank of a stage-(k+1) row with rank > first_k`` —
+    no Python loops over rows, ``len(stages)`` vectorised passes.
+
+    Output: ``(user_id, funnel_stage)`` — 0 = never entered,
+    len(stages) = completed. DuckDB twin: ROW_NUMBER + chained
+    MIN-after-prev joins, exact.
+    """
+    nb = num_partitions or sized_partitions(ds)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[user_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        return b.append_column("__p", pa.array(_bucket_of(u, nb)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({user_col: pa.array([], pa.int64()),
+                             "funnel_stage": pa.array([], pa.int64())})
+        u = np.asarray(g[user_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        ts = np.asarray(g[ts_col].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        oid = np.asarray(g[order_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        typ = np.asarray(g[type_col].to_pylist(), dtype=object)
+        order = np.lexsort((oid, ts, u))
+        u, typ = u[order], typ[order]
+        n = len(u)
+        seg = _run_starts(u)
+        seg_of = np.zeros(n, np.int64)
+        seg_of[seg] = 1
+        seg_of = np.cumsum(seg_of) - 1
+        idx = np.arange(n, dtype=np.int64)
+        INF = np.int64(n + 1)
+        first = np.zeros(len(seg), np.int64)      # rank 0 = "before all"
+        stage = np.zeros(len(seg), np.int64)
+        for s in stages:
+            cand = np.where((typ == s) & (idx + 1 > first[seg_of]),
+                            idx + 1, INF)
+            nxt = np.minimum.reduceat(cand, seg)
+            reached = nxt < INF
+            stage += reached
+            first = np.where(reached, nxt, INF)
+        return pa.table({
+            user_col: pa.array(u[seg], pa.int64()),
+            "funnel_stage": pa.array(stage, pa.int64())})
+
+    return ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nb) \
+        .map_groups(per_bucket, batch_format="pyarrow")
+
+
+def funnel_stages_sql(events_table: str = "events",
+                      stages: tuple[str, ...] = ("view", "click",
+                                                 "purchase"),
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      order_col: str = "event_id") -> str:
+    """DuckDB twin of :func:`funnel_stages`."""
+    ctes = [f"""r AS (SELECT {user_col}, {type_col},
+                   ROW_NUMBER() OVER (PARTITION BY {user_col}
+                                      ORDER BY {ts_col}, {order_col})
+                       AS rn
+               FROM {events_table})"""]
+    prev = None
+    for k, s in enumerate(stages, start=1):
+        gate = "" if prev is None else \
+            f" JOIN f{k-1} USING ({user_col}) WHERE rn > r{k-1} AND"
+        where = "WHERE" if prev is None else ""
+        cond = f"{type_col} = '{s}'"
+        ctes.append(
+            f"""f{k} AS (SELECT {user_col}, MIN(rn) AS r{k}
+                 FROM r{gate} {where} {cond} GROUP BY {user_col})""")
+        prev = s
+    joins = " ".join(f"LEFT JOIN f{k} USING ({user_col})"
+                     for k in range(1, len(stages) + 1))
+    stage_sum = " + ".join(
+        f"CASE WHEN r{k} IS NOT NULL THEN 1 ELSE 0 END"
+        for k in range(1, len(stages) + 1))
+    return f"""
+        WITH {', '.join(ctes)},
+        u AS (SELECT DISTINCT {user_col} FROM {events_table})
+        SELECT u.{user_col}, CAST({stage_sum} AS BIGINT) AS funnel_stage
+        FROM u {joins} ORDER BY u.{user_col}"""

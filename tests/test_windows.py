@@ -138,3 +138,35 @@ def test_rolling_agg_window_one_is_identity(ray_session):
         .sort_values("event_id")
     assert got["rolling_sum_cents"].tolist() == [125, -250, 1]
     assert got["rolling_n"].tolist() == [1, 1, 1]
+
+
+def test_funnel_stages_semantics_and_sql(ray_session):
+    import duckdb
+
+    from pyrosm_ray.stages.windows import funnel_stages, funnel_stages_sql
+
+    # user 1 completes A->B->C; user 2 has B before A (stage stops at 1
+    # after A with no later B); user 3 never starts
+    rows = [
+        (1, 1, "A"), (1, 2, "B"), (1, 3, "C"),
+        (2, 1, "B"), (2, 2, "A"), (2, 3, "C"),   # A at rank 2, no B after
+        (3, 1, "C"), (3, 2, "C"),
+        (4, 1, "A"), (4, 2, "A"), (4, 3, "B"),   # first-touch: A@1, B@3
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([np.datetime64(f"2026-01-01T00:00:{r[1]:02d}",
+                                      "us")
+                        for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = funnel_stages(rd.from_arrow(t), stages=("A", "B", "C")) \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert list(out.user_id) == [1, 2, 3, 4]
+    assert list(out.funnel_stage) == [3, 1, 0, 2]
+    con = duckdb.connect()
+    con.register("ev", t)
+    want = con.execute(funnel_stages_sql("ev", stages=("A", "B", "C"))) \
+        .fetchdf()
+    assert list(out.funnel_stage) == list(want.funnel_stage)
