@@ -226,6 +226,21 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                           carry_cols=["url"]).count()
     timed("line_dedup", _line_dedup)
 
+    # ordered funnel per user (one user-hash shuffle, segmented
+    # mask+min per stage) and cross-snapshot diff (id-bucketed union
+    # fold over 128-bit content keys)
+    from pyrosm_ray.stages.windows import funnel_stages
+    timed("funnel",
+          lambda: funnel_stages(read_parquet_split(
+              ev_path, columns=["event_id", "ts", "user_id",
+                                "event_type"])).count())
+    from pyrosm_ray.stages.dedup import snapshot_diff
+    timed("snapshot_diff",
+          lambda: snapshot_diff(
+              _docs_split(True),
+              read_parquet_split(docs_path,
+                                 columns=["doc_id", "text"])).count())
+
     # DSIR importance weighting (hashed feature route — the 100-TB
     # contract): one vocab shuffle for both distributions, dense-array
     # broadcast, stateless score pass

@@ -257,16 +257,20 @@ def bpe_encode(ds, merges: pa.Table, text_col: str = "text",
     """Apply a learned merge table: per-doc BPE token counts
     ``(doc_id, n_words, n_bpe_tokens)`` via the actor-pool stage.
 
-    ``concurrency`` defaults to a FIXED pool sized to the cluster: the
-    per-batch work after the memo warms is too light for Ray's
-    autoscaling pool to ever scale up (measured 3.2 s autoscaled vs
-    2.05 s fixed on a 500 k-doc corpus at 8 CPUs), so the lazy (1, N)
-    default would serialize the scan."""
+    ``concurrency`` defaults to an autoscaling pool FLOORED at half the
+    cluster: the per-batch work after the memo warms is too light for
+    Ray's lazy (1, N) pool to ever scale up (measured 3.2 s autoscaled
+    vs 2.05 s pre-started on a 500 k-doc corpus at 8 CPUs), while a
+    FIXED full-cluster pool holds every CPU and starves the upstream
+    read tasks outright (the shuffle_join_args aggregator rule — a
+    16-CPU session deadlocks). Half pre-started, cluster-capped, keeps
+    both properties."""
     import ray
 
     if concurrency is None:
         from pyrosm_ray.stages.blocks import _cluster_cpus
-        concurrency = _cluster_cpus()
+        cpus = _cluster_cpus()
+        concurrency = (max(1, cpus // 2), cpus)
     ref = ray.put(merges)
     return ds.map_batches(BpeEncode, batch_format="pyarrow",
                           concurrency=concurrency,
