@@ -798,6 +798,26 @@ def q_funnel(sf_dir: str):
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_retention(sf_dir: str):
+    """Weekly cohort retention matrix over a deterministic 1/32
+    thinning of the event stream (the full stream has every user active
+    every week — thinning yields a real decaying cohort triangle): one
+    user-hash shuffle resolves distinct active weeks per user, the tiny
+    (cohort, offset) cell domain folds once."""
+    import pyarrow.compute as pc
+
+    from pyrosm_ray.stages.windows import retention_cohorts
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"]) \
+        .map_batches(
+            lambda b: b.filter(pc.equal(
+                pc.bit_wise_and(b["event_id"], 31), 0)),
+            batch_format="pyarrow")
+    df = retention_cohorts(ds).to_pandas()[
+        ["cohort_week", "week_offset", "n_users"]]
+    return df.sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+
+
 def q_centroid_outliers(sf_dir: str):
     """Embedding hygiene: cosine of every vector to its OWN label
     centroid in exact integer micro-units (milli-quantised components,
@@ -1783,6 +1803,8 @@ def oracle_sql() -> dict[str, str]:
         label_centroid_outliers_sql as _label_centroid_outliers_sql
     from pyrosm_ray.stages.windows import \
         funnel_stages_sql as _funnel_stages_sql
+    from pyrosm_ray.stages.windows import \
+        retention_cohorts_sql as _retention_cohorts_sql
     from pyrosm_ray.stages.spatial import \
         tile_rollup_sql as _tile_rollup_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
@@ -2097,6 +2119,8 @@ def oracle_sql() -> dict[str, str]:
         "q_slice_divergence": _slice_divergence_sql(),
         "q_centroid_outliers":
             _label_centroid_outliers_sql(threshold_micro=0),
+        "q_retention": _retention_cohorts_sql(
+            "(SELECT * FROM events WHERE event_id % 32 = 0)"),
         "q_funnel": _funnel_stages_sql(
             "(SELECT * FROM events WHERE event_id % 8 = 0)",
             stages=("signup", "view", "click", "purchase", "error")),
@@ -2518,6 +2542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_snapshot_diff": q_snapshot_diff,
         "q_centroid_outliers": q_centroid_outliers,
         "q_funnel": q_funnel,
+        "q_retention": q_retention,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,

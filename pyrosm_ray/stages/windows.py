@@ -438,3 +438,90 @@ def funnel_stages_sql(events_table: str = "events",
         u AS (SELECT DISTINCT {user_col} FROM {events_table})
         SELECT u.{user_col}, CAST({stage_sum} AS BIGINT) AS funnel_stage
         FROM u {joins} ORDER BY u.{user_col}"""
+
+
+WEEK_S = 7 * 86400
+
+
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts",
+                      num_partitions: int | None = None):
+    """Weekly cohort retention matrix — the product-analytics staple
+    next to :func:`funnel_stages`: users cohort by their FIRST active
+    epoch-week; each later active week contributes one (cohort_week,
+    week_offset) cell count.
+
+    One user-hash shuffle (the sessionize shape): per partition each
+    user's distinct active weeks resolve with one lexsort + run-length
+    pass, emitting (cohort, offset) partial counts; the final fold runs
+    over the tiny weeks² cell domain (:func:`keyed_sum_fold` keyed by
+    ``cohort·2^20 + offset`` — offsets are < 2^20 forever).
+
+    Output: ``(cohort_week, week_offset, n_users)`` — epoch weeks
+    (``floor(epoch_s / 604800)``), offset 0 row = cohort size. DuckDB
+    twin exact (integer week arithmetic).
+    """
+    from pyrosm_ray.stages.blocks import keyed_sum_auto
+
+    nb = num_partitions or sized_partitions(ds)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        u = np.asarray(b[user_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        return b.append_column("__p", pa.array(_bucket_of(u, nb)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        u = np.asarray(g[user_col].to_numpy(zero_copy_only=False),
+                       np.int64)
+        ts = np.asarray(g[ts_col].cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False)).astype(np.int64)
+        wk = ts // 1_000_000 // WEEK_S
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        first = np.ones(len(u), bool)
+        first[1:] = (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])
+        u, wk = u[first], wk[first]            # distinct (user, week)
+        seg = _run_starts(u)
+        seg_of = np.zeros(len(u), np.int64)
+        seg_of[seg] = 1
+        seg_of = np.cumsum(seg_of) - 1
+        cohort = wk[seg][seg_of]               # user's min week
+        cell = cohort * (1 << 20) + (wk - cohort)
+        vals, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    partials = ds.map_batches(add_bucket, batch_format="pyarrow") \
+        .groupby("__p", num_partitions=nb) \
+        .map_groups(per_bucket, batch_format="pyarrow")
+    folded = keyed_sum_auto(ds, partials, "cell", ["n"],
+                            num_partitions=num_partitions)
+
+    def unpack(t: pa.Table) -> pa.Table:
+        cell = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        return pa.table({
+            "cohort_week": pa.array(cell >> 20, pa.int64()),
+            "week_offset": pa.array(cell & ((1 << 20) - 1), pa.int64()),
+            "n_users": t["n"]})
+
+    return folded.map_batches(unpack, batch_format="pyarrow")
+
+
+def retention_cohorts_sql(events_table: str = "events",
+                          user_col: str = "user_id",
+                          ts_col: str = "ts") -> str:
+    """DuckDB twin of :func:`retention_cohorts`."""
+    wk = f"CAST(FLOOR(epoch({ts_col}) / {WEEK_S}) AS BIGINT)"
+    return f"""
+        WITH uw AS (SELECT DISTINCT {user_col}, {wk} AS wk
+                    FROM {events_table}),
+        co AS (SELECT {user_col}, MIN(wk) AS cohort FROM uw
+               GROUP BY {user_col})
+        SELECT co.cohort AS cohort_week,
+               CAST(uw.wk - co.cohort AS BIGINT) AS week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM uw JOIN co USING ({user_col})
+        GROUP BY 1, 2 ORDER BY 1, 2"""

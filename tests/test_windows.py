@@ -170,3 +170,38 @@ def test_funnel_stages_semantics_and_sql(ray_session):
     want = con.execute(funnel_stages_sql("ev", stages=("A", "B", "C"))) \
         .fetchdf()
     assert list(out.funnel_stage) == list(want.funnel_stage)
+
+
+def test_retention_cohorts_exact(ray_session):
+    import duckdb
+
+    from pyrosm_ray.stages.windows import (retention_cohorts,
+                                           retention_cohorts_sql)
+
+    # user 1 active weeks 0,1,3 of cohort w; user 2 joins week 1,
+    # active 1,2; user 3 only week 0
+    base = np.datetime64("2026-01-05T00:00:00", "us")  # a Monday
+    wk = np.timedelta64(7 * 86400, "s")
+    evts = [(1, 0), (1, 0), (1, 1), (1, 3),
+            (2, 1), (2, 2),
+            (3, 0)]
+    t = pa.table({
+        "event_id": pa.array(list(range(len(evts))), pa.int64()),
+        "user_id": pa.array([u for u, _ in evts], pa.int64()),
+        "ts": pa.array([base + w * wk for _, w in evts],
+                       pa.timestamp("us")),
+    })
+    out = retention_cohorts(rd.from_arrow(t)).to_pandas() \
+        .sort_values(["cohort_week", "week_offset"]) \
+        .reset_index(drop=True)
+    c0 = int(out.cohort_week.min())
+    rows = {(int(r.cohort_week) - c0, int(r.week_offset)): int(r.n_users)
+            for r in out.itertuples()}
+    assert rows == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1,
+                    (1, 1): 1}
+    con = duckdb.connect()
+    con.register("evr", t)
+    want = con.execute(retention_cohorts_sql("evr")).fetchdf()
+    assert list(out.n_users) == list(want.n_users)
+    assert list(out.cohort_week) == list(want.cohort_week)
+    assert list(out.week_offset) == list(want.week_offset)
