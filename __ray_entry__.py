@@ -798,6 +798,18 @@ def q_funnel(sf_dir: str):
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_hll_words(sf_dir: str):
+    """HyperLogLog distinct-word registers (2^12, md5-tail hash,
+    integer bit-length rank): every batch reduces to <= m register
+    rows, the driver merge is an order-free elementwise max — nothing
+    shuffles at any corpus size. Register table is integer-exact vs
+    SQL; the float estimator lives outside it (pytest-pinned <5% err)."""
+    from pyrosm_ray.stages.sketches import hll_registers
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = hll_registers(ds)[["reg", "rho"]]
+    return df.sort_values("reg").reset_index(drop=True)
+
+
 def q_retention(sf_dir: str):
     """Weekly cohort retention matrix over a deterministic 1/32
     thinning of the event stream (the full stream has every user active
@@ -1805,6 +1817,8 @@ def oracle_sql() -> dict[str, str]:
         funnel_stages_sql as _funnel_stages_sql
     from pyrosm_ray.stages.windows import \
         retention_cohorts_sql as _retention_cohorts_sql
+    from pyrosm_ray.stages.sketches import \
+        hll_registers_sql as _hll_registers_sql
     from pyrosm_ray.stages.spatial import \
         tile_rollup_sql as _tile_rollup_sql
     from pyrosm_ray.stages.text import vocab_topk_sql as _vocab_topk_sql
@@ -2119,6 +2133,7 @@ def oracle_sql() -> dict[str, str]:
         "q_slice_divergence": _slice_divergence_sql(),
         "q_centroid_outliers":
             _label_centroid_outliers_sql(threshold_micro=0),
+        "q_hll_words": _hll_registers_sql(),
         "q_retention": _retention_cohorts_sql(
             "(SELECT * FROM events WHERE event_id % 32 = 0)"),
         "q_funnel": _funnel_stages_sql(
@@ -2543,6 +2558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_centroid_outliers": q_centroid_outliers,
         "q_funnel": q_funnel,
         "q_retention": q_retention,
+        "q_hll_words": q_hll_words,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,

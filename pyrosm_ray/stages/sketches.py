@@ -135,3 +135,123 @@ def heavy_hitters_sql(doc_table: str, phi: float,
         SELECT word, COUNT(*) AS n FROM w, t
         GROUP BY word, t.thr HAVING COUNT(*) >= t.thr
         ORDER BY word"""
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+HLL_P = 12                      # 2^12 = 4096 registers (the classic size)
+
+
+def _bitlen_u64(w: np.ndarray) -> np.ndarray:
+    """Exact integer bit length per element (position of highest set
+    bit), via a branch-free binary reduction — no float log2, so the
+    SQL twin (an integer CASE ladder) matches bit-for-bit."""
+    w = w.astype(np.uint64)
+    bl = np.zeros(len(w), np.int64)
+    cur = w.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = cur >= (np.uint64(1) << np.uint64(s))
+        bl[big] += s
+        cur[big] >>= np.uint64(s)
+    return bl + (w > 0)
+
+
+def hll_registers(ds, text_col: str = "text", p: int = HLL_P):
+    """HyperLogLog registers for the corpus's DISTINCT WORD count
+    (Flajolet et al. 2007 — the canonical distributed distinct sketch):
+    per word, register ``h % m`` records the max of
+    ``rho = (64 - p) - bitlen(h // m) + 1`` (leading-zero rank of the
+    remaining bits).
+
+    Scale shape: every batch reduces to ≤ m partial-register rows; the
+    register domain is FIXED at m = 2^p, so the driver merge
+    (elementwise max — associative, commutative, ORDER-FREE, hence
+    deterministic under any blocking) is bounded at any corpus size.
+    Nothing shuffles, ever — the sketch is the textbook one-pass
+    mergeable aggregate.
+
+    All arithmetic is integer (md5-tail hash + integer bit length), so
+    :func:`hll_registers_sql` reproduces the register table exactly.
+    Returns a pandas DataFrame ``(reg, rho)`` over non-empty registers,
+    ascending reg.
+    """
+    import pandas as pd
+
+    m = 1 << p
+
+    from pyrosm_ray.stages.hashing import stable64_many
+
+    def partial(batch: pa.Table) -> pa.Table:
+        low = pa.table({text_col: pc.utf8_lower(
+            pc.fill_null(batch[text_col], ""))})
+        words = _batch_words(low, text_col)
+        if not len(words):
+            return pa.table({"reg": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.int64())})
+        h = stable64_many(list(words))
+        reg = (h % np.uint64(m)).astype(np.int64)
+        w = (h // np.uint64(m)).astype(np.uint64)
+        rho = np.where(w > 0, (64 - p) - _bitlen_u64(w) + 1,
+                       np.int64(64 - p + 1)).astype(np.int64)
+        best = np.zeros(m, np.int64)
+        np.maximum.at(best, reg, rho)
+        nz = np.flatnonzero(best)
+        return pa.table({"reg": pa.array(nz, pa.int64()),
+                         "rho": pa.array(best[nz], pa.int64())})
+
+    best = np.zeros(m, np.int64)
+    for b in ds.map_batches(partial,
+                            batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        reg = np.asarray(b["reg"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        rho = np.asarray(b["rho"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        np.maximum.at(best, reg, rho)
+    nz = np.flatnonzero(best)
+    return pd.DataFrame({"reg": nz.astype(np.int64),
+                         "rho": best[nz].astype(np.int64)})
+
+
+def hll_estimate(registers, p: int = HLL_P) -> float:
+    """The standard HLL estimator over a ``(reg, rho)`` register table:
+    harmonic-mean raw estimate with the small-range linear-counting
+    correction (the float math lives HERE, outside the oracle-compared
+    register table)."""
+    m = 1 << p
+    rho = np.zeros(m, np.float64)
+    rho[np.asarray(registers["reg"], np.int64)] = \
+        np.asarray(registers["rho"], np.float64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -rho))
+    zeros = m - len(registers)
+    if raw <= 2.5 * m and zeros > 0:
+        return m * float(np.log(m / zeros))
+    return float(raw)
+
+
+def hll_registers_sql(doc_table: str = "documents",
+                      text_col: str = "text", p: int = HLL_P) -> str:
+    """DuckDB twin of :func:`hll_registers` — integer bit length as a
+    CASE ladder over exact power-of-two thresholds."""
+    m = 1 << p
+    cases = " ".join(
+        f"WHEN w >= {1 << (k - 1)} THEN {k}"
+        for k in range(64 - p, 0, -1))
+    return f"""
+        WITH wd AS (SELECT unnest(regexp_extract_all(lower({text_col}),
+                                                     '\\S+')) AS word
+                    FROM {doc_table}),
+        h AS (SELECT md5_number_lower(word) AS hv FROM wd),
+        rr AS (SELECT CAST(hv % {m} AS BIGINT) AS reg,
+                      CAST(hv // {m} AS BIGINT) AS w
+               FROM h),
+        sc AS (SELECT reg,
+                      CASE WHEN w = 0 THEN {64 - p + 1}
+                           ELSE {64 - p} - (CASE {cases} ELSE 0 END) + 1
+                      END AS rho
+               FROM rr)
+        SELECT reg, CAST(MAX(rho) AS BIGINT) AS rho
+        FROM sc GROUP BY reg ORDER BY reg"""

@@ -62,3 +62,39 @@ def test_heavy_hitters_empty_and_validation(ray_session):
     import pytest
     with pytest.raises(ValueError):
         heavy_hitters(rd.from_arrow(t), phi=0.0)
+
+
+def test_hll_registers_exact_and_estimate(ray_session):
+    import duckdb
+
+    from pyrosm_ray.stages.sketches import (hll_estimate, hll_registers,
+                                            hll_registers_sql)
+
+    # large-distinct corpus: ~30k unique synthetic tokens
+    rng = np.random.RandomState(8)
+    texts = [" ".join(f"tok{rng.randint(0, 30000)}" for _ in range(40))
+             for _ in range(2000)]
+    t = pa.table({"doc_id": pa.array(np.arange(2000), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    got = hll_registers(rd.from_arrow(t))
+    con = duckdb.connect()
+    con.register("documents", t)
+    want = con.execute(hll_registers_sql()).fetchdf()
+    assert list(got.reg) == list(want.reg)
+    assert list(got.rho) == list(want.rho)
+    true_distinct = con.execute(
+        """SELECT COUNT(DISTINCT w) FROM (SELECT
+           unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+           FROM documents)""").fetchone()[0]
+    est = hll_estimate(got)
+    assert abs(est - true_distinct) / true_distinct < 0.05
+    # small-range regime (the fixture corpus shape): linear counting
+    small = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["a b c", "b c d e"])})
+    sgot = hll_registers(rd.from_arrow(small))
+    sest = hll_estimate(sgot)
+    assert abs(sest - 5) < 1.0
+    # blocking invariance: identical registers under any partitioning
+    again = hll_registers(rd.from_arrow(t).repartition(7))
+    assert list(again.reg) == list(got.reg)
+    assert list(again.rho) == list(got.rho)
