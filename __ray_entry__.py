@@ -798,6 +798,31 @@ def q_funnel(sf_dir: str):
     return df.sort_values("user_id").reset_index(drop=True)
 
 
+def q_pipeline_pack(sf_dir: str):
+    """THE end-to-end corpus→training-shards composition, four
+    operators chained through the Dataset API with ONE composed SQL
+    twin: exact_dedup (min-id per normalised content hash) →
+    mix_sources (token-budget integer sampling) → shuffle_rank (seeded
+    global training order, two-pass scan) → pack_sequences (4096-unit
+    context windows packed in shuffle order). Demonstrates the
+    operators COMPOSE — each stage's output Dataset feeds the next with
+    no driver round-trip."""
+    from pyrosm_ray.stages.dedup import exact_dedup
+    from pyrosm_ray.stages.sampling import (mix_sources, pack_sequences,
+                                            shuffle_rank)
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "source", "n_chars"])
+    surv = exact_dedup(ds)
+    mixed = mix_sources(surv, MIX_WEIGHTS, MIX_BUDGET) \
+        .select_columns(["doc_id", "n_chars"])
+    ranked = shuffle_rank(mixed, seed=11)
+    packed = pack_sequences(ranked, id_col="shuffle_rank",
+                            size_col="n_chars", budget=4096)
+    df = packed.to_pandas()[
+        ["doc_id", "shuffle_rank", "n_chars", "seq_id", "seq_offset"]]
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_hll_words(sf_dir: str):
     """HyperLogLog distinct-word registers (2^12, md5-tail hash,
     integer bit-length rank): every batch reduces to <= m register
@@ -2134,6 +2159,32 @@ def oracle_sql() -> dict[str, str]:
         "q_centroid_outliers":
             _label_centroid_outliers_sql(threshold_micro=0),
         "q_hll_words": _hll_registers_sql(),
+        "q_pipeline_pack": f"""
+            WITH surv AS (
+                SELECT MIN(doc_id) AS doc_id FROM documents
+                GROUP BY md5(list_aggregate(
+                    regexp_extract_all(lower(text), '\\S+'),
+                    'string_agg', ' '))),
+            sdoc AS (SELECT d.* FROM documents d JOIN surv
+                         USING (doc_id)),
+            mixed AS (SELECT doc_id, n_chars FROM (
+                {_sampling.mix_sources_sql('sdoc', MIX_WEIGHTS,
+                                           MIX_BUDGET)}) mx),
+            ranked AS (SELECT doc_id, n_chars,
+                              ROW_NUMBER() OVER (ORDER BY
+                  {_sampling.shuffle_rank_order_sql('doc_id', seed=11)})
+                                  AS shuffle_rank
+                       FROM mixed),
+            packed AS (SELECT doc_id, shuffle_rank, n_chars,
+                              COALESCE(SUM(n_chars) OVER (
+                                  ORDER BY shuffle_rank
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING), 0) AS pre
+                       FROM ranked)
+            SELECT doc_id, shuffle_rank, n_chars,
+                   CAST(pre // 4096 AS BIGINT) AS seq_id,
+                   CAST(pre % 4096 AS BIGINT) AS seq_offset
+            FROM packed ORDER BY doc_id""",
         "q_retention": _retention_cohorts_sql(
             "(SELECT * FROM events WHERE event_id % 32 = 0)"),
         "q_funnel": _funnel_stages_sql(
@@ -2559,6 +2610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_funnel": q_funnel,
         "q_retention": q_retention,
         "q_hll_words": q_hll_words,
+        "q_pipeline_pack": q_pipeline_pack,
         "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
