@@ -226,6 +226,30 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                           carry_cols=["url"]).count()
     timed("line_dedup", _line_dedup)
 
+    # the corpus->training-shards composition: exact_dedup -> mix ->
+    # shuffle_rank -> pack, four chained Dataset stages
+    def _pipeline_pack():
+        from pyrosm_ray.stages.dedup import exact_dedup
+        from pyrosm_ray.stages.sampling import (mix_sources,
+                                                pack_sequences,
+                                                shuffle_rank)
+        d = read_parquet_split(
+            docs_path, columns=["doc_id", "text", "source", "n_chars"])
+        mixed = mix_sources(exact_dedup(d),
+                            {f"src{i}": (i % 3) + 1
+                             for i in range(20) if i != 13},
+                            40_000).select_columns(["doc_id", "n_chars"])
+        return pack_sequences(shuffle_rank(mixed, seed=11),
+                              id_col="shuffle_rank",
+                              size_col="n_chars", budget=4096).count()
+    timed("pipeline_pack", _pipeline_pack)
+
+    # weekly cohort retention (one user-hash shuffle + tiny cell fold)
+    from pyrosm_ray.stages.windows import retention_cohorts
+    timed("retention",
+          lambda: retention_cohorts(read_parquet_split(
+              ev_path, columns=["event_id", "ts", "user_id"])).count())
+
     # ordered funnel per user (one user-hash shuffle, segmented
     # mask+min per stage) and cross-snapshot diff (id-bucketed union
     # fold over 128-bit content keys)

@@ -78,26 +78,77 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
     ``order_col``, ties broken by ascending ``id_col`` (fully
     deterministic). Output adds the 1-based ``out_rank``.
 
-    One keyed groupby; the in-group work is a numpy lexsort — no Python
-    row loops. SQL twin: ``ROW_NUMBER() OVER (PARTITION BY group ORDER BY
-    order DESC, id) <= k``."""
-    def per_group(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group[id_col].to_numpy(zero_copy_only=False),
-                         np.int64)
-        order = np.asarray(group[order_col].to_numpy(zero_copy_only=False))
-        sel = np.lexsort((ids, -order))[:k]
-        out = group.take(pa.array(sel, pa.int64()))
-        return out.append_column(
-            out_rank, pa.array(np.arange(1, len(sel) + 1), pa.int64()))
+    One coarse hash bucket + a per-PARTITION segmented lexsort fold
+    (Ray's per-distinct-key map_groups is the documented pathology —
+    measured 33 s over 476 clusters in near_dup_keep_best; the fold
+    pays per partition). SQL twin: ``ROW_NUMBER() OVER (PARTITION BY
+    group ORDER BY order DESC, id) <= k``."""
+    from pyrosm_ray.stages.hashing import hash64, stable64_many
 
-    return ds.groupby(group_col,
-                      num_partitions=groupby_partitions()).map_groups(
-        per_group, batch_format="pyarrow")
+    nb = groupby_partitions()
+
+    def bucket(t: pa.Table) -> pa.Table:
+        col = t[group_col]
+        if pa.types.is_integer(col.type):
+            h = hash64(np.asarray(col.to_numpy(zero_copy_only=False),
+                                  np.int64).view(np.uint64), 17)
+        else:
+            h = stable64_many(col.to_pylist())
+        return t.append_column(
+            "__q", pa.array((h % np.uint64(nb)).astype(np.int64)))
+
+    def fold(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__q"])
+        if g.num_rows == 0:
+            return g.append_column(out_rank, pa.array([], pa.int64()))
+        import pandas as pd
+        col = g[group_col]
+        keys = col.to_numpy(zero_copy_only=False) \
+            if pa.types.is_integer(col.type) \
+            else np.asarray(col.to_pylist(), dtype=object)
+        codes, _ = pd.factorize(keys)
+        ids = np.asarray(g[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        order = np.asarray(g[order_col].to_numpy(zero_copy_only=False))
+        perm = np.lexsort((ids, -order, codes))
+        sc = codes[perm]
+        starts = np.zeros(len(sc), np.int64)
+        news = np.ones(len(sc), bool)
+        news[1:] = sc[1:] != sc[:-1]
+        seg_start = np.flatnonzero(news)
+        seg_of = np.cumsum(news) - 1
+        rank = np.arange(len(sc), dtype=np.int64) - seg_start[seg_of]
+        keep = rank < k
+        out = g.take(pa.array(perm[keep], pa.int64()))
+        return out.append_column(
+            out_rank, pa.array(rank[keep] + 1, pa.int64()))
+
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__q", num_partitions=nb) \
+        .map_groups(fold, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
 # two-pass distributed prefix scan (rank / running sum)
 # ---------------------------------------------------------------------------
+
+def _scan_emit(group: pa.Table, base: dict, emit_fn) -> pa.Table:
+    """One bucket's ordered emit (shared by the distributed per-bucket
+    fold and the driver fast path — identical kernels, identical
+    output)."""
+    prim = np.asarray(group["__prim"].to_numpy(zero_copy_only=False),
+                      np.int64).view(np.uint64)
+    tie = np.asarray(group["__tie"].to_numpy(zero_copy_only=False),
+                     np.int64)
+    val = np.asarray(group["__val"].to_numpy(zero_copy_only=False),
+                     np.int64)
+    order = np.lexsort((tie, prim))
+    excl = np.zeros(len(order), dtype=np.int64)
+    np.cumsum(val[order][:-1], out=excl[1:])
+    b = int(group["__bucket"][0].as_py())
+    body = group.drop_columns(["__prim", "__tie", "__bucket", "__val"])
+    return emit_fn(body, order, base.get(b, 0) + excl)
+
 
 def _scan_buckets(ds, key_fn, val_fn, emit_fn, num_buckets: int):
     """Shared two-pass ordered-prefix machinery.
@@ -118,7 +169,49 @@ def _scan_buckets(ds, key_fn, val_fn, emit_fn, num_buckets: int):
             .append_column("__bucket", pa.array(bucket, pa.int64())) \
             .append_column("__val", pa.array(val, pa.int64()))
 
-    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    # both passes read the tagged stream; materialize once so the
+    # histogram pass and the per-bucket pass don't each re-execute the
+    # whole upstream plan (a composed pipeline may carry shuffles above
+    # this point — measured 4x re-execution in the dedup->mix->rank->
+    # pack chain; the object store spills rather than re-computing)
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    # driver fast path (the dedup-family policy): below the row ceiling
+    # the whole scan — histogram, prefix, per-bucket emit — runs locally
+    # with the SAME kernels; two hash-shuffle operators on a few hundred
+    # rows are pure machinery (~6 s measured in the composed
+    # dedup->mix->rank->pack chain)
+    from pyrosm_ray.stages.blocks import KEYED_FOLD_DRIVER_MAX
+    if tagged.count() <= KEYED_FOLD_DRIVER_MAX:
+        import ray.data as rd
+        parts = [pa.table(b) for b in
+                 tagged.iter_batches(batch_format="pyarrow")]
+        parts = [t for t in parts if t.num_rows]
+        if not parts:
+            return tagged.drop_columns(
+                ["__prim", "__tie", "__bucket", "__val"])
+        t = pa.concat_tables(parts)
+        bk = np.asarray(t["__bucket"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        vals = np.asarray(t["__val"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        base = {}
+        acc = 0
+        for b in np.unique(bk):
+            base[int(b)] = acc
+            acc += int(vals[bk == b].sum())
+        order = np.argsort(bk, kind="stable")
+        t = t.take(pa.array(order, pa.int64()))
+        bk = bk[order]
+        runs = np.concatenate(([0], np.flatnonzero(np.diff(bk)) + 1,
+                               [len(bk)]))
+        outs = []
+        for i in range(len(runs) - 1):
+            outs.append(_scan_emit(t.slice(runs[i],
+                                           runs[i + 1] - runs[i]),
+                                   base, emit_fn))
+        return rd.from_arrow(pa.concat_tables(outs))
+
     sums = tagged.groupby("__bucket").sum("__val").to_pandas()
     sums = sums.sort_values("__bucket")
     base = {}
@@ -128,18 +221,7 @@ def _scan_buckets(ds, key_fn, val_fn, emit_fn, num_buckets: int):
         acc += int(s)
 
     def per_bucket(group: pa.Table) -> pa.Table:
-        prim = np.asarray(group["__prim"].to_numpy(zero_copy_only=False),
-                          np.int64).view(np.uint64)
-        tie = np.asarray(group["__tie"].to_numpy(zero_copy_only=False),
-                         np.int64)
-        val = np.asarray(group["__val"].to_numpy(zero_copy_only=False),
-                         np.int64)
-        order = np.lexsort((tie, prim))
-        excl = np.zeros(len(order), dtype=np.int64)
-        np.cumsum(val[order][:-1], out=excl[1:])
-        b = int(group["__bucket"][0].as_py())
-        body = group.drop_columns(["__prim", "__tie", "__bucket", "__val"])
-        return emit_fn(body, order, base.get(b, 0) + excl)
+        return _scan_emit(group, base, emit_fn)
 
     return tagged.groupby("__bucket",
                           num_partitions=groupby_partitions(

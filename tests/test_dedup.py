@@ -752,3 +752,23 @@ def test_snapshot_diff_statuses(ray_session):
         "SELECT doc_id, text FROM o_t",
         "SELECT doc_id, text FROM n_t")).fetchdf()
     assert list(out.status) == list(want.status)
+
+
+def test_exact_dedup_route_parity(ray_session, monkeypatch):
+    import ray.data as rd
+
+    from pyrosm_ray.stages import blocks, dedup
+
+    texts = ["a b", "A  b", "c", "d e f", "c ", "unique"]
+    t = pa.table({"doc_id": pa.array([5, 1, 2, 3, 9, 4], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    fast = dedup.exact_dedup(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # normalised dups: {5,1} -> 1, {2,9} -> 2
+    assert list(fast.doc_id) == [1, 2, 3, 4]
+    monkeypatch.setattr(blocks, "KEYED_FOLD_DRIVER_MAX", 0)
+    slow = dedup.exact_dedup(rd.from_arrow(t)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(slow.doc_id) == list(fast.doc_id)
+    assert sorted(slow.columns) == sorted(fast.columns) or \
+        set(fast.columns) <= set(slow.columns)
