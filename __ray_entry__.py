@@ -1418,6 +1418,22 @@ def q_knn_join(sf_dir: str):
     return df.sort_values(["url", "knn_rank"]).reset_index(drop=True)
 
 
+def q_radius_join(sf_dir: str):
+    """Within-150 m spatial join (every POI within the radius of every
+    page): one box-candidate pass over the broadcast point index with
+    per-query covering boxes + exact haversine filter — the third
+    member of the spatial-join family (PIP, kNN, radius)."""
+    import ray.data as rd
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.stages.spatial import assign_tiles, radius_join
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url"])
+    pois = OSM(str(fx)).get_pois().materialize()
+    out = radius_join(assign_tiles(pages), pois, radius_m=150.0)
+    df = out.to_pandas()[["url", "poi_id"]]
+    return df.sort_values(["url", "poi_id"]).reset_index(drop=True)
+
+
 def q_knn_join_partitioned(sf_dir: str):
     """Co-partitioned kNN (POI side never broadcast — the beyond-object-
     store scale path); exact, so it shares q_knn_join's SQL oracle."""
@@ -2534,6 +2550,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT url, poi_id, knn_rank FROM ranked WHERE knn_rank <= 2
             ORDER BY url, knn_rank""",
+        "q_radius_join": f"""
+            WITH pois AS (
+              SELECT n.id AS poi_id, n.lon AS plon, n.lat AS plat
+              FROM {nodes_p} n
+              WHERE len(map_extract(n.tags, 'amenity')) > 0
+                 OR len(map_extract(n.tags, 'shop')) > 0
+                 OR len(map_extract(n.tags, 'tourism')) > 0
+            ), pg AS (
+              SELECT url, {lon_sql} AS lon, {lat_sql} AS lat FROM {pages}
+            )
+            SELECT pg.url, pois.poi_id
+            FROM pg CROSS JOIN pois
+            WHERE 2.0 * 6371008.8 * ASIN(SQRT(
+                      POW(SIN((RADIANS(pois.plat) - RADIANS(pg.lat))
+                          * 0.5), 2)
+                      + COS(RADIANS(pg.lat)) * COS(RADIANS(pois.plat))
+                      * POW(SIN((RADIANS(pois.plon) - RADIANS(pg.lon))
+                            * 0.5), 2))) <= 150.0
+            ORDER BY pg.url, pois.poi_id""",
     }
     # exact partitioned variants share their broadcast twins' oracles
     out["q_knn_join_partitioned"] = out["q_knn_join"]
@@ -2637,6 +2672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_join_ways": q_pip_join_ways,
         "q_pip_join_partitioned": q_pip_join_partitioned,
         "q_knn_join": q_knn_join,
+        "q_radius_join": q_radius_join,
         "q_knn_join_partitioned": q_knn_join_partitioned,
         "q_osm_buildings_ways": q_osm_buildings_ways,
         "q_network_walking_lengths": q_network_walking_lengths,

@@ -994,10 +994,13 @@ class KnnJoiner:
         counts = (off[pos_c + 1] - off[pos_c]) * hit
         qi = np.repeat(q_of_cell, counts)
         ii = idx["cell_points"][_concat_ranges(starts, counts)]
-        # clip to the actual box (cells overhang)
-        ok = ((idx["lon"][ii] >= px[qi] - r) & (idx["lon"][ii] <= px[qi] + r)
-              & (idx["lat"][ii] >= py[qi] - r)
-              & (idx["lat"][ii] <= py[qi] + r))
+        # clip to the actual box (cells overhang); r may be a per-query
+        # array (the radius join's covering boxes)
+        rq = r[qi] if np.ndim(r) else r
+        ok = ((idx["lon"][ii] >= px[qi] - rq)
+              & (idx["lon"][ii] <= px[qi] + rq)
+              & (idx["lat"][ii] >= py[qi] - rq)
+              & (idx["lat"][ii] <= py[qi] + rq))
         return qi[ok], ii[ok]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -1085,6 +1088,73 @@ class KnnJoiner:
 
 def knn_join_batch(batch: pa.Table, *, index_ref, k: int = 1) -> pa.Table:
     return KnnJoiner(index_ref, k=k)(batch)
+
+
+class RadiusJoiner(KnnJoiner):
+    """Within-distance spatial join over the same broadcast point index:
+    per batch ONE box-candidate pass with per-query covering boxes
+    (degree radii over-cover the metric circle; ``_box_candidates`` is
+    already vectorised over a per-query ``r`` array), then one exact
+    haversine filter. Completes the spatial-join family next to the
+    point-in-polygon and kNN joins — the "every POI within d metres of
+    the page" product query."""
+
+    def __init__(self, index_ref, radius_m: float = 200.0,
+                 lon_col: str = "lon", lat_col: str = "lat"):
+        self.index = ray.get(index_ref)
+        self.radius_m = float(radius_m)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        empty = batch.slice(0, 0) \
+            .append_column("poi_id", pa.array([], pa.int64())) \
+            .append_column("distance_m", pa.array([], pa.float64()))
+        if n == 0 or len(self.index["ids"]) == 0:
+            return empty
+        px = np.asarray(batch[self.lon_col].to_numpy(
+            zero_copy_only=False))
+        py = np.asarray(batch[self.lat_col].to_numpy(
+            zero_copy_only=False))
+        # over-covering degree boxes: 110 km/deg under-states a degree
+        # of latitude (>=110.57 km), so radius/110000 over-covers; the
+        # longitude radius widens by the smallest cosine inside the box
+        dlat = self.radius_m / 110_000.0
+        cosb = np.cos(np.deg2rad(np.minimum(np.abs(py) + dlat, 89.9)))
+        r = np.maximum(dlat, self.radius_m
+                       / (110_000.0 * np.maximum(cosb, 1e-3)))
+        qi, ii = self._box_candidates(px, py, r)
+        if not len(qi):
+            return empty
+        d = ops.haversine_m(py[qi], px[qi], self.index["lat"][ii],
+                            self.index["lon"][ii])
+        keep = d <= self.radius_m
+        qi, ii, d = qi[keep], ii[keep], d[keep]
+        poi = self.index["ids"][ii]
+        order = np.lexsort((poi, qi))
+        out = batch.take(pa.array(qi[order]))
+        out = out.append_column("poi_id", pa.array(poi[order], pa.int64()))
+        return out.append_column(
+            "distance_m", pa.array(np.round(d[order], 3), pa.float64()))
+
+
+def radius_join_batch(batch: pa.Table, *, index_ref,
+                      radius_m: float = 200.0) -> pa.Table:
+    return RadiusJoiner(index_ref, radius_m=radius_m)(batch)
+
+
+def radius_join(pages_ds, pois_ds=None, radius_m: float = 200.0,
+                id_col: str = "id", batch_size: int = 32 * 1024,
+                index_ref=None):
+    """All (page, POI) pairs within ``radius_m`` metres — the broadcast
+    route (index built/shared like :func:`knn_join`)."""
+    if index_ref is None:
+        index_ref = pack_point_index(pois_ds, id_col=id_col)
+    return pages_ds.map_batches(
+        functools.partial(radius_join_batch, index_ref=index_ref,
+                          radius_m=radius_m),
+        batch_format="pyarrow", batch_size=batch_size)
 
 
 def knn_join(pages_ds, pois_ds=None, k: int = 1, id_col: str = "id",

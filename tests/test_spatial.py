@@ -347,3 +347,42 @@ def test_tile_rollup_pyramid(ray_session):
     direct = tiled.groupby("h3_r7").size()
     got7 = out[out.res == 7].set_index("cell")["n_pages"]
     assert dict(got7) == dict(direct)
+
+
+def test_radius_join_matches_bruteforce(ray_session):
+    import ray
+    import ray.data as rd
+
+    from pyrosm_ray.geom import ops
+    from pyrosm_ray.stages.spatial import pack_point_index, radius_join
+
+    rng = np.random.RandomState(13)
+    np_pts = 400
+    pois = pa.table({
+        "id": pa.array(np.arange(np_pts) + 1000, pa.int64()),
+        "lon": pa.array(24.9 + rng.uniform(0, 0.05, np_pts)),
+        "lat": pa.array(60.15 + rng.uniform(0, 0.03, np_pts)),
+    })
+    pages = pa.table({
+        "url": pa.array([f"u{i}" for i in range(120)], pa.string()),
+        "lon": pa.array(24.9 + rng.uniform(0, 0.05, 120)),
+        "lat": pa.array(60.15 + rng.uniform(0, 0.03, 120)),
+    })
+    R = 220.0
+    out = radius_join(rd.from_arrow(pages), rd.from_arrow(pois),
+                      radius_m=R).to_pandas() \
+        .sort_values(["url", "poi_id"]).reset_index(drop=True)
+    # brute force
+    d = ops.haversine_m(
+        np.asarray(pages["lat"])[:, None], np.asarray(pages["lon"])[:, None],
+        np.asarray(pois["lat"])[None, :], np.asarray(pois["lon"])[None, :])
+    qi, ii = np.nonzero(d <= R)
+    truth = sorted(zip([f"u{i}" for i in qi],
+                       (np.asarray(pois["id"])[ii]).tolist()))
+    assert list(zip(out.url, out.poi_id)) == truth
+    assert len(truth) > 100  # the fixture geometry produces real pairs
+    # distances reported are the exact haversine, mm-rounded
+    got_d = dict(zip(zip(out.url, out.poi_id), out.distance_m))
+    for (u, p), dist in list(got_d.items())[:50]:
+        i, j = int(u[1:]), int(p - 1000)
+        assert abs(dist - d[i, j]) < 0.0011
