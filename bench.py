@@ -145,6 +145,10 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: spatial.knn_join(tiled_mat, k=1,
                                    index_ref=knn_index[0]).count(),
           repeats=2)
+    timed("radius_join",
+          lambda: spatial.radius_join(tiled_mat, radius_m=150.0,
+                                      index_ref=knn_index[0]).count(),
+          repeats=2)
 
     docs_path = f"{sf_dir.rstrip('/')}/documents.parquet"
     if not os.path.exists(docs_path):
@@ -433,6 +437,7 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                 ("tile_assign_pages_per_s", "tile_assignment", n_pages),
                 ("pip_join_pages_per_s", "pip_join", n_pages),
                 ("knn_join_pages_per_s", "knn_join", n_pages),
+                ("radius_join_pages_per_s", "radius_join", n_pages),
                 ("buildings_feats_per_s", "buildings_assembly",
                  counts.get("buildings_assembly", 0)),
                 # beyond-broadcast scale paths, reported alongside so the
