@@ -1434,6 +1434,22 @@ def q_radius_join(sf_dir: str):
     return df.sort_values(["url", "poi_id"]).reset_index(drop=True)
 
 
+def q_radius_join_partitioned(sf_dir: str):
+    """The beyond-broadcast radius route: ONE cell-co-partitioning
+    shuffle (cell side >= covering radius makes the 3x3 ring complete
+    by construction); exact, so it shares q_radius_join's oracle."""
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.stages.spatial import (assign_tiles,
+                                           radius_join_partitioned)
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url"])
+    pois = OSM(str(fx)).get_pois().materialize()
+    out = radius_join_partitioned(assign_tiles(pages), pois,
+                                  radius_m=150.0, num_partitions=8)
+    df = out.to_pandas()[["url", "poi_id"]]
+    return df.sort_values(["url", "poi_id"]).reset_index(drop=True)
+
+
 def q_knn_join_partitioned(sf_dir: str):
     """Co-partitioned kNN (POI side never broadcast — the beyond-object-
     store scale path); exact, so it shares q_knn_join's SQL oracle."""
@@ -2573,6 +2589,7 @@ def oracle_sql() -> dict[str, str]:
     # exact partitioned variants share their broadcast twins' oracles
     out["q_knn_join_partitioned"] = out["q_knn_join"]
     out["q_pip_join_partitioned"] = out["q_pip_join_ways"]
+    out["q_radius_join_partitioned"] = out["q_radius_join"]
     from pyrosm_ray.stages.urls import canonicalize_sql
     out["q_url_canonical"] = (
         f"SELECT doc_id, {canonicalize_sql(_MESSY_URL_SQL)} AS url_canon "
@@ -2673,6 +2690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pip_join_partitioned": q_pip_join_partitioned,
         "q_knn_join": q_knn_join,
         "q_radius_join": q_radius_join,
+        "q_radius_join_partitioned": q_radius_join_partitioned,
         "q_knn_join_partitioned": q_knn_join_partitioned,
         "q_osm_buildings_ways": q_osm_buildings_ways,
         "q_network_walking_lengths": q_network_walking_lengths,

@@ -2053,3 +2053,153 @@ def knn_join_partitioned(pages_ds, pois_ds, k: int = 1,
         return hits
     return pages_ds.join(hits, "inner", on=("url",),
                          **shuffle_join_args(num_partitions))
+
+
+def radius_join_partitioned(pages_ds, pois_ds, radius_m: float = 200.0,
+                            id_col: str = "id",
+                            num_partitions: int = 32,
+                            url_col: str = "url"):
+    """Cell-co-partitioned radius join — the beyond-broadcast route for
+    a POI side that outgrows the object store (mirror of
+    :func:`knn_join_partitioned`, but ONE round suffices: the radius is
+    fixed, so choosing the grid cell side >= the covering radius makes
+    the 3x3 Chebyshev ring COMPLETE by construction — every point
+    within ``radius_m`` of a page lies in the ring of the page's own
+    cell).
+
+    One co-partitioning shuffle: pages keyed by their own cell union
+    POI coordinate rows replicated to their 3x3 ring (a constant 9x of
+    the narrow (id, lon, lat) projection — never the payload), grouped
+    by cell hash; the exact haversine filter runs inside the group
+    kernel, so no candidate pair ever crosses the network. Exact —
+    output-identical to the broadcast :func:`radius_join`
+    (parity-tested).
+    """
+    import ray.data as rd
+
+    from pyrosm_ray.stages.blocks import groupby_partitions
+
+    # grid: cell side >= covering radius at the worst latitude present.
+    # One tiny stats pass over the POI coordinates bounds |lat|.
+    import pyarrow.compute as pc
+
+    def lat_stat(b: pa.Table) -> pa.Table:
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
+        m = float(np.max(np.abs(lat))) if len(lat) else 0.0
+        return pa.table({"m": pa.array([m], pa.float64())})
+
+    pois_nar = pois_ds.map_batches(
+        lambda b: pa.table({
+            id_col: b[id_col], "lon": b["lon"], "lat": b["lat"]}),
+        batch_format="pyarrow").materialize()
+    stats = pois_nar.map_batches(lat_stat,
+                                 batch_format="pyarrow").to_pandas()
+    maxlat = min(float(stats["m"].max()) if len(stats) else 0.0, 89.0)
+    dlat = radius_m / 110_000.0
+    dlon = radius_m / (110_000.0 * max(
+        np.cos(np.deg2rad(min(maxlat + dlat, 89.9))), 1e-3))
+    r_deg = max(dlat, dlon)
+    # lat cell side = 180/nx degrees; require >= r_deg (lon side is
+    # 360/nx >= 2*r_deg automatically)
+    res = int(np.clip(np.floor(np.log2(180.0 / r_deg)), 2, 20))
+    nx = np.int64(1) << res
+    nb = num_partitions or groupby_partitions()
+
+    def page_rows(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
+        key = _point_cell_keys(lon, lat, res)
+        return pa.table({
+            "cell": pa.array(key, pa.int64()),
+            url_col: b[url_col],
+            "plon": pa.array(lon), "plat": pa.array(lat),
+            "pid": pa.array(np.full(len(lon), -1, np.int64), pa.int64()),
+        })
+
+    def poi_rows(b: pa.Table) -> pa.Table:
+        lon = np.asarray(b["lon"].to_numpy(zero_copy_only=False))
+        lat = np.asarray(b["lat"].to_numpy(zero_copy_only=False))
+        ids = np.asarray(b[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        cx = np.clip(np.floor((lon + 180) / 360 * nx), 0,
+                     nx - 1).astype(np.int64)
+        cy = np.clip(np.floor((90 - lat) / 180 * nx), 0,
+                     nx - 1).astype(np.int64)
+        # replicate to the 3x3 ring (clipped at the grid edge)
+        reps = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                gx = cx + dx
+                gy = cy + dy
+                ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < nx)
+                reps.append(((gx[ok] << 29) | gy[ok], ids[ok], lon[ok],
+                             lat[ok]))
+        key = np.concatenate([r[0] for r in reps])
+        return pa.table({
+            "cell": pa.array(key, pa.int64()),
+            url_col: pa.array([""] * len(key), pa.string()),
+            "plon": pa.array(np.concatenate([r[2] for r in reps])),
+            "plat": pa.array(np.concatenate([r[3] for r in reps])),
+            "pid": pa.array(np.concatenate([r[1] for r in reps]),
+                            pa.int64()),
+        })
+
+    u = pages_ds.map_batches(page_rows, batch_format="pyarrow") \
+        .union(pois_nar.map_batches(poi_rows, batch_format="pyarrow"))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        from pyrosm_ray.stages.hashing import hash64
+        c = np.asarray(t["cell"].to_numpy(zero_copy_only=False),
+                       np.int64)
+        return t.append_column("__q", pa.array(
+            (hash64(c.view(np.uint64), 23)
+             % np.uint64(nb)).astype(np.int64)))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        from pyrosm_ray.geom import ops
+        pid = np.asarray(g["pid"].to_numpy(zero_copy_only=False),
+                         np.int64)
+        cell = np.asarray(g["cell"].to_numpy(zero_copy_only=False),
+                          np.int64)
+        lon = np.asarray(g["plon"].to_numpy(zero_copy_only=False))
+        lat = np.asarray(g["plat"].to_numpy(zero_copy_only=False))
+        is_poi = pid >= 0
+        empty = pa.table({url_col: pa.array([], pa.string()),
+                          "poi_id": pa.array([], pa.int64()),
+                          "distance_m": pa.array([], pa.float64())})
+        if not is_poi.any() or is_poi.all():
+            return empty
+        # within the partition, join page rows to poi rows per cell via
+        # sorted runs (both sides sorted by cell)
+        p_idx = np.flatnonzero(~is_poi)
+        o_idx = np.flatnonzero(is_poi)
+        pc_ = cell[p_idx]
+        oc = cell[o_idx]
+        po = np.argsort(pc_, kind="stable")
+        oo = np.argsort(oc, kind="stable")
+        p_idx, pc_ = p_idx[po], pc_[po]
+        o_idx, oc = o_idx[oo], oc[oo]
+        starts = np.searchsorted(oc, pc_, side="left")
+        ends = np.searchsorted(oc, pc_, side="right")
+        counts = ends - starts
+        qi = np.repeat(np.arange(len(p_idx), dtype=np.int64), counts)
+        oi = o_idx[_concat_ranges(starts, counts)]
+        if not len(qi):
+            return empty
+        pg = p_idx[qi]
+        d = ops.haversine_m(lat[pg], lon[pg], lat[oi], lon[oi])
+        keep = d <= radius_m
+        pg, oi, d = pg[keep], oi[keep], d[keep]
+        urls = np.asarray(g[url_col].to_pylist(), dtype=object)
+        out_u = urls[pg]
+        out_p = pid[oi]
+        order = np.lexsort((out_p, out_u))
+        return pa.table({
+            url_col: pa.array(out_u[order], pa.string()),
+            "poi_id": pa.array(out_p[order], pa.int64()),
+            "distance_m": pa.array(np.round(d[order], 3), pa.float64()),
+        })
+
+    return u.map_batches(bucket, batch_format="pyarrow") \
+        .groupby("__q", num_partitions=nb) \
+        .map_groups(kernel, batch_format="pyarrow")

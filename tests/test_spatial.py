@@ -386,3 +386,36 @@ def test_radius_join_matches_bruteforce(ray_session):
     for (u, p), dist in list(got_d.items())[:50]:
         i, j = int(u[1:]), int(p - 1000)
         assert abs(dist - d[i, j]) < 0.0011
+
+
+def test_radius_join_partitioned_parity(ray_session):
+    import ray.data as rd
+
+    from pyrosm_ray.stages.spatial import (radius_join,
+                                           radius_join_partitioned)
+
+    rng = np.random.RandomState(29)
+    pois = pa.table({
+        "id": pa.array(np.arange(300) + 500, pa.int64()),
+        "lon": pa.array(24.9 + rng.uniform(0, 0.06, 300)),
+        "lat": pa.array(60.15 + rng.uniform(0, 0.04, 300)),
+    })
+    pages = pa.table({
+        "url": pa.array([f"p{i}" for i in range(100)], pa.string()),
+        "lon": pa.array(24.9 + rng.uniform(0, 0.06, 100)),
+        "lat": pa.array(60.15 + rng.uniform(0, 0.04, 100)),
+    })
+    R = 260.0
+    a = radius_join(rd.from_arrow(pages), rd.from_arrow(pois),
+                    radius_m=R).to_pandas()[
+        ["url", "poi_id", "distance_m"]] \
+        .sort_values(["url", "poi_id"]).reset_index(drop=True)
+    b = radius_join_partitioned(rd.from_arrow(pages).repartition(4),
+                                rd.from_arrow(pois).repartition(3),
+                                radius_m=R, num_partitions=8) \
+        .to_pandas()[["url", "poi_id", "distance_m"]] \
+        .sort_values(["url", "poi_id"]).reset_index(drop=True)
+    assert len(a) > 50
+    assert list(a.url) == list(b.url)
+    assert list(a.poi_id) == list(b.poi_id)
+    assert list(a.distance_m) == list(b.distance_m)
