@@ -145,8 +145,14 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: spatial.knn_join(tiled_mat, k=1,
                                    index_ref=knn_index[0]).count(),
           repeats=2)
+    # fixture density grows ~linearly with sf (the world stays
+    # Helsinki-sized), so the bench radius shrinks as 1/sqrt(density)
+    # to hold pairs-per-page constant across scales — the same
+    # normalization kNN's fixed k carries implicitly
+    import math
+    radius_m = 150.0 / max(math.sqrt(sf / 0.1), 1.0) if sf else 150.0
     timed("radius_join",
-          lambda: spatial.radius_join(tiled_mat, radius_m=150.0,
+          lambda: spatial.radius_join(tiled_mat, radius_m=radius_m,
                                       index_ref=knn_index[0]).count(),
           repeats=2)
 
@@ -498,7 +504,8 @@ def run_scaling(sf_dir: str, low: int = None, high: int = None) -> dict:
     # scaling efficiency on the spatial-join + tiling throughputs
     eff = {}
     for key in ("tile_assign_pages_per_s", "pip_join_pages_per_s",
-                "knn_join_pages_per_s", "buildings_feats_per_s",
+                "knn_join_pages_per_s", "radius_join_pages_per_s",
+                "buildings_feats_per_s",
                 "pip_part_pages_per_s", "knn_part_pages_per_s",
                 "history_rows_per_s"):
         t_low = results[low]["throughput"].get(key, 0)

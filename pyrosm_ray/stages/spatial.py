@@ -822,6 +822,10 @@ def _point_cell_keys(lon: np.ndarray, lat: np.ndarray,
 
 @ray.remote
 def _point_stats_task(block: pa.Table):
+    if "ids" not in block.column_names:
+        # Ray 2.49: zero-row blocks skip map UDFs and surface with the
+        # UPSTREAM schema (the blocks.py guard note) — treat as empty
+        return 0, 0.0, 0.0, 0.0, 0.0, np.empty(0, np.int64)
     ids = np.frombuffer(b"".join(block["ids"].to_pylist()), dtype="<i8")
     lon = np.frombuffer(b"".join(block["lon"].to_pylist()), dtype="<f8")
     if len(lon) == 0:
@@ -840,6 +844,8 @@ def _point_stats_task(block: pa.Table):
 def _point_route_task(block: pa.Table, bounds: np.ndarray, res: int):
     """One packed block -> {shard: ref((ids, lon, lat, keys))} routed by
     cell-key range; sub-arrays go straight back to the object store."""
+    if "ids" not in block.column_names:
+        return {}
     ids = np.frombuffer(b"".join(block["ids"].to_pylist()), dtype="<i8")
     if len(ids) == 0:
         return {}
@@ -1003,6 +1009,39 @@ class KnnJoiner:
               & (idx["lat"][ii] <= py[qi] + rq))
         return qi[ok], ii[ok]
 
+    def _box_counts(self, px, py, r):
+        """Per-query candidate-count ESTIMATE (sum of bin sizes over the
+        covering cells) — no point rows materialize, so callers can
+        budget-chunk dense workloads before generating pairs."""
+        idx = self.index
+        res = idx["cell_res"]
+        nx = np.int64(1) << res
+        cx0 = np.clip(np.floor((px - r + 180) / 360 * nx), 0,
+                      nx - 1).astype(np.int64)
+        cx1 = np.clip(np.floor((px + r + 180) / 360 * nx), 0,
+                      nx - 1).astype(np.int64)
+        cy0 = np.clip(np.floor((90 - (py + r)) / 180 * nx), 0,
+                      nx - 1).astype(np.int64)
+        cy1 = np.clip(np.floor((90 - (py - r)) / 180 * nx), 0,
+                      nx - 1).astype(np.int64)
+        ncx = cx1 - cx0 + 1
+        ncell = ncx * (cy1 - cy0 + 1)
+        q_of_cell = np.repeat(np.arange(len(px), dtype=np.int64), ncell)
+        local = _concat_ranges(np.zeros(len(px), np.int64), ncell)
+        nx_rep = np.repeat(ncx, ncell)
+        key = ((np.repeat(cx0, ncell) + local % nx_rep) << 29) \
+            | (np.repeat(cy0, ncell) + local // nx_rep)
+        keys = idx["cell_keys"]
+        pos = np.searchsorted(keys, key)
+        pos_c = np.clip(pos, 0, max(len(keys) - 1, 0))
+        hit = keys[pos_c] == key if len(keys) else np.zeros(len(key),
+                                                           bool)
+        off = idx["cell_offsets"]
+        counts = (off[pos_c + 1] - off[pos_c]) * hit
+        est = np.zeros(len(px), np.int64)
+        np.add.at(est, q_of_cell, counts)
+        return est
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = len(batch)
         if n == 0 or len(self.index["ids"]) == 0:
@@ -1124,13 +1163,34 @@ class RadiusJoiner(KnnJoiner):
         cosb = np.cos(np.deg2rad(np.minimum(np.abs(py) + dlat, 89.9)))
         r = np.maximum(dlat, self.radius_m
                        / (110_000.0 * np.maximum(cosb, 1e-3)))
-        qi, ii = self._box_candidates(px, py, r)
-        if not len(qi):
+        # budget-chunk by ESTIMATED candidate volume (dense synthetic
+        # worlds put 10^3-10^4 points in a 300 m box; one whole-batch
+        # pair materialization OOMs a worker — the PIP chunking policy)
+        est = self._box_counts(px, py, r)
+        cum = np.cumsum(est)
+        budget = 1 << 22
+        parts_q, parts_i, parts_d = [], [], []
+        s = 0
+        while s < n:
+            base = cum[s - 1] if s else 0
+            e = int(np.searchsorted(cum, base + budget, side="left")) + 1
+            e = max(e, s + 1)
+            sl = slice(s, min(e, n))
+            qi, ii = self._box_candidates(px[sl], py[sl], r[sl])
+            if len(qi):
+                d = ops.haversine_m(py[sl][qi], px[sl][qi],
+                                    self.index["lat"][ii],
+                                    self.index["lon"][ii])
+                keep = d <= self.radius_m
+                parts_q.append(qi[keep] + s)
+                parts_i.append(ii[keep])
+                parts_d.append(d[keep])
+            s = sl.stop
+        if not parts_q:
             return empty
-        d = ops.haversine_m(py[qi], px[qi], self.index["lat"][ii],
-                            self.index["lon"][ii])
-        keep = d <= self.radius_m
-        qi, ii, d = qi[keep], ii[keep], d[keep]
+        qi = np.concatenate(parts_q)
+        ii = np.concatenate(parts_i)
+        d = np.concatenate(parts_d)
         poi = self.index["ids"][ii]
         order = np.lexsort((poi, qi))
         out = batch.take(pa.array(qi[order]))
@@ -2182,14 +2242,33 @@ def radius_join_partitioned(pages_ds, pois_ds, radius_m: float = 200.0,
         starts = np.searchsorted(oc, pc_, side="left")
         ends = np.searchsorted(oc, pc_, side="right")
         counts = ends - starts
-        qi = np.repeat(np.arange(len(p_idx), dtype=np.int64), counts)
-        oi = o_idx[_concat_ranges(starts, counts)]
-        if not len(qi):
+        # budget-chunk the pair materialization (dense cells hold
+        # 10^3-10^4 points; one whole-partition repeat OOMs a worker)
+        cum = np.cumsum(counts)
+        budget = 1 << 22
+        pg_l, oi_l, d_l = [], [], []
+        s = 0
+        np_pages = len(p_idx)
+        while s < np_pages:
+            base = cum[s - 1] if s else 0
+            e = int(np.searchsorted(cum, base + budget, side="left")) + 1
+            e = min(max(e, s + 1), np_pages)
+            qi = np.repeat(np.arange(s, e, dtype=np.int64),
+                           counts[s:e])
+            oi = o_idx[_concat_ranges(starts[s:e], counts[s:e])]
+            if len(qi):
+                pg = p_idx[qi]
+                d = ops.haversine_m(lat[pg], lon[pg], lat[oi], lon[oi])
+                keep = d <= radius_m
+                pg_l.append(pg[keep])
+                oi_l.append(oi[keep])
+                d_l.append(d[keep])
+            s = e
+        if not pg_l:
             return empty
-        pg = p_idx[qi]
-        d = ops.haversine_m(lat[pg], lon[pg], lat[oi], lon[oi])
-        keep = d <= radius_m
-        pg, oi, d = pg[keep], oi[keep], d[keep]
+        pg = np.concatenate(pg_l)
+        oi = np.concatenate(oi_l)
+        d = np.concatenate(d_l)
         urls = np.asarray(g[url_col].to_pylist(), dtype=object)
         out_u = urls[pg]
         out_p = pid[oi]
