@@ -90,3 +90,36 @@ def test_scrub_empty_blocks_all_empty_uses_schema(ray_session):
     out = scrub_empty_blocks(ds, empty)
     assert out.count() == 0
     assert out.schema().names == ["k", "m"]
+
+
+def test_keyed_sum_auto_route_parity(ray_session, monkeypatch):
+    import numpy as np
+    import ray.data as rd
+
+    from pyrosm_ray.stages import blocks
+
+    rng = np.random.RandomState(21)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.randint(0, 400, n), pa.int64()),
+        "v": pa.array(rng.randint(-50, 50, n), pa.int64()),
+    })
+
+    def partial(b):
+        return b  # rows already (key, val) shaped
+
+    ds = rd.from_arrow(t).repartition(6)
+    fast = blocks.keyed_sum_auto(ds, ds.map_batches(
+        partial, batch_format="pyarrow"), "k", ["v"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    monkeypatch.setattr(blocks, "KEYED_FOLD_DRIVER_MAX", 0)
+    ds2 = rd.from_arrow(t).repartition(6)
+    slow = blocks.keyed_sum_auto(ds2, ds2.map_batches(
+        partial, batch_format="pyarrow"), "k", ["v"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert list(fast.k) == list(slow.k)
+    assert list(fast.v) == list(slow.v)
+    # ground truth
+    import pandas as pd
+    truth = t.to_pandas().groupby("k", sort=True)["v"].sum()
+    assert list(fast.v) == list(truth)
