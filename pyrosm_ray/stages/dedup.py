@@ -2150,6 +2150,15 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
     u = old_ds.map_batches(keyed(0), batch_format="pyarrow") \
         .union(new_ds.map_batches(keyed(1), batch_format="pyarrow"))
 
+    # driver fast path (family policy): the keyed stream is 32 B/row;
+    # under the ceiling ONE local fold replaces the union groupby's
+    # shuffle machinery (identical output — same fold body)
+    from pyrosm_ray.stages.blocks import KEYED_FOLD_DRIVER_MAX
+    try:
+        n_rows = int(old_ds.count()) + int(new_ds.count())
+    except Exception:
+        n_rows = KEYED_FOLD_DRIVER_MAX + 1
+
     def fold(g: pa.Table) -> pa.Table:
         import pandas as pd
         ids = np.asarray(g["id"].to_numpy(zero_copy_only=False),
@@ -2175,6 +2184,17 @@ def snapshot_diff(old_ds, new_ds, id_col: str = "doc_id",
         return pa.table({id_col: pa.array(uniq, pa.int64()),
                          "status": pa.array(status.astype(object),
                                             pa.string())})
+
+    if n_rows <= KEYED_FOLD_DRIVER_MAX:
+        import ray.data as rd
+        parts = [pa.table(b)
+                 for b in u.iter_batches(batch_format="pyarrow")]
+        parts = [t for t in parts if t.num_rows]
+        if not parts:
+            return rd.from_arrow(pa.table({
+                id_col: pa.array([], pa.int64()),
+                "status": pa.array([], pa.string())}))
+        return rd.from_arrow(fold(pa.concat_tables(parts)))
 
     return u.groupby("__q", num_partitions=nb) \
         .map_groups(fold, batch_format="pyarrow")

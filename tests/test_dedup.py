@@ -752,6 +752,16 @@ def test_snapshot_diff_statuses(ray_session):
         "SELECT doc_id, text FROM o_t",
         "SELECT doc_id, text FROM n_t")).fetchdf()
     assert list(out.status) == list(want.status)
+    # distributed-route parity (driver fast path forced off)
+    import pyrosm_ray.stages.blocks as blocks
+    orig = blocks.KEYED_FOLD_DRIVER_MAX
+    try:
+        blocks.KEYED_FOLD_DRIVER_MAX = 0
+        dist = snapshot_diff(rd.from_arrow(old), rd.from_arrow(new)) \
+            .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    finally:
+        blocks.KEYED_FOLD_DRIVER_MAX = orig
+    assert list(dist.status) == list(out.status)
 
 
 def test_exact_dedup_route_parity(ray_session, monkeypatch):
