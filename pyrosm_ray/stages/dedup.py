@@ -1722,10 +1722,29 @@ def incremental_dedup(new_ds, ref_ds, id_col: str = "doc_id",
         m = df.groupby("h", sort=False)["i"].min().to_numpy(np.int64)
         return pa.table({"__keep_id": pa.array(m[m >= 0], pa.int64())})
 
-    keep = new_h.union(ref_h) \
-        .map_batches(bucket, batch_format="pyarrow") \
-        .groupby("__p", num_partitions=nbk).map_groups(
-        pick, batch_format="pyarrow")
+    # decision-fold driver gate (family policy): under the row ceiling
+    # the whole (hash, id) stream collects once and ONE pick pass
+    # replaces the union groupby's shuffle machinery — identical
+    # semantics (min per hash is global either way)
+    from pyrosm_ray.stages.blocks import KEYED_FOLD_DRIVER_MAX
+    try:
+        small = int(new_ds.count()) + int(ref_ds.count()) \
+            <= KEYED_FOLD_DRIVER_MAX
+    except Exception:
+        small = False
+    if small:
+        import ray.data as rd
+        parts = [pa.table(b) for b in new_h.union(ref_h).iter_batches(
+            batch_format="pyarrow")]
+        parts = [t for t in parts if t.num_rows]
+        keep = rd.from_arrow(
+            pick(pa.concat_tables(parts)) if parts else pa.table(
+                {"__keep_id": pa.array([], pa.int64())}))
+    else:
+        keep = new_h.union(ref_h) \
+            .map_batches(bucket, batch_format="pyarrow") \
+            .groupby("__p", num_partitions=nbk).map_groups(
+            pick, batch_format="pyarrow")
     # winner re-select: the keep set is ids-only (8 B/row, already an
     # all-to-all output), so materialize it and gate on ITS size — up
     # to KEEP_BROADCAST_MAX ids (<=32 MB) the survivors broadcast once
