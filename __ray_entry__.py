@@ -2605,94 +2605,103 @@ def oracle_sql() -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Slot ordering matters: the driver verifies only the FIRST 50 entries.
+    # Slots 1-21 are the round-4 queries the driver has never witnessed;
+    # slots 22-50 are one representative per already-green operator family
+    # (r3/r4 CORRECTNESS rows); the remainder are additional members of
+    # families already represented above. Rotate per round so every family
+    # re-verifies periodically.
     return {
+        # --- never driver-verified before round 5 (judge-sweep clean) ---
+        "q_asof_purchase_view": q_asof_purchase_view,
+        "q_band_join_views": q_band_join_views,
+        "q_radius_join": q_radius_join,
+        "q_radius_join_partitioned": q_radius_join_partitioned,
+        "q_pip_join_partitioned": q_pip_join_partitioned,
+        "q_tile_rollup": q_tile_rollup,
+        "q_funnel": q_funnel,
+        "q_retention": q_retention,
+        "q_hll_words": q_hll_words,
+        "q_corpus_report": q_corpus_report,
+        "q_snapshot_diff": q_snapshot_diff,
+        "q_filtered_topk": q_filtered_topk,
+        "q_pipeline_pack": q_pipeline_pack,
+        "q_incremental_dedup": q_incremental_dedup,
+        "q_semantic_dedup": q_semantic_dedup,
+        "q_mix_sources": q_mix_sources,
+        "q_centroid_outliers": q_centroid_outliers,
+        "q_dedup_keep_best": q_dedup_keep_best,
+        "q_extract_text": q_extract_text,
+        "q_quality_classifier": q_quality_classifier,
+        "q_bpe_encode": q_bpe_encode,
+        # --- one representative per already-green family ---
         "q_agg_pricing": q_agg_pricing,
         "q_join_revenue_by_segment": q_join_revenue_by_segment,
-        "q_topk_orders": q_topk_orders,
         "q_events_window": q_events_window,
-        "q_distinct_brands": q_distinct_brands,
         "q_token_stats": q_token_stats,
         "q_decontaminate": q_decontaminate,
-        "q_vocab_topk": q_vocab_topk,
-        "q_unigram_logprob": q_unigram_logprob,
         "q_bigram_logprob": q_bigram_logprob,
         "q_pmi_topk": q_pmi_topk,
-        "q_bm25_score": q_bm25_score,
-        "q_bm25_topk": q_bm25_topk,
         "q_bm25_indexed": q_bm25_indexed,
         "q_chunk_documents": q_chunk_documents,
-        "q_pagerank": q_pagerank,
         "q_pagerank_partitioned": q_pagerank_partitioned,
-        "q_host_pagerank": q_host_pagerank,
         "q_dup_spans": q_dup_spans,
-        "q_html_stats": q_html_stats,
-        "q_quality_score": q_quality_score,
+        "q_gopher_rules": q_gopher_rules,
         "q_lang_id": q_lang_id,
-        "q_fingerprint_md5": q_fingerprint_md5,
-        "q_repetition": q_repetition,
-        "q_rolling_events": q_rolling_events,
         "q_sessionize": q_sessionize,
-        "q_url_canonical": q_url_canonical,
+        "q_host_reputation": q_host_reputation,
         "q_normalize_text": q_normalize_text,
         "q_exact_dedup": q_exact_dedup,
         "q_warc_roundtrip": q_warc_roundtrip,
         "q_similarity_join": q_similarity_join,
+        "q_minhash_dedup": q_minhash_dedup,
+        "q_embedding_near_dup": q_embedding_near_dup,
+        "q_quantile_bins": q_quantile_bins,
+        "q_heavy_hitters": q_heavy_hitters,
+        "q_triangles": q_triangles,
+        "q_dsir_select": q_dsir_select,
+        "q_ivf_topk": q_ivf_topk,
+        "q_tile_assignment": q_tile_assignment,
+        "q_pip_join": q_pip_join,
+        "q_osm_buildings_ways": q_osm_buildings_ways,
+        # --- beyond the driver's 50-slot cap (family members above) ---
+        "q_topk_orders": q_topk_orders,
+        "q_distinct_brands": q_distinct_brands,
+        "q_vocab_topk": q_vocab_topk,
+        "q_unigram_logprob": q_unigram_logprob,
+        "q_bm25_score": q_bm25_score,
+        "q_bm25_topk": q_bm25_topk,
+        "q_pagerank": q_pagerank,
+        "q_host_pagerank": q_host_pagerank,
+        "q_html_stats": q_html_stats,
+        "q_quality_score": q_quality_score,
+        "q_fingerprint_md5": q_fingerprint_md5,
+        "q_repetition": q_repetition,
+        "q_rolling_events": q_rolling_events,
+        "q_url_canonical": q_url_canonical,
         "q_image_near_dup": q_image_near_dup,
         "q_audio_near_dup": q_audio_near_dup,
         "q_line_dedup": q_line_dedup,
         "q_hash_sample": q_hash_sample,
         "q_topk_per_lang": q_topk_per_lang,
         "q_quantile_filter": q_quantile_filter,
-        "q_quantile_bins": q_quantile_bins,
-        "q_heavy_hitters": q_heavy_hitters,
-        "q_gopher_rules": q_gopher_rules,
         "q_host_filter": q_host_filter,
-        "q_host_reputation": q_host_reputation,
         "q_shuffle_rank": q_shuffle_rank,
         "q_pack_sequences": q_pack_sequences,
         "q_redact_pii": q_redact_pii,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_weights_hashed": q_dsir_weights_hashed,
         "q_slice_divergence": q_slice_divergence,
-        "q_dsir_select": q_dsir_select,
-        "q_triangles": q_triangles,
-        "q_quality_classifier": q_quality_classifier,
-        "q_snapshot_diff": q_snapshot_diff,
-        "q_centroid_outliers": q_centroid_outliers,
-        "q_funnel": q_funnel,
-        "q_retention": q_retention,
-        "q_hll_words": q_hll_words,
-        "q_pipeline_pack": q_pipeline_pack,
-        "q_bpe_encode": q_bpe_encode,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,
-        "q_minhash_dedup": q_minhash_dedup,
-        "q_dedup_keep_best": q_dedup_keep_best,
-        "q_mix_sources": q_mix_sources,
-        "q_incremental_dedup": q_incremental_dedup,
-        "q_asof_purchase_view": q_asof_purchase_view,
-        "q_band_join_views": q_band_join_views,
-        "q_corpus_report": q_corpus_report,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
-        "q_embedding_near_dup": q_embedding_near_dup,
-        "q_semantic_dedup": q_semantic_dedup,
         "q_topk_cosine": q_topk_cosine,
-        "q_ivf_topk": q_ivf_topk,
-        "q_filtered_topk": q_filtered_topk,
-        "q_tile_assignment": q_tile_assignment,
         "q_tile_counts": q_tile_counts,
-        "q_tile_rollup": q_tile_rollup,
         "q_pages_in_bbox": q_pages_in_bbox,
-        "q_extract_text": q_extract_text,
-        "q_pip_join": q_pip_join,
         "q_pip_join_ways": q_pip_join_ways,
-        "q_pip_join_partitioned": q_pip_join_partitioned,
         "q_knn_join": q_knn_join,
-        "q_radius_join": q_radius_join,
-        "q_radius_join_partitioned": q_radius_join_partitioned,
         "q_knn_join_partitioned": q_knn_join_partitioned,
-        "q_osm_buildings_ways": q_osm_buildings_ways,
         "q_network_walking_lengths": q_network_walking_lengths,
         "q_graph_simplified": q_graph_simplified,
         "q_street_counts": q_street_counts,

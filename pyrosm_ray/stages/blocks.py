@@ -192,14 +192,27 @@ KEYED_FOLD_DRIVER_MAX = 100_000
 
 def keyed_sum_auto(raw_ds, partials, key_col: str, val_cols: list[str],
                    num_partitions: int | None = None):
-    """Route a partial-count aggregate: driver fold when the RAW input is
-    small (count() is metadata-only on fresh reads), the coarse hash fold
-    sized to the data beyond. Identical output either way."""
-    if raw_ds.count() <= KEYED_FOLD_DRIVER_MAX:
-        return keyed_sum_driver(partials, key_col, val_cols)
-    return keyed_sum_fold(partials, key_col, val_cols,
+    """Route a partial-count aggregate: driver fold when the partial
+    stream is small, the coarse hash fold sized to the data beyond.
+    Identical output either way.
+
+    The partials pipeline (and its upstream plan) executes exactly ONCE —
+    it is materialized here and the route gate reads the materialized row
+    count, so a non-fresh-read upstream is never re-executed just to pick
+    a route (round-4 advice: the old ``raw_ds.count()`` gate ran the whole
+    upstream plan and the chosen route then ran it again). The partials
+    are narrow key-compressed (key, counts) rows — bounded by
+    blocks x keys, the same rows the fold route would shuffle — so
+    pinning them in the object store costs no more than the shuffle
+    itself.  ``raw_ds`` is kept for signature stability but unused."""
+    del raw_ds
+    parts = partials.materialize()
+    n_part = parts.count()  # metadata-only on a materialized dataset
+    if n_part <= KEYED_FOLD_DRIVER_MAX:
+        return keyed_sum_driver(parts, key_col, val_cols)
+    return keyed_sum_fold(parts, key_col, val_cols,
                           num_partitions=num_partitions
-                          or sized_partitions(raw_ds))
+                          or partitions_for_rows(n_part))
 
 
 def keyed_sum_driver(partials, key_col: str, val_cols: list[str],
@@ -207,8 +220,9 @@ def keyed_sum_driver(partials, key_col: str, val_cols: list[str],
     """Driver twin of :func:`keyed_sum_fold` over an already-partial
     Dataset: stream the partial batches to the driver and run ONE fold —
     identical output (as a one-block Dataset, like the fold), no shuffle
-    fixed cost. Callers gate on the INPUT row count (cheap metadata on
-    fresh reads), never on the partial stream itself."""
+    fixed cost. Callers (``keyed_sum_auto``) pass MATERIALIZED partials,
+    so gating on their count and then streaming them here never
+    re-executes the upstream plan."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -226,17 +240,21 @@ def keyed_sum_driver(partials, key_col: str, val_cols: list[str],
         _fold_keyed(pa.concat_tables(parts), key_col, val_cols))
 
 
+def partitions_for_rows(n: int, rows_per_part: int = 250_000) -> int:
+    """Shuffle width for a KNOWN row count, capped at the cluster width."""
+    import numpy as np
+    return int(np.clip(n // rows_per_part + 1, 2, groupby_partitions()))
+
+
 def sized_partitions(*dss, rows_per_part: int = 250_000) -> int:
     """Shuffle width sized to the DATA, capped at the cluster width
     (each hash-shuffle partition spins up an aggregator actor; 64
     partitions over 100 k rows is pure actor spin-up — the
     latest_at_bucketed precedent, stages/history.py). count() is
     metadata-only on fresh reads, one cheap extra pass otherwise."""
-    import numpy as np
     try:
         n = sum(int(d.count()) for d in dss)
-        return int(np.clip(n // rows_per_part + 1, 2,
-                           groupby_partitions()))
+        return partitions_for_rows(n, rows_per_part)
     except Exception:
         return groupby_partitions()
 

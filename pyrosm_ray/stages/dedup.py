@@ -146,7 +146,13 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             id_col: batch[id_col],
         })
 
-    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    # the (hash, id) projection materializes ONCE and both the route gate
+    # and the chosen route read it — the upstream plan is never executed
+    # a second time just to pick a route (round-4 advice; the survivor
+    # re-select below still re-reads ``ds`` for the payload, the one
+    # inherent second pass shared by both routes). Narrow rows: ~50 B
+    # each, the same rows the shuffle route moves anyway.
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow").materialize()
 
     # driver fast path (the family policy): under the row ceiling the
     # (hash, id) stream collects once, the min-id winner set resolves in
@@ -155,7 +161,7 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     # on a 5 k-doc corpus regardless of data. Output-identical
     # (route-parity-tested).
     from pyrosm_ray.stages.blocks import KEYED_FOLD_DRIVER_MAX
-    if ds.count() <= KEYED_FOLD_DRIVER_MAX:
+    if hashed.count() <= KEYED_FOLD_DRIVER_MAX:
         import pandas as pd
 
         import ray

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from pyrosm_ray.stages.hashing import stable64_many
 from pyrosm_ray.stages.text import _count_re
@@ -159,6 +160,19 @@ def slice_divergence(ds, slice_col: str = "source",
     SEP = "\x1f"
 
     def partial(batch: pa.Table) -> pa.Table:
+        # the compound key is only unambiguous if slice values never
+        # contain the separator (WORDS can't — str.split() treats \x1f
+        # as whitespace): reject instead of silently misattributing.
+        # Tokenizer caveat (shared with the text.py family): Python
+        # split() and the SQL twin's RE2 '\S+' disagree on \x0b and
+        # \x1c-\x1f INSIDE text, so the DuckDB oracle can diverge on
+        # adversarial control characters.
+        bad = pc.any(pc.match_substring(
+            pc.cast(batch[slice_col], pa.string()), SEP)).as_py()
+        if bad:
+            raise ValueError(
+                f"slice column {slice_col!r} contains the reserved "
+                "separator U+001F; slice_divergence cannot key on it")
         slices = batch[slice_col].to_pylist()
         keys: list[str] = []
         for s, t in zip(slices, batch[text_col].to_pylist()):

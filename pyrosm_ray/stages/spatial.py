@@ -972,24 +972,24 @@ class KnnJoiner:
         self.lat_col = lat_col
 
     def _box_candidates(self, px, py, r):
-        """(query, point) candidate pairs for r-degree boxes via cell bins."""
+        """(query, point) candidate pairs for r-degree boxes via cell bins.
+        Longitude cell ranges WRAP mod nx so boxes straddling the +-180
+        antimeridian stay complete; latitude clips at the poles."""
         idx = self.index
         res = idx["cell_res"]
         nx = np.int64(1) << res
-        cx0 = np.clip(np.floor((px - r + 180) / 360 * nx), 0,
-                      nx - 1).astype(np.int64)
-        cx1 = np.clip(np.floor((px + r + 180) / 360 * nx), 0,
-                      nx - 1).astype(np.int64)
+        cx0 = np.floor((px - r + 180) / 360 * nx).astype(np.int64)
+        cx1 = np.floor((px + r + 180) / 360 * nx).astype(np.int64)
         cy0 = np.clip(np.floor((90 - (py + r)) / 180 * nx), 0,
                       nx - 1).astype(np.int64)
         cy1 = np.clip(np.floor((90 - (py - r)) / 180 * nx), 0,
                       nx - 1).astype(np.int64)
-        ncx = cx1 - cx0 + 1
+        ncx = np.minimum(cx1 - cx0 + 1, nx)
         ncell = ncx * (cy1 - cy0 + 1)
         q_of_cell = np.repeat(np.arange(len(px), dtype=np.int64), ncell)
         local = _concat_ranges(np.zeros(len(px), np.int64), ncell)
         nx_rep = np.repeat(ncx, ncell)
-        key = ((np.repeat(cx0, ncell) + local % nx_rep) << 29) \
+        key = (((np.repeat(cx0, ncell) + local % nx_rep) % nx) << 29) \
             | (np.repeat(cy0, ncell) + local // nx_rep)
         keys = idx["cell_keys"]
         pos = np.searchsorted(keys, key)
@@ -1001,10 +1001,11 @@ class KnnJoiner:
         qi = np.repeat(q_of_cell, counts)
         ii = idx["cell_points"][_concat_ranges(starts, counts)]
         # clip to the actual box (cells overhang); r may be a per-query
-        # array (the radius join's covering boxes)
+        # array (the radius join's covering boxes); the lon delta is taken
+        # mod 360 so the box test is seam-safe
         rq = r[qi] if np.ndim(r) else r
-        ok = ((idx["lon"][ii] >= px[qi] - rq)
-              & (idx["lon"][ii] <= px[qi] + rq)
+        dlon = np.abs((idx["lon"][ii] - px[qi] + 180.0) % 360.0 - 180.0)
+        ok = ((dlon <= rq)
               & (idx["lat"][ii] >= py[qi] - rq)
               & (idx["lat"][ii] <= py[qi] + rq))
         return qi[ok], ii[ok]
@@ -1016,20 +1017,18 @@ class KnnJoiner:
         idx = self.index
         res = idx["cell_res"]
         nx = np.int64(1) << res
-        cx0 = np.clip(np.floor((px - r + 180) / 360 * nx), 0,
-                      nx - 1).astype(np.int64)
-        cx1 = np.clip(np.floor((px + r + 180) / 360 * nx), 0,
-                      nx - 1).astype(np.int64)
+        cx0 = np.floor((px - r + 180) / 360 * nx).astype(np.int64)
+        cx1 = np.floor((px + r + 180) / 360 * nx).astype(np.int64)
         cy0 = np.clip(np.floor((90 - (py + r)) / 180 * nx), 0,
                       nx - 1).astype(np.int64)
         cy1 = np.clip(np.floor((90 - (py - r)) / 180 * nx), 0,
                       nx - 1).astype(np.int64)
-        ncx = cx1 - cx0 + 1
+        ncx = np.minimum(cx1 - cx0 + 1, nx)
         ncell = ncx * (cy1 - cy0 + 1)
         q_of_cell = np.repeat(np.arange(len(px), dtype=np.int64), ncell)
         local = _concat_ranges(np.zeros(len(px), np.int64), ncell)
         nx_rep = np.repeat(ncx, ncell)
-        key = ((np.repeat(cx0, ncell) + local % nx_rep) << 29) \
+        key = (((np.repeat(cx0, ncell) + local % nx_rep) % nx) << 29) \
             | (np.repeat(cy0, ncell) + local // nx_rep)
         keys = idx["cell_keys"]
         pos = np.searchsorted(keys, key)
@@ -2163,6 +2162,14 @@ def radius_join_partitioned(pages_ds, pois_ds, radius_m: float = 200.0,
     # 360/nx >= 2*r_deg automatically)
     res = int(np.clip(np.floor(np.log2(180.0 / r_deg)), 2, 20))
     nx = np.int64(1) << res
+    if 180.0 / float(nx) < r_deg:
+        # res floor-clamped to 2 (cell side 45 deg) but the covering radius
+        # is wider — the 3x3 ring would be INCOMPLETE and silently miss
+        # pairs. A >~5,000 km radius belongs on the broadcast route.
+        raise ValueError(
+            f"radius_m={radius_m} needs a covering radius of {r_deg:.1f} deg "
+            "per cell, wider than the coarsest grid cell (45 deg); the 3x3 "
+            "ring cannot cover it. Use radius_join (broadcast route).")
     nb = num_partitions or groupby_partitions()
 
     def page_rows(b: pa.Table) -> pa.Table:
@@ -2185,13 +2192,15 @@ def radius_join_partitioned(pages_ds, pois_ds, radius_m: float = 200.0,
                      nx - 1).astype(np.int64)
         cy = np.clip(np.floor((90 - lat) / 180 * nx), 0,
                      nx - 1).astype(np.int64)
-        # replicate to the 3x3 ring (clipped at the grid edge)
+        # replicate to the 3x3 ring: longitude WRAPS mod nx (antimeridian
+        # pairs stay joinable — the exact haversine in the kernel is
+        # seam-safe), latitude clips (no wrap past the poles)
         reps = []
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
-                gx = cx + dx
+                gx = (cx + dx) % nx
                 gy = cy + dy
-                ok = (gx >= 0) & (gx < nx) & (gy >= 0) & (gy < nx)
+                ok = (gy >= 0) & (gy < nx)
                 reps.append(((gx[ok] << 29) | gy[ok], ids[ok], lon[ok],
                              lat[ok]))
         key = np.concatenate([r[0] for r in reps])

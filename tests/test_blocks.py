@@ -123,3 +123,41 @@ def test_keyed_sum_auto_route_parity(ray_session, monkeypatch):
     import pandas as pd
     truth = t.to_pandas().groupby("k", sort=True)["v"].sum()
     assert list(fast.v) == list(truth)
+
+
+def test_keyed_sum_auto_executes_upstream_once(ray_session):
+    """The route gate must not re-execute a non-fresh-read upstream plan:
+    the partials pipeline materializes once, and both the gate and the
+    chosen route read the materialized result (round-4 advice)."""
+    import ray
+    import ray.data as rd
+
+    from pyrosm_ray.stages import blocks
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def bump(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    c = Counter.remote()
+
+    def partial(b: pa.Table) -> pa.Table:
+        ray.get(c.bump.remote())
+        return pa.table({"k": b["k"], "n": b["n"]})
+
+    t = pa.table({"k": pa.array(["a", "b", "a", "c"] * 10, pa.string()),
+                  "n": pa.array([1] * 40, pa.int64())})
+    ds = rd.from_arrow(t).repartition(2)
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = blocks.keyed_sum_auto(ds, partials, "k", ["n"]).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert dict(zip(out.k, out.n)) == {"a": 20, "b": 10, "c": 10}
+    # the partial UDF ran exactly once per input block (2 blocks), not
+    # once for the gate plus once for the route
+    assert ray.get(c.get.remote()) == 2

@@ -419,3 +419,62 @@ def test_radius_join_partitioned_parity(ray_session):
     assert list(a.url) == list(b.url)
     assert list(a.poi_id) == list(b.poi_id)
     assert list(a.distance_m) == list(b.distance_m)
+
+
+def test_radius_join_antimeridian_wrap(ray_session):
+    """Pairs straddling the +-180 seam survive both radius-join routes
+    (the POI ring and the box-candidate scan wrap longitude mod nx)."""
+    import ray.data as rd
+
+    from pyrosm_ray.geom import ops
+    from pyrosm_ray.stages.spatial import (radius_join,
+                                           radius_join_partitioned)
+
+    rng = np.random.RandomState(47)
+    # cluster on BOTH sides of the seam (Fiji-ish latitudes)
+    lon_po = np.where(rng.uniform(size=200) < 0.5,
+                      179.999 - rng.uniform(0, 0.004, 200),
+                      -180.0 + rng.uniform(0, 0.004, 200))
+    lat_po = -17.0 + rng.uniform(0, 0.01, 200)
+    pois = pa.table({"id": pa.array(np.arange(200) + 10, pa.int64()),
+                     "lon": pa.array(lon_po), "lat": pa.array(lat_po)})
+    lon_pg = np.where(rng.uniform(size=80) < 0.5,
+                      179.999 - rng.uniform(0, 0.004, 80),
+                      -180.0 + rng.uniform(0, 0.004, 80))
+    lat_pg = -17.0 + rng.uniform(0, 0.01, 80)
+    pages = pa.table({"url": pa.array([f"s{i}" for i in range(80)]),
+                      "lon": pa.array(lon_pg), "lat": pa.array(lat_pg)})
+    R = 500.0
+    d = ops.haversine_m(lat_pg[:, None], lon_pg[:, None],
+                        lat_po[None, :], lon_po[None, :])
+    qi, ii = np.nonzero(d <= R)
+    truth = sorted(zip([f"s{i}" for i in qi],
+                       (np.arange(200) + 10)[ii].tolist()))
+    # cross-seam pairs must exist for the test to mean anything
+    cross = [(q, i) for q, i in zip(qi, ii)
+             if (lon_pg[q] > 0) != (lon_po[i - 10] > 0)]
+    assert len(cross) > 20
+    a = radius_join(rd.from_arrow(pages), rd.from_arrow(pois),
+                    radius_m=R).to_pandas()
+    assert sorted(zip(a.url, a.poi_id)) == truth
+    b = radius_join_partitioned(rd.from_arrow(pages).repartition(3),
+                                rd.from_arrow(pois).repartition(2),
+                                radius_m=R, num_partitions=6).to_pandas()
+    assert sorted(zip(b.url, b.poi_id)) == truth
+
+
+def test_radius_join_partitioned_rejects_uncoverable_radius(ray_session):
+    """A radius wider than the coarsest grid cell raises instead of
+    silently dropping pairs (the 3x3 ring would be incomplete)."""
+    import pytest
+    import ray.data as rd
+
+    from pyrosm_ray.stages.spatial import radius_join_partitioned
+
+    pois = pa.table({"id": pa.array([1], pa.int64()),
+                     "lon": pa.array([0.0]), "lat": pa.array([0.0])})
+    pages = pa.table({"url": pa.array(["a"]),
+                      "lon": pa.array([1.0]), "lat": pa.array([1.0])})
+    with pytest.raises(ValueError, match="broadcast"):
+        radius_join_partitioned(rd.from_arrow(pages), rd.from_arrow(pois),
+                                radius_m=6_000_000.0)

@@ -159,3 +159,18 @@ def test_slice_divergence_exact_and_orders(ray_session):
     # partitioning invariance
     again = slice_divergence(rd.from_arrow(t).repartition(6))
     assert again.equals(got)
+
+
+def test_slice_divergence_rejects_separator_in_slice(ray_session):
+    """A slice value containing U+001F would corrupt the compound key —
+    the stage must reject it instead of misattributing counts."""
+    import pytest
+    import ray.data as rd
+
+    from pyrosm_ray.stages.report import slice_divergence
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["alpha beta", "gamma"], pa.string()),
+                  "source": pa.array(["ok", "bad\x1fslice"], pa.string())})
+    with pytest.raises(Exception, match="U\\+001F|separator"):
+        slice_divergence(rd.from_arrow(t))
