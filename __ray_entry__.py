@@ -698,6 +698,30 @@ def q_quantile_bins(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quantile_continuous(sf_dir: str):
+    """Per-language exact quantiles of a CONTINUOUS metric via the
+    two-pass radix-bin route (stages/quantiles.py:
+    group_quantiles_continuous) — the one-pass histogram would shuffle
+    ~row-count rows for an all-distinct float metric; this shuffles
+    coarse-bin partials + in-candidate-bin rows only."""
+    from pyrosm_ray.stages.quantiles import group_quantiles_continuous
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def score(b: pa.Table) -> pa.Table:
+        n = np.asarray(b["n_chars"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        i = np.asarray(b["doc_id"].to_numpy(zero_copy_only=False),
+                       np.float64)
+        return pa.table({"lang": b["lang"],
+                         "score": pa.array(n + i / 1_000_000.0)})
+
+    out = group_quantiles_continuous(
+        ds.map_batches(score, batch_format="pyarrow"),
+        "lang", "score", [0.25, 0.5, 0.9]).to_pandas()
+    out = out.rename(columns={"group": "lang"})
+    return out.sort_values("lang").reset_index(drop=True)
+
+
 def q_shuffle_rank(sf_dir: str):
     """Global deterministic pseudo-random training order (two-pass
     distributed rank — no global sort, no driver-side data)."""
@@ -2161,6 +2185,18 @@ def oracle_sql() -> dict[str, str]:
                              WHEN m.n_tokens <= e.q2 THEN 2
                              ELSE 3 END AS BIGINT) AS bin
             FROM m JOIN e ON m.lang = e.lang ORDER BY m.doc_id""",
+        "q_quantile_continuous": """
+            WITH m AS (
+              SELECT lang,
+                     CAST(n_chars AS DOUBLE)
+                     + CAST(doc_id AS DOUBLE) / 1000000.0 AS score
+              FROM documents
+            )
+            SELECT lang,
+                   quantile_disc(score, 0.25) AS q0,
+                   quantile_disc(score, 0.5)  AS q1,
+                   quantile_disc(score, 0.9)  AS q2
+            FROM m GROUP BY lang ORDER BY lang""",
         "q_shuffle_rank": (
             "SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
             + _sampling.shuffle_rank_order_sql("doc_id", seed=11)
@@ -2657,10 +2693,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_minhash_dedup": q_minhash_dedup,
         "q_embedding_near_dup": q_embedding_near_dup,
         "q_quantile_bins": q_quantile_bins,
+        "q_quantile_continuous": q_quantile_continuous,
         "q_heavy_hitters": q_heavy_hitters,
         "q_triangles": q_triangles,
         "q_dsir_select": q_dsir_select,
-        "q_ivf_topk": q_ivf_topk,
         "q_tile_assignment": q_tile_assignment,
         "q_pip_join": q_pip_join,
         "q_osm_buildings_ways": q_osm_buildings_ways,
@@ -2697,6 +2733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
         "q_topk_cosine": q_topk_cosine,
+        "q_ivf_topk": q_ivf_topk,
         "q_tile_counts": q_tile_counts,
         "q_pages_in_bbox": q_pages_in_bbox,
         "q_pip_join_ways": q_pip_join_ways,

@@ -112,3 +112,90 @@ def test_quantile_bins_duplicate_edges(ray_session):
     out = Q.quantile_bins(rd.from_arrow(t), "g", "v", [0.25, 0.5, 0.75]) \
         .to_pandas()
     assert out["bin"].tolist() == [0] * 5
+
+
+def test_group_quantiles_continuous_exact_vs_duckdb(ray_session):
+    """Two-pass radix-bin route: exact quantile_disc parity with DuckDB on
+    an all-distinct continuous metric, with shuffle rows measured >=10x
+    below the corpus row count (the point of the route — the one-pass
+    histogram would shuffle ~n rows for continuous values)."""
+    import duckdb
+    import ray.data as rd
+
+    from pyrosm_ray.stages.quantiles import group_quantiles_continuous
+
+    rng = np.random.RandomState(31)
+    n = 100_000
+    langs = np.array(["en", "fi", "de", "sv"])[rng.randint(0, 4, n)]
+    # mixed scales exercise multiple binades; all values distinct
+    vals = np.exp(rng.uniform(-3, 8, n)) + np.arange(n) * 1e-9
+    t = pa.table({"lang": pa.array(langs), "score": pa.array(vals)})
+    stats: dict = {}
+    got = group_quantiles_continuous(
+        rd.from_arrow(t).repartition(8), "lang", "score",
+        [0.25, 0.5, 0.9], stats=stats).to_pandas() \
+        .sort_values("group").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute("""
+        SELECT lang AS "group",
+               quantile_disc(score, 0.25) AS q0,
+               quantile_disc(score, 0.5)  AS q1,
+               quantile_disc(score, 0.9)  AS q2
+        FROM t GROUP BY lang ORDER BY lang""").fetchdf()
+    assert list(got["group"]) == list(want["group"])
+    for c in ("q0", "q1", "q2"):
+        assert list(got[c]) == list(want[c])  # bit-exact element pick
+    shuffled = stats["pass1_rows"] + stats["pass2_rows"]
+    assert shuffled * 10 <= n, (stats, n)
+
+
+def test_quantile_filter_and_bins_route_float(ray_session):
+    """quantile_filter / quantile_bins auto-route float metrics through
+    the continuous plan and agree with DuckDB."""
+    import duckdb
+    import ray.data as rd
+
+    from pyrosm_ray.stages.quantiles import quantile_bins, quantile_filter
+
+    rng = np.random.RandomState(7)
+    n = 4_000
+    g = np.array(["a", "b"])[rng.randint(0, 2, n)]
+    v = rng.normal(0, 10, n)
+    t = pa.table({"doc_id": pa.array(np.arange(n), pa.int64()),
+                  "grp": pa.array(g), "score": pa.array(v)})
+    con = duckdb.connect()
+    con.register("t", t)
+    kept = quantile_filter(rd.from_arrow(t), "grp", "score", 0.8) \
+        .to_pandas()
+    want = con.execute("""
+        WITH e AS (SELECT grp, quantile_disc(score, 0.8) AS q0
+                   FROM t GROUP BY grp)
+        SELECT t.doc_id FROM t JOIN e USING (grp)
+        WHERE t.score >= e.q0 ORDER BY doc_id""").fetchdf()
+    assert sorted(kept.doc_id) == list(want.doc_id)
+    binned = quantile_bins(rd.from_arrow(t), "grp", "score",
+                           [0.25, 0.75]).to_pandas()
+    wantb = con.execute("""
+        WITH e AS (SELECT grp, quantile_disc(score, 0.25) AS q0,
+                          quantile_disc(score, 0.75) AS q1
+                   FROM t GROUP BY grp)
+        SELECT t.doc_id,
+               CASE WHEN score <= e.q0 THEN 0
+                    WHEN score <= e.q1 THEN 1 ELSE 2 END AS bin
+        FROM t JOIN e USING (grp) ORDER BY doc_id""").fetchdf()
+    got = binned.sort_values("doc_id").reset_index(drop=True)
+    assert list(got.bin) == list(wantb.bin)
+
+
+def test_group_quantiles_continuous_rejects_nan(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from pyrosm_ray.stages.quantiles import group_quantiles_continuous
+
+    t = pa.table({"g": pa.array(["a", "a"]),
+                  "v": pa.array([1.0, float("nan")])})
+    with pytest.raises(Exception, match="NaN"):
+        group_quantiles_continuous(rd.from_arrow(t), "g", "v",
+                                   0.5).to_pandas()
