@@ -168,7 +168,8 @@ EDGES_DRIVER_MAX = 1 << 22  # 16 B/edge -> <=64 MB collects to the driver
 
 
 def pagerank(edges, iters: int = 5, src_col: str = "src",
-             dst_col: str = "dst"):
+             dst_col: str = "dst", tol_micro: int | None = None,
+             stats: dict | None = None):
     """Integer-exact PageRank over a distinct edge Dataset.
 
     Returns (node, rank_micro) for every node appearing as src or dst.
@@ -180,7 +181,14 @@ def pagerank(edges, iters: int = 5, src_col: str = "src",
     via ``ray.put``; per-batch per-dst partial sums merge on the driver
     (per-node state — the scale contract in the module docstring), so
     no shuffle runs inside the loop. Both routes execute the identical
-    integer recurrence and are parity-tested."""
+    integer recurrence and are parity-tested.
+
+    ``tol_micro``: optional convergence stop — iterate at most ``iters``
+    times but stop early once the L1 delta of the integer rank vector,
+    sum(|rank_i - rank_{i-1}|), falls to ``tol_micro`` or below. The
+    delta is a deterministic integer, so every route adapts to the SAME
+    iteration count (route parity preserved by construction). Pass
+    ``stats={}`` to receive ``iterations`` (and ``l1_delta_micro``)."""
     edges = edges.materialize()
     n_edges = edges.count()
     if n_edges <= EDGES_DRIVER_MAX:
@@ -203,11 +211,20 @@ def pagerank(edges, iters: int = 5, src_col: str = "src",
         di = np.searchsorted(nodes, d)
         np.add.at(deg, si, 1)
         rank = np.full(len(nodes), R0_MICRO, dtype=np.int64)
+        it_done = 0
+        delta = None
         for _ in range(iters):
             c = (DAMP_NUM * rank[si]) // (DAMP_DEN * deg[si])
             nxt = np.full(len(nodes), TELEPORT_MICRO, dtype=np.int64)
             np.add.at(nxt, di, c)
+            delta = int(np.abs(nxt - rank).sum())
             rank = nxt
+            it_done += 1
+            if tol_micro is not None and delta <= tol_micro:
+                break
+        if stats is not None:
+            stats["iterations"] = it_done
+            stats["l1_delta_micro"] = delta
         return rd.from_arrow(pa.table({
             "node": pa.array(nodes, pa.int64()),
             "rank_micro": pa.array(rank, pa.int64())}))
@@ -248,6 +265,8 @@ def pagerank(edges, iters: int = 5, src_col: str = "src",
     nodes, deg = nodes[o], deg[o]
     rank = np.full(len(nodes), R0_MICRO, dtype=np.int64)
 
+    it_done = 0
+    delta = None
     for _ in range(iters):
         state = ray.put((nodes, deg, rank))
 
@@ -280,8 +299,15 @@ def pagerank(edges, iters: int = 5, src_col: str = "src",
             av = np.asarray(b["s"].to_numpy(zero_copy_only=False),
                             np.int64)
             np.add.at(new_rank, np.searchsorted(nodes, an), av)
+        delta = int(np.abs(new_rank - rank).sum())
         rank = new_rank
+        it_done += 1
+        if tol_micro is not None and delta <= tol_micro:
+            break
 
+    if stats is not None:
+        stats["iterations"] = it_done
+        stats["l1_delta_micro"] = delta
     import ray.data as rd
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes, pa.int64()),
@@ -345,7 +371,9 @@ def host_edges(links, url_col: str = "url", href_col: str = "href",
 
 
 def pagerank_named(edges, iters: int = 5, src_col: str = "src_host",
-                   dst_col: str = "dst_host"):
+                   dst_col: str = "dst_host",
+                   tol_micro: int | None = None,
+                   stats: dict | None = None):
     """PageRank over STRING-named nodes (hosts): names hash to int64
     through :func:`pyrosm_ray.stages.hashing.stable64_many` (the
     64-bit id contract — ~10^-4 collision odds even at 10^8 hosts),
@@ -392,7 +420,7 @@ def pagerank_named(edges, iters: int = 5, src_col: str = "src_host",
 
     ranks = pagerank(hashed.map_batches(hash_edges,
                                         batch_format="pyarrow"),
-                     iters=iters)
+                     iters=iters, tol_micro=tol_micro, stats=stats)
 
     def attach(b: pa.Table) -> pa.Table:
         h, n = ray.get(name_ref)
@@ -500,8 +528,14 @@ def _pr_out(static, r: np.ndarray) -> pa.Table:
                      "rank_micro": pa.array(r, pa.int64())})
 
 
+def _pr_l1(prev: np.ndarray, new: np.ndarray) -> int:
+    """Per-shard L1 delta of the integer rank vector (convergence check)."""
+    return int(np.abs(new - prev).sum())
+
+
 def _pagerank_bsp(edges, iters: int, src_col: str, dst_col: str,
-                  nb: int):
+                  nb: int, tol_micro: int | None = None,
+                  stats: dict | None = None):
     """Raw-task BSP PageRank over hash-co-partitioned Arrow shards.
 
     The Dataset API can't express a cheap iterative fixpoint — every
@@ -532,6 +566,9 @@ def _pagerank_bsp(edges, iters: int, src_col: str, dst_col: str,
         ranks.append(r)
     contrib = ray.remote(_pr_contrib)
     rebuild = ray.remote(_pr_rebuild)
+    l1 = ray.remote(_pr_l1)
+    it_done = 0
+    delta = None
     for _ in range(iters):
         cparts: list[list] = [[] for _ in range(nb)]
         for i in range(nb):
@@ -542,8 +579,20 @@ def _pagerank_bsp(edges, iters: int, src_col: str, dst_col: str,
                 refs = [contrib.remote(statics[i], ranks[i], nb)]
             for j, ref in enumerate(refs):
                 cparts[j].append(ref)
+        prev = ranks
         ranks = [rebuild.remote(statics[j], *cparts[j])
                  for j in range(nb)]
+        it_done += 1
+        if tol_micro is not None:
+            # nb small ints to the driver — the BSP barrier already
+            # synchronises here, so the check adds no extra round
+            delta = sum(ray.get(
+                [l1.remote(prev[j], ranks[j]) for j in range(nb)]))
+            if delta <= tol_micro:
+                break
+    if stats is not None:
+        stats["iterations"] = it_done
+        stats["l1_delta_micro"] = delta
     out = ray.remote(_pr_out)
     import ray.data as rd
     return rd.from_arrow_refs(
@@ -553,7 +602,9 @@ def _pagerank_bsp(edges, iters: int, src_col: str, dst_col: str,
 def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
                          dst_col: str = "dst",
                          num_partitions: int | None = None,
-                         route: str | None = None):
+                         route: str | None = None,
+                         tol_micro: int | None = None,
+                         stats: dict | None = None):
     """The beyond-broadcast PageRank route: the rank vector stays a
     DATASET throughout (never collected, never broadcast), so node
     universes past the driver/object-store ceiling (per-PAGE graphs at
@@ -589,7 +640,8 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
         nb = num_partitions or int(np.clip(
             n_edges // PAGERANK_BSP_ROWS_PER_SHARD + 1, 1,
             PAGERANK_BSP_MAX_PARTS))
-        return _pagerank_bsp(edges, iters, src_col, dst_col, int(nb))
+        return _pagerank_bsp(edges, iters, src_col, dst_col, int(nb),
+                             tol_micro=tol_micro, stats=stats)
     if n_edges == 0:
         # guard BEFORE any shuffle: a fully-empty input's blocks skip
         # the map UDFs, so the schema reaching the shuffle would lack
@@ -632,18 +684,17 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
     state = nodes_deg.map_batches(init_state,
                                   batch_format="pyarrow").materialize()
 
-    # deg rides the fold (s=0, deg=deg rows union the contributions),
-    # so rebuilding the next state needs NO second join per iteration —
-    # one edges⋈state hash join + one keyed fold is the whole step
-    def deg_zeros(b: pa.Table) -> pa.Table:
+    # deg AND the previous rank ride the fold (s=0, deg=deg, rp=r rows
+    # union the contributions), so rebuilding the next state needs NO
+    # second join per iteration — one edges⋈state hash join + one keyed
+    # fold is the whole step; the carried rp makes the convergence
+    # delta a cheap aggregate over the already-materialized state
+    def state_zeros(b: pa.Table) -> pa.Table:
         return pa.table({
             "node": b["node"],
             "s": pa.array(np.zeros(b.num_rows, np.int64), pa.int64()),
-            "deg": b["deg"]})
-
-    zero_nodes = nodes_deg.map_batches(deg_zeros,
-                                       batch_format="pyarrow") \
-        .materialize()
+            "deg": b["deg"],
+            "rp": b["r"]})
 
     def contrib(b: pa.Table) -> pa.Table:
         d = np.asarray(b[dst_col].to_numpy(zero_copy_only=False),
@@ -655,10 +706,11 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
         codes, uniq = pd.factorize(d)
         acc = np.zeros(len(uniq), np.int64)
         np.add.at(acc, codes, c)
+        z = np.zeros(len(uniq), np.int64)
         return pa.table({"node": pa.array(uniq, pa.int64()),
                          "s": pa.array(acc, pa.int64()),
-                         "deg": pa.array(np.zeros(len(uniq), np.int64),
-                                         pa.int64())})
+                         "deg": pa.array(z, pa.int64()),
+                         "rp": pa.array(z, pa.int64())})
 
     def finish(b: pa.Table) -> pa.Table:
         s = np.asarray(b["s"].to_numpy(zero_copy_only=False),
@@ -666,15 +718,37 @@ def pagerank_partitioned(edges, iters: int = 5, src_col: str = "src",
         return pa.table({
             "node": b["node"],
             "deg": b["deg"],
-            "r": pa.array(TELEPORT_MICRO + s, pa.int64())})
+            "r": pa.array(TELEPORT_MICRO + s, pa.int64()),
+            "rp": b["rp"]})
 
+    def delta_partial(b: pa.Table) -> pa.Table:
+        r = np.asarray(b["r"].to_numpy(zero_copy_only=False), np.int64)
+        rp = np.asarray(b["rp"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        return pa.table({"d": pa.array([int(np.abs(r - rp).sum())],
+                                       pa.int64())})
+
+    it_done = 0
+    delta = None
     for _ in range(iters):
         joined = edges.join(state, "inner", on=(src_col,),
                             right_on=("node",), **jargs)
+        zeros = state.map_batches(state_zeros, batch_format="pyarrow")
         state = keyed_sum_fold(
             joined.map_batches(contrib, batch_format="pyarrow")
-            .union(zero_nodes), "node", ["s", "deg"]) \
+            .union(zeros), "node", ["s", "deg", "rp"]) \
             .map_batches(finish, batch_format="pyarrow").materialize()
+        it_done += 1
+        if tol_micro is not None:
+            # one tiny map+sum over the just-materialized state blocks
+            delta = int(state.map_batches(
+                delta_partial, batch_format="pyarrow").sum("d"))
+            if delta <= tol_micro:
+                break
+
+    if stats is not None:
+        stats["iterations"] = it_done
+        stats["l1_delta_micro"] = delta
 
     def out(b: pa.Table) -> pa.Table:
         return pa.table({"node": b["node"], "rank_micro": b["r"]})

@@ -174,3 +174,61 @@ def test_click_edges_route_parity(ray_session, monkeypatch):
     f = sorted(zip(fast.src, fast.dst))
     d = sorted(zip(dist.src, dist.dst))
     assert f == d and len(f) == len(set(f)) > 0
+
+
+def test_pagerank_convergence_stop_all_routes(ray_session):
+    """tol_micro stops early on a fast-mixing graph, every route adapts
+    to the SAME iteration count (the L1 delta is a deterministic
+    integer), and the adapted outputs stay route-parity-identical."""
+    import ray.data as rd
+
+    from pyrosm_ray.stages import pagerank as pr
+
+    rng = np.random.RandomState(3)
+    # fast mixing: near-regular random digraph (no hubs, no sinks)
+    n_nodes, deg = 200, 8
+    src = np.repeat(np.arange(n_nodes, dtype=np.int64), deg)
+    dst = (src + rng.randint(1, n_nodes, len(src))) % n_nodes
+    edges = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    TOL, MAXI = 2_000, 40
+
+    st_drv: dict = {}
+    a = pr.pagerank(rd.from_arrow(edges), iters=MAXI, tol_micro=TOL,
+                    stats=st_drv).to_pandas()
+    assert 1 < st_drv["iterations"] < MAXI  # adapted, not exhausted
+    assert st_drv["l1_delta_micro"] <= TOL
+
+    # broadcast loop route (force past the driver ceiling)
+    orig = pr.EDGES_DRIVER_MAX
+    pr.EDGES_DRIVER_MAX = 0
+    try:
+        st_bc: dict = {}
+        b = pr.pagerank(rd.from_arrow(edges).repartition(4), iters=MAXI,
+                        tol_micro=TOL, stats=st_bc).to_pandas()
+    finally:
+        pr.EDGES_DRIVER_MAX = orig
+    assert st_bc["iterations"] == st_drv["iterations"]
+
+    st_bsp: dict = {}
+    c = pr.pagerank_partitioned(rd.from_arrow(edges).repartition(4),
+                                iters=MAXI, tol_micro=TOL, route="bsp",
+                                num_partitions=3,
+                                stats=st_bsp).to_pandas()
+    assert st_bsp["iterations"] == st_drv["iterations"]
+
+    st_join: dict = {}
+    d = pr.pagerank_partitioned(rd.from_arrow(edges).repartition(4),
+                                iters=MAXI, tol_micro=TOL, route="join",
+                                stats=st_join).to_pandas()
+    assert st_join["iterations"] == st_drv["iterations"]
+
+    for other in (b, c, d):
+        o = other.sort_values("node").reset_index(drop=True)
+        aa = a.sort_values("node").reset_index(drop=True)
+        assert list(o.node) == list(aa.node)
+        assert list(o.rank_micro) == list(aa.rank_micro)
+
+    # no tol: runs exactly iters (fixed-count mode untouched)
+    st_fix: dict = {}
+    pr.pagerank(rd.from_arrow(edges), iters=3, stats=st_fix).to_pandas()
+    assert st_fix["iterations"] == 3
