@@ -275,9 +275,16 @@ def write_postings(ds, path: str, id_col: str = "doc_id",
         bkt = int(g["__b"][0].as_py())
         d = os.path.join(path, f"bucket={bkt}")
         f = os.path.join(d, "part.parquet")
-        if not (resume and os.path.exists(f)):
+        tmp = f + ".tmp"
+        if resume and os.path.exists(f):
+            # completed bucket: skip the write, but clean any stale
+            # .tmp a killed previous run left mid-write (readers only
+            # ever see part.parquet — the os.replace is atomic — so
+            # the orphan is inert, just disk noise)
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        else:
             os.makedirs(d, exist_ok=True)
-            tmp = f + ".tmp"
             pq.write_table(g.drop_columns(["__b"]), tmp)
             os.replace(tmp, f)
         return pa.table({"bucket": pa.array([bkt], pa.int64()),

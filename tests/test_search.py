@@ -123,3 +123,52 @@ def test_postings_resume_skips_existing(ray_session, tmp_path):
     assert os.path.getmtime(f) == mtime  # untouched on resume
     search.write_postings(rd.from_arrow(tbl), idx, num_buckets=4)
     assert os.path.getmtime(f) >= mtime  # rewritten without resume
+
+
+def test_postings_resume_after_midwrite_kill(ray_session, tmp_path):
+    """A build killed mid-write leaves complete buckets (os.replace is
+    atomic), maybe a dangling .tmp, and no _meta.json. A resume run must
+    complete ONLY the missing buckets, clean the orphan .tmp, write the
+    manifest, and serve queries identically to a never-killed build."""
+    import json
+    import os
+    import shutil
+
+    tbl = _corpus()
+    fresh = str(tmp_path / "fresh")
+    meta_fresh = search.write_postings(rd.from_arrow(tbl), fresh,
+                                       num_buckets=4)
+    want = search.bm25_topk_from_postings(fresh, "hash join", k=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    # simulate the killed run: 2 of 4 buckets landed, one has a stale
+    # half-written .tmp, no _meta.json
+    killed = str(tmp_path / "killed")
+    os.makedirs(killed)
+    done = [d for d in sorted(os.listdir(fresh))
+            if d.startswith("bucket=")][:2]
+    for d in done:
+        shutil.copytree(os.path.join(fresh, d), os.path.join(killed, d))
+    stale = os.path.join(killed, done[0], "part.parquet.tmp")
+    with open(stale, "wb") as fh:
+        fh.write(b"half-written garbage")
+    mtimes = {d: os.path.getmtime(os.path.join(killed, d, "part.parquet"))
+              for d in done}
+
+    meta2 = search.write_postings(rd.from_arrow(tbl), killed,
+                                  num_buckets=4, resume=True)
+    assert meta2["n_docs"] == meta_fresh["n_docs"]
+    # completed buckets untouched, orphan cleaned, all buckets present
+    for d in done:
+        assert os.path.getmtime(
+            os.path.join(killed, d, "part.parquet")) == mtimes[d]
+    assert not os.path.exists(stale)
+    assert sorted(d for d in os.listdir(killed)
+                  if d.startswith("bucket=")) == \
+        sorted(d for d in os.listdir(fresh) if d.startswith("bucket="))
+    assert json.load(open(os.path.join(killed, "_meta.json"))) \
+        == json.load(open(os.path.join(fresh, "_meta.json")))
+    got = search.bm25_topk_from_postings(killed, "hash join", k=5) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.score_micro) == list(want.score_micro)
