@@ -290,8 +290,14 @@ def write_postings(ds, path: str, id_col: str = "doc_id",
         return pa.table({"bucket": pa.array([bkt], pa.int64()),
                          "rows": pa.array([g.num_rows], pa.int64())})
 
+    # shuffle width sized to the CLUSTER, not the bucket count:
+    # map_groups still sees one call per bucket at any partition count,
+    # but 64 aggregator actors on a 2-CPU run is pure spin-up thrash
+    # (measured: the sf-scaling 2-CPU leg sat 20+ min in this stage
+    # before the fix vs ~2 min after)
+    from pyrosm_ray.stages.blocks import groupby_partitions
     manifest = post.map_batches(bucket, batch_format="pyarrow") \
-        .groupby("__b", num_partitions=min(num_buckets, 64)) \
+        .groupby("__b", num_partitions=groupby_partitions(num_buckets)) \
         .map_groups(write_bucket, batch_format="pyarrow").to_pandas()
     meta = {"n_docs": n_docs, "total_tokens": toks,
             "num_buckets": num_buckets, "id_col": id_col,
