@@ -192,6 +192,33 @@ def run_leg(num_cpus: int) -> dict:
                               num_partitions=groupby_partitions()).count()
     timed("shuffle_floor", floor_stage)
 
+    # --- exchange calibration: a raw 2M-row hash exchange and its
+    # generator scan. On ONE box the exchange is object-store/IPC
+    # bandwidth shared by every worker, so it scales ~0.4-0.5 from 2->8
+    # CPUs while the scan scales ~1.0 — the two platform constants an
+    # exchange-heavy stage's efficiency decomposes into. On a real
+    # multi-node cluster each node adds its own object store + NIC, so
+    # the exchange term scales with node count (the N->4N contract). ---
+    def cal_gen(b):
+        ids = np.asarray(b["id"])
+        n = len(ids)
+        return pa.table({"__p": pa.array(ids % 9, pa.int64()),
+                         "s": pa.array((ids % 97).astype("U8")),
+                         "l": pa.array((ids % 13).astype("U4")),
+                         "h": pa.array(ids * 7, pa.int64()),
+                         "c": pa.array(np.ones(n, np.int64)),
+                         "nt": pa.array(ids % 50, pa.int64()),
+                         "nc": pa.array(ids % 500, pa.int64())})
+
+    def cal_base():
+        return rd.range(2_000_000, override_num_blocks=100) \
+            .map_batches(cal_gen, batch_format="pyarrow")
+    timed("cal_scan_2m", lambda: cal_base().count())
+    timed("cal_exchange_2m",
+          lambda: cal_base().groupby("__p", num_partitions=9)
+          .map_groups(lambda g: g.slice(0, 1),
+                      batch_format="pyarrow").count())
+
     # --- heavy hitters (on a deterministic quarter of the corpus — its
     # Misra-Gries scan is the slowest stage and already shows clean
     # scaling at 500 k docs) + corpus report over the full corpus ---
@@ -291,7 +318,8 @@ def run_scaling(low: int, high: int) -> dict:
     # the calibration line (see run_leg); adjusted efficiency subtracts
     # it from both legs to show the compute-only scaling a long-running
     # cluster stage would see.
-    EXCLUDE = {"postings_query", "shuffle_floor"}
+    EXCLUDE = {"postings_query", "shuffle_floor",
+               "cal_scan_2m", "cal_exchange_2m"}
     fl_low = results[low]["queries"].get("shuffle_floor", 0.0)
     fl_high = results[high]["queries"].get("shuffle_floor", 0.0)
     eff, eff_adj = {}, {}
