@@ -268,12 +268,30 @@ def group_quantiles_continuous(ds, group_col: str, value_col: str,
                          "__b": pa.array(out["__b"], pa.int64()),
                          "__r": pa.array(out["__r"], pa.int64())})
 
-    hist = ds.map_batches(hist1, batch_format="pyarrow")
+    from pyrosm_ray.stages.blocks import KEYED_FOLD_DRIVER_MAX
+
+    # both folds follow the family driver-fast-path policy: the partial
+    # histograms are bounded by blocks x bins (pass 1) / candidate rows
+    # (pass 2) — usually far below the keyed ceiling, where a shuffle is
+    # pure aggregator spin-up. Beyond the ceiling the group-keyed fold
+    # engages (per-group work is bin-bounded, so a group task stays
+    # small at any corpus size). Identical output either way.
+    hist = ds.map_batches(hist1, batch_format="pyarrow").materialize()
+    n1 = hist.count()
     if stats is not None:
-        hist = hist.materialize()
-        stats["pass1_rows"] = hist.count()
-    cand = hist.groupby("__g", num_partitions=groupby_partitions()) \
-        .map_groups(fold1, batch_format="pyarrow").to_pandas()
+        stats["pass1_rows"] = n1
+    if n1 <= KEYED_FOLD_DRIVER_MAX:
+        parts = [pa.table(b)
+                 for b in hist.iter_batches(batch_format="pyarrow")]
+        parts = [t for t in parts if t.num_rows]
+        cand = (fold1(pa.concat_tables(parts)).to_pandas() if parts
+                else fold1(pa.table(
+                    {"__g": pa.array([], pa.string()),
+                     "__b": pa.array([], pa.int64()),
+                     "__c": pa.array([], pa.int64())})).to_pandas())
+    else:
+        cand = hist.groupby("__g", num_partitions=groupby_partitions()) \
+            .map_groups(fold1, batch_format="pyarrow").to_pandas()
     # one row per (group, quantile) — inherently tiny; broadcast
     targets: dict[str, dict] = {}
     for gname, sub in cand.groupby("__g", sort=False):
@@ -345,10 +363,20 @@ def group_quantiles_continuous(ds, group_col: str, value_col: str,
             cols[f"q{j}"] = pa.array(rows[f"q{j}"], pa.float64())
         return pa.table(cols)
 
-    inbin = ds.map_batches(keep2, batch_format="pyarrow")
+    inbin = ds.map_batches(keep2, batch_format="pyarrow").materialize()
+    n2 = inbin.count()
     if stats is not None:
-        inbin = inbin.materialize()
-        stats["pass2_rows"] = inbin.count()
+        stats["pass2_rows"] = n2
+    if n2 <= KEYED_FOLD_DRIVER_MAX:
+        parts = [pa.table(b)
+                 for b in inbin.iter_batches(batch_format="pyarrow")]
+        parts = [t for t in parts if t.num_rows]
+        if not parts:
+            cols = {"group": pa.array([], pa.string())}
+            for j in range(len(q_list)):
+                cols[f"q{j}"] = pa.array([], pa.float64())
+            return rd.from_arrow(pa.table(cols))
+        return rd.from_arrow(fold2(pa.concat_tables(parts)))
     return inbin.groupby("__g", num_partitions=groupby_partitions()) \
         .map_groups(fold2, batch_format="pyarrow")
 

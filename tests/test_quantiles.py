@@ -199,3 +199,30 @@ def test_group_quantiles_continuous_rejects_nan(ray_session):
     with pytest.raises(Exception, match="NaN"):
         group_quantiles_continuous(rd.from_arrow(t), "g", "v",
                                    0.5).to_pandas()
+
+
+def test_group_quantiles_continuous_route_parity(ray_session, monkeypatch):
+    """Driver fast paths and the group-keyed fold routes produce
+    identical continuous quantiles (ceiling forced to 0 for the fold
+    legs)."""
+    import ray.data as rd
+
+    from pyrosm_ray.stages import blocks, quantiles
+
+    rng = np.random.RandomState(11)
+    n = 6_000
+    t = pa.table({"g": pa.array(np.array(["x", "y", "z"])[
+        rng.randint(0, 3, n)]),
+        "v": pa.array(rng.normal(50, 20, n))})
+    fast = quantiles.group_quantiles_continuous(
+        rd.from_arrow(t).repartition(4), "g", "v",
+        [0.1, 0.5, 0.99]).to_pandas().sort_values("group") \
+        .reset_index(drop=True)
+    monkeypatch.setattr(blocks, "KEYED_FOLD_DRIVER_MAX", 0)
+    slow = quantiles.group_quantiles_continuous(
+        rd.from_arrow(t).repartition(4), "g", "v",
+        [0.1, 0.5, 0.99]).to_pandas().sort_values("group") \
+        .reset_index(drop=True)
+    assert list(fast["group"]) == list(slow["group"])
+    for c in ("q0", "q1", "q2"):
+        assert list(fast[c]) == list(slow[c])
