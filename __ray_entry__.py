@@ -1344,6 +1344,29 @@ def q_tile_rollup(sf_dir: str):
     return df.sort_values(["res", "cell"]).reset_index(drop=True)
 
 
+def q_zonal_stats(sf_dir: str):
+    """Raster<->vector zonal statistics (the north rule's raster stage):
+    pages rasterize to per-res-7-tile 32x32 page-count grids, building
+    polygons replicate to covering tiles and reduce the raster under
+    their pixel-centre even-odd mask -> per-(polygon, tile)
+    pixel_count / value_sum / value_mean. Both the pixel binning and the
+    pixel-centre lattice are dyadic-exact IEEE arithmetic emitted
+    verbatim in the SQL twin (stages/raster.py)."""
+    from pyrosm_ray.pipelines.layers import OSM
+    from pyrosm_ray.stages.raster import (polygon_zonal_stats,
+                                          rasterize_points)
+    from pyrosm_ray.stages.spatial import assign_tiles
+    fx = _fixture_dir(sf_dir)
+    pages = _read(str(fx), "pages", columns=["url"])
+    rast = rasterize_points(
+        assign_tiles(pages, resolutions=(7,))).materialize()
+    polys = OSM(str(fx)).get_buildings()
+    df = polygon_zonal_stats(polys, rast).to_pandas()
+    df = df[["polygon_id", "h3_r7", "pixel_count", "value_sum",
+             "value_mean"]]
+    return df.sort_values(["polygon_id", "h3_r7"]).reset_index(drop=True)
+
+
 def q_pages_in_bbox(sf_dir: str):
     import ray.data as rd
     from pyrosm_ray.fixtures import TEST_BBOX
@@ -2488,6 +2511,117 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT v FROM seg)
             SELECT node_id, COUNT(*) AS street_count FROM ex
             GROUP BY node_id ORDER BY node_id""",
+        # zonal stats: per-tile 32x32 page-count raster (floor binning,
+        # dyadic-exact arithmetic shared with stages/raster.py) reduced
+        # under each building polygon's pixel-centre even-odd mask (the
+        # same crossing-parity expression as the PIP oracles below)
+        "q_zonal_stats": f"""
+            WITH pg AS (
+              SELECT {lon_sql} AS qx, {lat_sql} AS qy FROM {pages}
+            ), pt AS (
+              SELECT {grid.cell_id_sql('qx', 'qy', 15)} AS tile, qx, qy
+              FROM pg
+            ), tb AS (
+              SELECT tile,
+                     -180.0 + (CAST((tile // {1 << 29}) % {1 << 29}
+                               AS BIGINT)) * {360.0 / (1 << 15)!r} AS x0,
+                     90.0 - (CAST(tile % {1 << 29} AS BIGINT))
+                          * {180.0 / (1 << 15)!r}
+                          - {180.0 / (1 << 15)!r} AS y0
+              FROM (SELECT DISTINCT tile FROM pt)
+            ), pixcnt AS (
+              SELECT pt.tile,
+                     LEAST(GREATEST(CAST(FLOOR((pt.qx - tb.x0)
+                       / {360.0 / (1 << 15)!r} * 32) AS BIGINT), 0), 31)
+                       AS ix,
+                     LEAST(GREATEST(CAST(FLOOR((pt.qy - tb.y0)
+                       / {180.0 / (1 << 15)!r} * 32) AS BIGINT), 0), 31)
+                       AS iy,
+                     COUNT(*) AS c
+              FROM pt JOIN tb USING (tile) GROUP BY 1, 2, 3
+            ), bw AS (
+              SELECT w.id, w.refs FROM {ways_p} w
+              WHERE len(map_extract(w.tags, 'building')) > 0
+                AND w.id NOT IN ({member_ways_b})
+                AND w.refs[1] = w.refs[len(w.refs)]
+                AND COALESCE(map_extract(w.tags, 'area')[1], '') <> 'no'
+            ), refs AS (
+              SELECT b.id, unnest(b.refs) AS r,
+                     generate_subscripts(b.refs, 1) AS ord FROM bw b
+            ), pts AS (
+              SELECT refs.id, refs.ord, n.lon AS x1, n.lat AS y1,
+                     LEAD(n.lon) OVER w AS x2, LEAD(n.lat) OVER w AS y2,
+                     COUNT(*) OVER (PARTITION BY refs.id) AS npts
+              FROM refs JOIN {nodes_p} n ON n.id = refs.r
+              WINDOW w AS (PARTITION BY refs.id ORDER BY refs.ord)
+            ), edges AS (
+              SELECT id, x1, y1, x2, y2 FROM pts
+              WHERE x2 IS NOT NULL AND npts > 2
+              UNION ALL
+              SELECT id, x1, y1, x2, y2
+              FROM read_parquet('{_relation_ring_edges_parquet(fx)}')
+            ), bbox AS (
+              SELECT id, LEAST(MIN(x1), MIN(x2)) AS bx0,
+                     GREATEST(MAX(x1), MAX(x2)) AS bx1,
+                     LEAST(MIN(y1), MIN(y2)) AS by0,
+                     GREATEST(MAX(y1), MAX(y2)) AS by1
+              FROM edges GROUP BY id
+            ), covr AS (
+              SELECT id,
+                     LEAST(GREATEST(CAST(FLOOR((bx0 + 180.0) / 360.0
+                       * {1 << 15}) AS BIGINT), 0), {(1 << 15) - 1})
+                       AS xlo,
+                     LEAST(GREATEST(CAST(FLOOR((bx1 + 180.0) / 360.0
+                       * {1 << 15}) AS BIGINT), 0), {(1 << 15) - 1})
+                       AS xhi,
+                     LEAST(GREATEST(CAST(FLOOR((90.0 - by1) / 180.0
+                       * {1 << 15}) AS BIGINT), 0), {(1 << 15) - 1})
+                       AS ylo,
+                     LEAST(GREATEST(CAST(FLOOR((90.0 - by0) / 180.0
+                       * {1 << 15}) AS BIGINT), 0), {(1 << 15) - 1})
+                       AS yhi
+              FROM bbox
+            ), covx AS (
+              SELECT id, unnest(generate_series(xlo, xhi)) AS gx,
+                     ylo, yhi
+              FROM covr
+            ), cover AS (
+              SELECT id,
+                     (CAST({15 * (1 << 58)} AS BIGINT) + gx * {1 << 29}
+                      + unnest(generate_series(ylo, yhi))) AS tile
+              FROM covx
+            ), pix AS (
+              SELECT c.id, c.tile, i.ix, j.iy,
+                     tb.x0 + (i.ix + 0.5)
+                       * {360.0 / (1 << 15)!r} / 32 AS cx,
+                     tb.y0 + (j.iy + 0.5)
+                       * {180.0 / (1 << 15)!r} / 32 AS cy
+              FROM cover c JOIN tb USING (tile),
+              LATERAL generate_series(0, 31) i(ix),
+              LATERAL generate_series(0, 31) j(iy)
+            ), par AS (
+              SELECT p.id, p.tile, p.ix, p.iy,
+                     SUM(CASE WHEN ((e.y1 > p.cy) <> (e.y2 > p.cy))
+                          AND p.cx < e.x1 + (p.cy - e.y1)
+                              * (e.x2 - e.x1) / (e.y2 - e.y1)
+                          THEN 1 ELSE 0 END) % 2 AS par
+              FROM pix p JOIN edges e ON e.id = p.id
+              GROUP BY p.id, p.tile, p.ix, p.iy
+            ), zs AS (
+              SELECT par.id AS polygon_id, par.tile AS h3_r7,
+                     CAST(SUM(par.par) AS BIGINT) AS pixel_count,
+                     CAST(SUM(CASE WHEN par.par = 1
+                              THEN COALESCE(pc.c, 0) ELSE 0 END)
+                          AS DOUBLE) AS value_sum
+              FROM par LEFT JOIN pixcnt pc
+                ON pc.tile = par.tile AND pc.ix = par.ix
+                   AND pc.iy = par.iy
+              GROUP BY 1, 2)
+            SELECT polygon_id, h3_r7, pixel_count, value_sum,
+                   CASE WHEN pixel_count > 0
+                        THEN value_sum / pixel_count
+                        ELSE 0.0 END AS value_mean
+            FROM zs ORDER BY polygon_id, h3_r7""",
         # full buildings-layer PIP (ways + relation multipolygons): way
         # ring edges straight from refs; relation ring edges from the
         # assembled side table (see _relation_ring_edges_parquet); even-odd
@@ -2696,7 +2830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_continuous": q_quantile_continuous,
         "q_heavy_hitters": q_heavy_hitters,
         "q_triangles": q_triangles,
-        "q_dsir_select": q_dsir_select,
+        "q_zonal_stats": q_zonal_stats,
         "q_tile_assignment": q_tile_assignment,
         "q_pip_join": q_pip_join,
         "q_osm_buildings_ways": q_osm_buildings_ways,
@@ -2727,6 +2861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_redact_pii": q_redact_pii,
         "q_dsir_weights": q_dsir_weights,
         "q_dsir_weights_hashed": q_dsir_weights_hashed,
+        "q_dsir_select": q_dsir_select,
         "q_slice_divergence": q_slice_divergence,
         "q_media_image": q_media_image,
         "q_media_audio": q_media_audio,

@@ -34,8 +34,19 @@ def rasterize_points(pages_with_tiles, tile_col: str = "h3_r7",
         x0, y0, x1, y1 = grid.cell_bounds(np.array([cell]))[0]
         lon = np.asarray(group[lon_col].to_numpy(zero_copy_only=False))
         lat = np.asarray(group[lat_col].to_numpy(zero_copy_only=False))
-        hist, _, _ = np.histogram2d(
-            lon, lat, bins=grid_size, range=[[x0, x1], [y0, y1]])
+        # floor-binning, not np.histogram2d: the same IEEE expression is
+        # emitted verbatim by the DuckDB oracle (zonal_pixel_sql), so the
+        # per-pixel counts are bit-reproducible in SQL. The grid cell
+        # sides are dyadic rationals (360/2^r), so x0/w are exact and the
+        # bin arithmetic matches across engines.
+        gs = grid_size
+        ix = np.clip(np.floor((lon - x0) / (x1 - x0) * gs), 0,
+                     gs - 1).astype(np.int64)
+        iy = np.clip(np.floor((lat - y0) / (y1 - y0) * gs), 0,
+                     gs - 1).astype(np.int64)
+        hist = np.bincount(ix * gs + iy,
+                           minlength=gs * gs).astype(np.float64) \
+            .reshape(gs, gs)
         return pa.table({
             tile_col: pa.array([cell], pa.int64()),
             "raster": pa.array([hist.astype("<f8").tobytes()], pa.binary()),
