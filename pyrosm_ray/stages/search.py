@@ -374,14 +374,33 @@ def bm25_topk_from_postings(path: str, query: str, k: int = 10,
         return pa.table({id_col: bt[id_col],
                          "m": pa.array(micro, pa.int64())})
 
+    # per-doc sums via the auto-routed keyed fold (driver fold below the
+    # ceiling; hash fold beyond — a stopword's matching postings are
+    # bounded by its document frequency, which at a 10^12-doc corpus far
+    # exceeds any driver heap), then per-batch partial top-k so only
+    # k rows per block reach the driver.
     import pandas as pd
-    rows = hits.map_batches(score, batch_format="pyarrow").to_pandas()
-    if not len(rows):
-        return rd.from_arrow(empty)
-    agg = rows.groupby(id_col, sort=False)["m"].sum().reset_index()
-    agg = agg.rename(columns={"m": "score_micro"})
-    agg = agg.sort_values(["score_micro", id_col],
+
+    from pyrosm_ray.stages.blocks import keyed_sum_auto
+    folded = keyed_sum_auto(
+        None, hits.map_batches(score, batch_format="pyarrow"),
+        id_col, ["m"])
+
+    def part_topk(bt: pa.Table) -> pa.Table:
+        d = bt.to_pandas()
+        d = d.sort_values(["m", id_col],
                           ascending=[False, True]).head(k)
+        return pa.Table.from_pandas(d, preserve_index=False)
+
+    parts = [pa.table(bt) for bt in
+             folded.map_batches(part_topk, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow")]
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return rd.from_arrow(empty)
+    agg = pa.concat_tables(parts).to_pandas() \
+        .sort_values(["m", id_col], ascending=[False, True]).head(k) \
+        .rename(columns={"m": "score_micro"})
     return rd.from_arrow(pa.Table.from_pandas(
         agg.reset_index(drop=True), preserve_index=False))
 
