@@ -64,6 +64,14 @@ def polygon_zonal_stats(polygons_ds, raster_ds, tile_col: str = "h3_r7",
     Polygons are exploded to covering tiles, joined with the raster table by
     tile, masked on the pixel-centre lattice, reduced. Output one row per
     (polygon, tile): pixel_count / value_sum / value_mean.
+
+    Partitioning contract: the polygon GEOMETRY rides the explode, i.e. a
+    polygon's WKB replicates once per covering tile. Building/landuse-scale
+    polygons cover a handful of raster tiles, so the blow-up is bounded;
+    for continent-scale admin polygons (10^4+ covering tiles) route the
+    geometry via the packed-once pattern of
+    :func:`pyrosm_ray.stages.spatial.pip_join_partitioned` — or rasterize
+    at a coarser tile res — rather than this stage as-is.
     """
     def polys_to_cells(batch: pa.Table) -> pa.Table:
         ids_, cells, blobs = [], [], []
