@@ -123,7 +123,32 @@ def topk_per_group(ds, group_col: str, order_col: str, k: int,
         return out.append_column(
             out_rank, pa.array(rank[keep] + 1, pa.int64()))
 
-    return ds.map_batches(bucket, batch_format="pyarrow") \
+    def partial(t: pa.Table) -> pa.Table:
+        # batch-local combiner: top-k per group is a monoid, so keeping
+        # at most k best rows per group per BATCH is exact and shrinks
+        # the shuffle from all rows to <= k x groups x blocks rows
+        if t.num_rows == 0:
+            return t
+        import pandas as pd
+        col = t[group_col]
+        keys = col.to_numpy(zero_copy_only=False) \
+            if pa.types.is_integer(col.type) \
+            else np.asarray(col.to_pylist(), dtype=object)
+        codes, _ = pd.factorize(keys)
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        order = np.asarray(t[order_col].to_numpy(zero_copy_only=False))
+        perm = np.lexsort((ids, -order, codes))
+        sc = codes[perm]
+        news = np.ones(len(sc), bool)
+        news[1:] = sc[1:] != sc[:-1]
+        seg_start = np.flatnonzero(news)
+        seg_of = np.cumsum(news) - 1
+        rank = np.arange(len(sc), dtype=np.int64) - seg_start[seg_of]
+        return t.take(pa.array(perm[rank < k], pa.int64()))
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .map_batches(bucket, batch_format="pyarrow") \
         .groupby("__q", num_partitions=nb) \
         .map_groups(fold, batch_format="pyarrow")
 
