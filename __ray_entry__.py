@@ -590,6 +590,17 @@ def q_hash_sample(sf_dir: str):
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_assign_splits(sf_dir: str):
+    """Deterministic weighted train/val/test assignment: a doc's split
+    depends only on hash64(doc_id, seed), so it is stable under re-runs,
+    re-partitioning, and late-arriving data."""
+    from pyrosm_ray.stages.sampling import assign_splits
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    df = assign_splits(ds, {"train": 90, "val": 5, "test": 5},
+                       seed=23).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_topk_per_lang(sf_dir: str):
     """Per-language quota: the 40 longest docs per lang, deterministic
     tie-break by doc_id (ROW_NUMBER PARTITION BY semantics)."""
@@ -2143,6 +2154,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM documents WHERE "
             + _sampling.hash_sample_sql("doc_id", 3, 10, seed=7)
             + " ORDER BY doc_id"),
+        "q_assign_splits": (
+            "SELECT doc_id, lang, "
+            + _sampling.assign_splits_sql(
+                "doc_id", {"train": 90, "val": 5, "test": 5}, seed=23)
+            + " AS split FROM documents ORDER BY doc_id"),
         "q_topk_per_lang": """
             SELECT doc_id, lang, n_chars, grp_rank FROM (
               SELECT doc_id, lang, n_chars,
@@ -2829,7 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantile_bins": q_quantile_bins,
         "q_quantile_continuous": q_quantile_continuous,
         "q_heavy_hitters": q_heavy_hitters,
-        "q_triangles": q_triangles,
+        "q_assign_splits": q_assign_splits,
         "q_zonal_stats": q_zonal_stats,
         "q_tile_assignment": q_tile_assignment,
         "q_pip_join": q_pip_join,
@@ -2867,6 +2883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_media_audio": q_media_audio,
         "q_simhash_pairs": q_simhash_pairs,
         "q_ngram_jaccard": q_ngram_jaccard,
+        "q_triangles": q_triangles,
         "q_topk_cosine": q_topk_cosine,
         "q_ivf_topk": q_ivf_topk,
         "q_tile_counts": q_tile_counts,

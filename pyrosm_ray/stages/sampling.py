@@ -68,6 +68,51 @@ def hash_sample_sql(id_expr: str, num: int, den: int, seed: int = 7) -> str:
     return f"(({h}) % {den}) < {num}"
 
 
+def assign_splits(ds, splits: dict[str, int], id_col: str = "doc_id",
+                  seed: int = 23, out_col: str = "split"):
+    """Deterministic weighted train/val/test split assignment:
+    ``hash64(id, seed) % total_weight`` lands in a cumulative-weight
+    range -> split name appended as ``out_col``. A row's split depends
+    only on its own id, so assignments are stable under re-runs,
+    re-partitioning, and late-arriving data — the property a
+    ``random_shuffle().split()`` lacks. Stateless vectorised map;
+    bit-identical SQL twin :func:`assign_splits_sql`."""
+    names = list(splits)
+    weights = np.array([int(splits[n]) for n in names], np.int64)
+    if len(names) == 0 or (weights <= 0).any():
+        raise ValueError("splits must be a non-empty {name: weight>0}")
+    cum = np.cumsum(weights)
+    total = int(cum[-1])
+    names_arr = np.asarray(names, dtype=object)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_numpy(zero_copy_only=False),
+                         np.int64)
+        b = (hash64(ids.view(np.uint64), seed)
+             % np.uint64(total)).astype(np.int64)
+        idx = np.searchsorted(cum, b, side="right")
+        return batch.append_column(
+            out_col, pa.array(names_arr[idx], pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
+def assign_splits_sql(id_expr: str, splits: dict[str, int],
+                      seed: int = 23) -> str:
+    """CASE-expression twin of :func:`assign_splits` (bit-identical)."""
+    names = list(splits)
+    weights = [int(splits[n]) for n in names]
+    total = sum(weights)
+    h = hash64_sql(f"CAST({id_expr} AS UBIGINT)", seed)
+    bucket = f"(({h}) % {total})"
+    cum = 0
+    cases = []
+    for n, w in zip(names[:-1], weights[:-1]):
+        cum += w
+        cases.append(f"WHEN {bucket} < {cum} THEN '{n}'")
+    return f"(CASE {' '.join(cases)} ELSE '{names[-1]}' END)"
+
+
 # ---------------------------------------------------------------------------
 # per-group quota
 # ---------------------------------------------------------------------------

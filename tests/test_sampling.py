@@ -272,3 +272,34 @@ def test_dsir_select_topk_order(ray_session):
         .sort_values(["dsir_micro", "doc_id"],
                      ascending=[False, True]).head(10)
     assert list(sel.doc_id) == list(full.doc_id)
+
+
+def test_assign_splits_deterministic_and_sql_twin(ray_session):
+    """Weighted split assignment: proportions near the weights, stable
+    under re-partitioning, bit-identical to the SQL twin."""
+    import duckdb
+    import ray.data as rd
+
+    from pyrosm_ray.stages import sampling
+
+    t = pa.table({"doc_id": pa.array(np.arange(20_000), pa.int64())})
+    W = {"train": 90, "val": 5, "test": 5}
+    got = sampling.assign_splits(rd.from_arrow(t), W).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    frac = got.split.value_counts(normalize=True)
+    assert abs(frac["train"] - 0.90) < 0.02
+    assert abs(frac["val"] - 0.05) < 0.01
+    again = sampling.assign_splits(
+        rd.from_arrow(t).repartition(7), W).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert list(got.split) == list(again.split)
+    con = duckdb.connect()
+    con.register("t", t)
+    want = con.execute(
+        "SELECT doc_id, " + sampling.assign_splits_sql("doc_id", W)
+        + " AS split FROM t ORDER BY doc_id").fetchdf()
+    assert list(got.split) == list(want.split)
+
+    import pytest
+    with pytest.raises(ValueError):
+        sampling.assign_splits(rd.from_arrow(t), {"a": 0})
