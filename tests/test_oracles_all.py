@@ -5,7 +5,7 @@ a pytest node so CI-style runs can gate on it:
 
     ORACLE_SWEEP=1 python -m pytest tests/test_oracles_all.py -q
 
-Skipped by default — the sweep runs all 94 driver queries (~4-5 min at
+Skipped by default — the sweep runs every driver query (~4-5 min at
 sf0.01), which would dominate the regular `pytest -x -q` wall.
 """
 
@@ -17,7 +17,7 @@ import pytest
 
 @pytest.mark.skipif(not os.environ.get("ORACLE_SWEEP"),
                     reason="set ORACLE_SWEEP=1 to run the full "
-                           "94-query oracle board (~5 min)")
+                           "full oracle board (~5 min)")
 def test_all_queries_match_oracles(ray_session):
     from verify_all import run_sweep
 

@@ -3,8 +3,8 @@
 ``oracle_sql()`` twin at sf0.01 (the driver's correctness protocol —
 row-count + schema + sorted-value compare) and print a green board plus one
 JSON summary line.  The driver itself caps at the first 50 registered
-queries; this script witnesses all of them, so every round self-verifies
-the full board without waiting for the judge.
+queries; this script witnesses ALL registered queries (96 as of round 5),
+so every round self-verifies the full board without waiting for the judge.
 
 Usage:
     python verify_all.py                      # all queries, sf0.01
