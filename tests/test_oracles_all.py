@@ -16,7 +16,7 @@ import pytest
 
 
 @pytest.mark.skipif(not os.environ.get("ORACLE_SWEEP"),
-                    reason="set ORACLE_SWEEP=1 to run the full "
+                    reason="set ORACLE_SWEEP=1 to run the "
                            "full oracle board (~5 min)")
 def test_all_queries_match_oracles(ray_session):
     from verify_all import run_sweep
