@@ -161,3 +161,25 @@ def test_read_pbf_dataset(ray_session):
     assert ds.count() == 2653
     first = ds.take(1)[0]
     assert {"id", "refs", "tags"} <= set(first.keys())
+
+
+def test_network_parsing_counts_match_reference(pbf_dir):
+    """The reference's own test_network_parsing goldens on its bundled
+    test.osm.pbf (reference tests/test_network_parsing.py:44,84,125,166,
+    209): every network preset assembles the same feature count."""
+    from pyrosm_ray.pipelines.layers import OSM
+    o = OSM(pbf_dir)
+    golden = {"walking": 238, "driving": 200, "driving+service": 200,
+              "cycling": 290, "all": 331}
+    for nt, want in golden.items():
+        assert o.get_network(nt).count() == want, nt
+
+
+def test_pois_default_count_matches_reference(ray_session,
+                                              tmp_path_factory):
+    """get_pois() on Helsinki.osm.pbf == 1711 features — the reference's
+    test_a_poi.py:27 golden (its osmium-parity count)."""
+    out = str(tmp_path_factory.mktemp("pbf") / "helsinki_pois")
+    pbf.pbf_to_parquet(HELSINKI_PBF, out)
+    from pyrosm_ray.pipelines.layers import OSM
+    assert OSM(out).get_pois().count() == 1711
