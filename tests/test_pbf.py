@@ -183,3 +183,21 @@ def test_pois_default_count_matches_reference(ray_session,
     pbf.pbf_to_parquet(HELSINKI_PBF, out)
     from pyrosm_ray.pipelines.layers import OSM
     assert OSM(out).get_pois().count() == 1711
+
+
+def test_graph_export_shapes_match_reference(pbf_dir):
+    """get_network(nodes=True) golden shapes on test.osm.pbf — full
+    extract (1038 edges / 989 nodes, reference
+    tests/test_network_parsing.py:464) and the bbox case including the
+    reference's #236/#199 complete-ways semantics (291 edges / 293
+    nodes: boundary-crossing edges kept whole, their outside endpoints
+    retained, :490)."""
+    from pyrosm_ray.pipelines.layers import OSM
+    nodes, edges = OSM(pbf_dir).get_network(nodes=True)
+    assert edges.count() == 1038
+    assert nodes.count() == 989
+    nodes_b, edges_b = OSM(
+        pbf_dir, bounding_box=[26.94, 60.525, 26.96, 60.535]) \
+        .get_network(nodes=True)
+    assert edges_b.count() == 291
+    assert nodes_b.count() == 293
