@@ -201,3 +201,13 @@ def test_graph_export_shapes_match_reference(pbf_dir):
         .get_network(nodes=True)
     assert edges_b.count() == 291
     assert nodes_b.count() == 293
+
+
+def test_landuse_and_natural_counts_match_reference(pbf_dir):
+    """get_landuse() == 51 and get_natural() == 14 on test.osm.pbf —
+    the reference's tests/test_landuse_parsing.py:35 and
+    tests/test_natural_parsing.py:35 goldens."""
+    from pyrosm_ray.pipelines.layers import OSM
+    o = OSM(pbf_dir)
+    assert o.get_landuse().count() == 51
+    assert o.get_natural().count() == 14
