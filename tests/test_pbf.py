@@ -211,3 +211,31 @@ def test_landuse_and_natural_counts_match_reference(pbf_dir):
     o = OSM(pbf_dir)
     assert o.get_landuse().count() == 51
     assert o.get_natural().count() == 14
+
+
+@pytest.fixture(scope="module")
+def helsinki_dir(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("pbf") / "helsinki_shared")
+    pbf.pbf_to_parquet(HELSINKI_PBF, out)
+    return out
+
+
+def test_custom_filter_goldens_match_reference(helsinki_dir):
+    """Two more reference custom-filter goldens on Helsinki.osm.pbf:
+    multi-key keep (shop=alcohol OR amenity=pub -> 59 features, only the
+    requested values present; tests/test_custom_filter.py:580) and
+    exclude (amenity=library excluded over all element types -> 1083,
+    no library rows; :611)."""
+    from pyrosm_ray.pipelines.layers import OSM
+    o = OSM(helsinki_dir)
+    g = o.get_data_by_custom_criteria(
+        {"shop": ["alcohol"], "amenity": ["pub"]}).to_pandas()
+    assert len(g) == 59
+    assert sorted({x for x in g["shop"] if isinstance(x, str)}) \
+        == ["alcohol"]
+    assert sorted({x for x in g["amenity"] if isinstance(x, str)}) \
+        == ["pub"]
+    g2 = o.get_data_by_custom_criteria(
+        {"amenity": ["library"]}, filter_type="exclude").to_pandas()
+    assert len(g2) == 1083
+    assert "library" not in set(g2["amenity"])
