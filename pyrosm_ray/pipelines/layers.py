@@ -807,12 +807,21 @@ class OSM:
 
     def to_graph(self, nodes_ds, edges_ds, graph_type: str = "networkx",
                  direction: str = "oneway", force_bidirectional: bool = False,
-                 simplify: bool = False, retain_all: bool = False):
+                 simplify: bool = False, retain_all: bool = False,
+                 network_type: str | None = None):
         """Routable-graph export (reference ``OSM.to_graph``,
         pyrosm/pyrosm.py graph path): directed-edge expansion (M27) ->
         optional topological simplification -> largest-SCC restriction ->
         OSMnx-compatible MultiDiGraph (M28). Input is the
-        ``get_network(..., nodes=True)`` pair."""
+        ``get_network(..., nodes=True)`` pair.
+
+        ``network_type`` applies the reference's per-type direction rule
+        (pyrosm/graphs.py:99-128): walking and "all" networks export
+        bidirectional regardless of ``oneway``; cycling honours
+        ``oneway:bicycle`` contraflow overrides; driving honours plain
+        ``oneway``. The reference detects the type from GeoDataFrame
+        metadata its getters attach — Datasets carry no metadata, so
+        here it is an explicit parameter."""
         from pyrosm_ray.pipelines.graph import (directed_edges, to_igraph,
                                                 to_networkx, to_pandana)
         from pyrosm_ray.pipelines.simplify import simplify_graph
@@ -820,7 +829,15 @@ class OSM:
                      "pandana": to_pandana}
         if graph_type not in exporters:
             raise ValueError(f"graph_type must be one of {set(exporters)}")
+        direction_suffix = None
+        if ":" in direction:
+            direction, direction_suffix = direction.split(":", 1)
+        if direction_suffix is None and network_type == "cycling":
+            direction_suffix = "bicycle"
+        if network_type in ("walking", "all"):
+            force_bidirectional = True
         d = directed_edges(edges_ds, direction=direction,
+                           direction_suffix=direction_suffix,
                            force_bidirectional=force_bidirectional)
         edges_df = d.to_pandas()
         nodes_df = nodes_ds.to_pandas()

@@ -239,3 +239,18 @@ def test_custom_filter_goldens_match_reference(helsinki_dir):
         {"amenity": ["library"]}, filter_type="exclude").to_pandas()
     assert len(g2) == 1083
     assert "library" not in set(g2["amenity"])
+
+
+def test_graph_export_edge_count_matches_reference(pbf_dir):
+    """Directed export of the default (walking) network on test.osm.pbf:
+    walking is bidirectional by the reference's per-type rule, so the
+    graph holds exactly 2 x 1038 = 2076 directed edges over all 989
+    nodes (reference tests/test_graph_exports.py:222,286)."""
+    import networkx as nx
+
+    from pyrosm_ray.pipelines.layers import OSM
+    o = OSM(pbf_dir)
+    nodes, edges = o.get_network("walking", nodes=True)
+    g = o.to_graph(nodes, edges, retain_all=True, network_type="walking")
+    assert nx.number_of_edges(g) == 2076
+    assert nx.number_of_nodes(g) == 989
