@@ -134,6 +134,17 @@ def run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
           lambda: spatial.pip_join(tiled_mat, layer="buildings",
                                    index_ref=pip_index[0]).count(),
           repeats=2)
+    # raster<->vector zonal stats: per-tile page-count rasters reduced
+    # under the building polygons' pixel-centre masks
+    from pyrosm_ray.stages.raster import polygon_zonal_stats, \
+        rasterize_points
+
+    def _zonal():
+        rast = rasterize_points(
+            tiled.select_columns(["h3_r7", "lon", "lat"])).materialize()
+        return polygon_zonal_stats(polys, rast).count()
+    timed("zonal_stats", _zonal)
+
     pois = osm.get_pois().materialize()
     knn_index = [None]
 

@@ -110,17 +110,24 @@ def polygon_zonal_stats(polygons_ds, raster_ds, tile_col: str = "h3_r7",
     def stats(batch: pa.Table) -> pa.Table:
         n = len(batch)
         cells = np.asarray(batch[tile_col].to_numpy(zero_copy_only=False))
+        bounds = grid.cell_bounds(cells) if n else np.empty((0, 4))
         pix_counts = np.zeros(n, dtype=np.int64)
         val_sums = np.zeros(n, dtype=np.float64)
+        # a polygon covers several tiles, so its WKB repeats across rows
+        # of the batch — parse each distinct geometry's rings once
+        ring_cache: dict[bytes, list] = {}
+        half = np.arange(grid_size) + 0.5
         for i in range(n):
-            cell = int(cells[i])
-            x0, y0, x1, y1 = grid.cell_bounds(np.array([cell]))[0]
+            x0, y0, x1, y1 = bounds[i]
             raster = np.frombuffer(batch["raster"][i].as_py(),
                                    dtype="<f8").reshape(grid_size, grid_size)
-            xs = x0 + (np.arange(grid_size) + 0.5) * (x1 - x0) / grid_size
-            ys = y0 + (np.arange(grid_size) + 0.5) * (y1 - y0) / grid_size
+            xs = x0 + half * (x1 - x0) / grid_size
+            ys = y0 + half * (y1 - y0) / grid_size
             gx, gy = np.meshgrid(xs, ys, indexing="ij")
-            rings = wkb.polygon_rings(batch["pgeom"][i].as_py())
+            blob = batch["pgeom"][i].as_py()
+            rings = ring_cache.get(blob)
+            if rings is None:
+                rings = ring_cache[blob] = wkb.polygon_rings(blob)
             mask = ops.points_in_rings_even_odd(
                 rings, gx.ravel(), gy.ravel()).reshape(grid_size, grid_size)
             pix_counts[i] = int(mask.sum())
