@@ -254,3 +254,55 @@ def test_graph_export_edge_count_matches_reference(pbf_dir):
     g = o.to_graph(nodes, edges, retain_all=True, network_type="walking")
     assert nx.number_of_edges(g) == 2076
     assert nx.number_of_nodes(g) == 989
+
+
+def test_haversine_unit_golden():
+    """The reference's distance golden (tests/
+    test_distance_calculation.py:18): Null Island -> (10, 10) is
+    1568.52272 km under the shared haversine constants."""
+    from pyrosm_ray.geom import ops
+    d = float(ops.haversine_m(np.array([0.0]), np.array([0.0]),
+                              np.array([10.0]), np.array([10.0]))[0])
+    assert round(d / 1000.0, 5) == 1568.52272
+
+
+def _canon_rings(blob):
+    """Order/rotation/direction-independent canonical form of a
+    (multi)polygon's rings — the shapely.normalize+equals_exact(0)
+    comparison of the reference's straddling test, WKB-native."""
+    from pyrosm_ray.geom import wkb as wkblib
+    out = []
+    for r in wkblib.polygon_rings(blob):
+        r = np.asarray(r)[:-1]
+        i = np.lexsort((r[:, 1], r[:, 0]))[0]
+        fwd = np.roll(r, -i, axis=0)
+        rev = np.roll(r[::-1], -(len(r) - 1 - i), axis=0)
+        out.append(min(fwd.tobytes(), rev.tobytes()))
+    return tuple(sorted(out))
+
+
+def test_complete_relations_on_real_extract(helsinki_dir):
+    """The reference's straddling-relation scenario on its own Helsinki
+    extract (tests/test_complete_relations.py:41, same bbox): with
+    complete_relations=True every relation common with the whole-file
+    read matches vertex-for-vertex, and at least one relation was
+    broken without completion (measured: 3 of 6)."""
+    from pyrosm_ray.pipelines.layers import OSM
+    BB = [24.94338, 60.17089, 24.95068, 60.17687]
+
+    def rel_geoms(df):
+        d = df[df.osm_type == "relation"].set_index("id").geometry
+        return {int(i): _canon_rings(g) for i, g in d.items()}
+
+    whole = rel_geoms(OSM(helsinki_dir).get_buildings().to_pandas())
+    partial = rel_geoms(OSM(helsinki_dir, bounding_box=BB)
+                        .get_buildings().to_pandas())
+    complete = rel_geoms(OSM(helsinki_dir, bounding_box=BB,
+                             complete_relations=True)
+                         .get_buildings().to_pandas())
+    common = sorted(set(complete) & set(whole))
+    assert len(common) >= 6
+    assert all(complete[r] == whole[r] for r in common)
+    n_fixed = sum(1 for r in common
+                  if not (r in partial and partial[r] == whole[r]))
+    assert n_fixed > 0
