@@ -306,3 +306,47 @@ def test_complete_relations_on_real_extract(helsinki_dir):
     n_fixed = sum(1 for r in common
                   if not (r in partial and partial[r] == whole[r]))
     assert n_fixed > 0
+
+
+def test_filter_regression_invariants_match_reference(pbf_dir):
+    """The reference's #108/#112/#118 regression invariants on
+    test.osm.pbf (tests/test_regressions.py:130-240): exclude filters
+    drop secondary-key matches (no service leak), the driving preset
+    leaks neither excluded highway nor service values, keep filters OR
+    across keys, and custom-filtered get_network(nodes=True) returns a
+    graph-ready pair."""
+    from pyrosm_ray.pipelines.layers import OSM
+    o = OSM(pbf_dir)
+    EXS = {"parking", "parking_aisle", "private", "emergency_access"}
+    drive_filter = dict(
+        area=["yes"], service=sorted(EXS),
+        highway=["cycleway", "footway", "path", "pedestrian", "steps",
+                 "track", "corridor", "elevator", "escalator",
+                 "proposed", "construction", "bridleway", "abandoned",
+                 "platform", "raceway"],
+        motor_vehicle=["no"], motorcar=["no"])
+    g = o.get_data_by_custom_criteria(
+        custom_filter=drive_filter, osm_keys_to_keep="highway",
+        filter_type="exclude").to_pandas()
+    assert len(g) > 0
+    assert not (set(g["service"].dropna().unique()) & EXS)
+
+    e = o.get_network("driving").to_pandas()
+    excluded_highway = {"cycleway", "footway", "path", "pedestrian",
+                        "steps", "track", "corridor", "elevator",
+                        "escalator", "proposed", "construction",
+                        "bridleway", "abandoned", "platform", "raceway"}
+    assert not (set(e["highway"].dropna().unique()) & excluded_highway)
+    if "service" in e.columns:
+        assert not (set(e["service"].dropna().unique()) & EXS)
+
+    k = o.get_data_by_custom_criteria(
+        custom_filter={"highway": ["path"], "service": ["driveway"]},
+        osm_keys_to_keep="highway", filter_type="keep").to_pandas()
+    assert len(k) > 0
+    assert "driveway" in set(k["service"].dropna().unique())
+
+    nodes, edges = o.get_network(
+        custom_filter={"highway": ["footway", "residential"]},
+        filter_type="keep", nodes=True)
+    assert edges.count() > 0 and nodes.count() > 0
