@@ -350,3 +350,58 @@ def test_filter_regression_invariants_match_reference(pbf_dir):
         custom_filter={"highway": ["footway", "residential"]},
         filter_type="keep", nodes=True)
     assert edges.count() > 0 and nodes.count() > 0
+
+
+def test_advanced_filter_parity_on_real_extract(helsinki_dir):
+    """The reference's advanced-filter end-to-end equalities on its own
+    Helsinki extract (tests/test_advanced_filter.py:240-340): regex
+    value unions equal literal unions, bracket-string lists equal dict
+    filters, AND-chained brackets subset, non-highway networks work,
+    keep/exclude partition the candidate universe, and the layer key is
+    OR-injected identically for advanced and dict filters."""
+    import re
+
+    from pyrosm_ray.pipelines.layers import OSM
+
+    def ids(ds):
+        return {int(x) for x in ds.to_pandas()["id"].unique()}
+
+    o = OSM(helsinki_dir)
+    rg = o.get_data_by_custom_criteria(
+        custom_filter={"highway": [re.compile("footway|cycleway")]})
+    lt = o.get_data_by_custom_criteria(
+        custom_filter={"highway": ["footway", "cycleway"]})
+    assert ids(rg) == ids(lt) and len(ids(rg)) > 0
+
+    br = o.get_network(custom_filter=['["highway"~"^footway$"]',
+                                      '["highway"~"^cycleway$"]'],
+                       filter_type="keep")
+    pl = o.get_network(custom_filter={"highway": ["footway", "cycleway"]},
+                       filter_type="keep")
+    assert ids(br) == ids(pl) and len(ids(br)) > 0
+
+    both = o.get_network(
+        custom_filter='["highway"~"path|footway"]["bicycle"~"."]',
+        filter_type="keep").to_pandas()
+    first = o.get_network(custom_filter='["highway"~"path|footway"]',
+                          filter_type="keep").to_pandas()
+    assert len(both) > 0
+    assert set(both.id).issubset(set(first.id))
+    assert both["bicycle"].notna().all()
+
+    rail = o.get_network(custom_filter='["railway"~"subway|tram|rail"]',
+                         filter_type="keep").to_pandas()
+    assert len(rail) > 0 and rail["railway"].notna().all()
+
+    kd = ids(o.get_network(custom_filter='["highway"~"^footway$"]'))
+    ke = ids(o.get_network(custom_filter='["highway"~"^footway$"]',
+                           filter_type="keep"))
+    ex = ids(o.get_network(custom_filter='["highway"~"^footway$"]',
+                           filter_type="exclude"))
+    un = ids(o.get_network(custom_filter='["highway"~"."]',
+                           filter_type="keep"))
+    assert kd == ke and kd.isdisjoint(ex) and (kd | ex) == un
+
+    adv = o.get_buildings(custom_filter='["amenity"="restaurant"]')
+    pl2 = o.get_buildings(custom_filter={"amenity": ["restaurant"]})
+    assert ids(adv) == ids(pl2) and len(ids(adv)) > 0
