@@ -405,3 +405,63 @@ def test_advanced_filter_parity_on_real_extract(helsinki_dir):
     adv = o.get_buildings(custom_filter='["amenity"="restaurant"]')
     pl2 = o.get_buildings(custom_filter={"amenity": ["restaurant"]})
     assert ids(adv) == ids(pl2) and len(ids(adv)) > 0
+
+
+def test_geometry_typing_goldens_match_reference(helsinki_dir):
+    """The reference's #144 geometry-typing goldens on its Helsinki
+    extract (tests/test_geometry.py:64-117): the closed service
+    roundabout way 8035241 stays linear in feature extraction, the
+    area=yes plazas 4369051/18379563 type as Polygon, and network
+    extraction keeps EVERYTHING linear (a polygon is not routable),
+    plazas included."""
+    from pyrosm_ray.geom import wkb as wkblib
+    from pyrosm_ray.pipelines.layers import OSM
+    o = OSM(helsinki_dir)
+    gdf = o.get_data_by_custom_criteria(
+        custom_filter={"highway": True}, filter_type="keep").to_pandas()
+    ways = gdf[gdf.osm_type == "way"]
+    rb = ways[ways.id == 8035241]
+    assert len(rb) == 1
+    assert wkblib.wkb_geom_type(rb.iloc[0].geometry) in (
+        wkblib.LINESTRING, wkblib.MULTILINESTRING)
+    for plaza in (4369051, 18379563):
+        row = ways[ways.id == plaza]
+        assert len(row) == 1
+        assert row.iloc[0]["area"] == "yes"
+        assert wkblib.wkb_geom_type(row.iloc[0].geometry) == wkblib.POLYGON
+    edges = o.get_network("all").to_pandas()
+    types = {wkblib.wkb_geom_type(g) for g in edges.geometry}
+    assert types <= {wkblib.LINESTRING, wkblib.MULTILINESTRING}
+    for plaza in (4369051, 18379563):
+        assert (edges.id == plaza).any()
+
+
+def test_ring_orientation_follows_rhr_on_real_extract(helsinki_dir):
+    """#230 right-hand rule on the real extract: every orientable ring
+    of every buildings/landuse/natural polygon has a CCW exterior and
+    CW holes (the reference asserts the same for valid geometries; the
+    only exceptions here are zero-area degenerate rings, which have no
+    orientation)."""
+    from pyrosm_ray.geom import wkb as wkblib
+    from pyrosm_ray.pipelines.layers import OSM
+
+    def shoelace(r):
+        r = np.asarray(r)
+        x, y = r[:, 0], r[:, 1]
+        return 0.5 * np.sum(x[:-1] * y[1:] - x[1:] * y[:-1])
+
+    o = OSM(helsinki_dir)
+    checked = 0
+    for meth in ("get_buildings", "get_landuse", "get_natural"):
+        for g in getattr(o, meth)().to_pandas().geometry:
+            gt, payload = wkblib.decode_wkb(g)
+            polys = [payload] if gt == wkblib.POLYGON else (
+                payload if gt == wkblib.MULTIPOLYGON else [])
+            for rings in polys:
+                for j, ring in enumerate(rings):
+                    a = shoelace(ring)
+                    if a == 0.0:
+                        continue  # degenerate 2-point closed way
+                    assert (a > 0) if j == 0 else (a < 0)
+                    checked += 1
+    assert checked > 800
