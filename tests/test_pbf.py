@@ -465,3 +465,13 @@ def test_ring_orientation_follows_rhr_on_real_extract(helsinki_dir):
                     assert (a > 0) if j == 0 else (a < 0)
                     checked += 1
     assert checked > 800
+
+
+def test_incomplete_boundaries_dropped_on_real_extract(helsinki_dir):
+    """#154 — every admin boundary in the bundled Helsinki extract runs
+    off the PBF edge, so none can assemble; they are dropped (matching
+    osmium/GDAL), never force-closed into stray polygons. The reference
+    returns None for an empty GeoDataFrame result; the Dataset
+    convention here is an empty Dataset."""
+    from pyrosm_ray.pipelines.layers import OSM
+    assert OSM(helsinki_dir).get_boundaries().count() == 0
