@@ -208,6 +208,21 @@ def keyed_sum_auto(raw_ds, partials, key_col: str, val_cols: list[str],
     del raw_ds
     parts = partials.materialize()
     n_part = parts.count()  # metadata-only on a materialized dataset
+    if n_part > KEYED_FOLD_DRIVER_MAX:
+        # map-side combine level: per-BLOCK partials are bounded by each
+        # block's key domain, so with many input blocks the stream holds
+        # ~blocks x keys rows of which only ~keys are distinct. Coalesce
+        # to ~cluster-width blocks (repartition(shuffle=False) = minimal
+        # block-level movement, NO keyed exchange) and re-fold each —
+        # tile_rollup's sf3 fine level shrinks 2M partial rows to ~2%
+        # of that before any hash shuffle or driver collect runs.
+        cpus = _cluster_cpus()
+        merged = parts.repartition(max(2, cpus)).map_batches(
+            lambda b: _fold_keyed(b, key_col, val_cols),
+            batch_format="pyarrow").materialize()
+        n_merged = merged.count()
+        if n_merged < n_part:
+            parts, n_part = merged, n_merged
     if n_part <= KEYED_FOLD_DRIVER_MAX:
         return keyed_sum_driver(parts, key_col, val_cols)
     return keyed_sum_fold(parts, key_col, val_cols,
