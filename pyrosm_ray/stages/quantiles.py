@@ -126,6 +126,38 @@ def group_quantiles(ds, group_col: str, value_col: str,
     n_part = hist.count()
 
     if n_part > KEYED_FOLD_DRIVER_MAX:
+        # map-side combine (the keyed_sum_auto level): coalesce the
+        # per-block histograms to cluster-width blocks without a keyed
+        # exchange and re-merge each — distinct (group, value) pairs
+        # repeat across blocks, so this usually collapses the stream
+        # under the driver ceiling and the bucket shuffle below never
+        # runs
+        import ray
+
+        cpus = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+        def merge_b(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            codes, uniq = pd.factorize(
+                np.asarray(t["__g"].to_pylist(), dtype=object))
+            df = pd.DataFrame({
+                "__gc": codes,
+                "__v": t["__v"].to_numpy(zero_copy_only=False),
+                "__c": t["__c"].to_numpy(zero_copy_only=False)})
+            m = df.groupby(["__gc", "__v"], sort=False)["__c"].sum() \
+                .reset_index()
+            return pa.table({
+                "__g": pa.array(uniq[m["__gc"].to_numpy()], pa.string()),
+                "__v": pa.array(m["__v"], pa.int64()),
+                "__c": pa.array(m["__c"], pa.int64())})
+
+        merged = hist.repartition(cpus).map_batches(
+            merge_b, batch_format="pyarrow").materialize()
+        n_merged = merged.count()
+        if n_merged < n_part:
+            hist, n_part = merged, n_merged
+
+    if n_part > KEYED_FOLD_DRIVER_MAX:
         # merge duplicates on the compound key at full parallelism
         nb = partitions_for_rows(n_part)
 
